@@ -1,0 +1,55 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line with per-query
+median wall-clock seconds over warm runs.
+
+Headline set = every registered query tagged for bench (falls back to all
+registered queries). Each query is executed to completion via a count on
+the result (no driver-side collect of payload data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
+from medvedi_spark.session import get_spark
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"bench: SPARK_GRAFT_SF_DIR={sf_dir!r} is not a directory")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", "")) if base.startswith("sf") else 0.1
+    except ValueError:
+        sf = 0.1
+    _ensure_loaded()
+    spark = get_spark("medvedi-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        if "nobench" in q.tags:
+            continue
+        samples = []
+        for i in range(max(1, RUNS)):
+            t0 = time.perf_counter()
+            q.builder(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({"metric": "bench_total_wall", "value": total, "unit": "sec", "queries": timings, "sf": sf}))
+
+
+if __name__ == "__main__":
+    main()

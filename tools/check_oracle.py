@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle at a given
+scale factor, then compares row count, sorted column names, and exact
+values (rows sorted by all columns). Exact float equality is the target —
+the deterministic-decimal policy in queries/_det.py should make both
+engines produce identical bits; any nonzero float diff is a bug.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from medvedi_spark.catalog import TABLES
+from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
+from medvedi_spark.session import get_spark
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(f"columns spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    if len(s) != len(d):
+        return problems
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            sa, da = sv.astype(float).to_numpy(), dv.astype(float).to_numpy()
+            both_nan = np.isnan(sa) & np.isnan(da)
+            neq = ~both_nan & (sa != da)
+            if neq.any():
+                idx = int(np.argmax(neq))
+                problems.append(
+                    f"col {c}: {int(neq.sum())} float diffs, first@{idx}: "
+                    f"spark={sa[idx]!r} duck={da[idx]!r} absdiff={abs(sa[idx]-da[idx]):.3e}"
+                )
+        else:
+            neq = ~(sv.eq(dv) | (sv.isna() & dv.isna()))
+            if neq.any():
+                idx = int(np.argmax(neq.to_numpy()))
+                problems.append(f"col {c}: {int(neq.sum())} diffs, first@{idx}: spark={sv.iloc[idx]!r} duck={dv.iloc[idx]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None)
+    _ensure_loaded()
+    spark = get_spark("oracle-check")
+    con = duck_connect(sf_dir)
+    failures = 0
+    for name, q in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = q.builder(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if q.oracle is None:
+            print(f"ok   {name}: rows={len(spark_pdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            duck_pdf = con.execute(q.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"PASS {name}: rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+    print(f"\n{'ALL PASS' if not failures else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
