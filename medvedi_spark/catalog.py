@@ -34,7 +34,17 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) on disk; with nanosAsLong it arrives as a
+        # bigint of epoch nanos. The data has no sub-microsecond content,
+        # so truncating to micros is lossless (and matches DuckDB's view).
+        from pyspark.sql import functions as F
+
+        # Integer division: epoch-nanos exceeds double precision, so a
+        # float divide would corrupt the low microseconds.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -13,8 +13,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from medvedi_spark.catalog import load
-from medvedi_spark.queries._det import davg, dsum, sql_davg, sql_dsum
+from medvedi_spark.queries._det import DEC, davg, dsum, sql_davg, sql_dsum
 from medvedi_spark.queries.registry import register
+
+
+def _dwin(col, window) -> F.Column:
+    """Order-independent windowed SUM (same policy as dsum)."""
+    return F.sum(col.cast(DEC)).over(window).cast("string").cast("double")
 
 # --------------------------------------------------------------------------
 # q1 — TPC-H Q1 shape: scan → filter → groupBy → 8 aggs → (sorted by keys)
@@ -60,4 +65,616 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q2 — join + top-k: orders ⋈ customer, top 100 by totalprice.
+# Covers: J1 (equi join), O5 (top-k → TakeOrderedAndProject), P2 projection.
+# Unique tiebreak (o_orderkey) keeps the boundary deterministic.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q2_top_orders",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "topk"),
+)
+def q2_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q3 — n-ary join + agg: revenue by nation (TPC-H Q5 shape).
+# Covers: J1 n-ary join (medvedi/dataframe.py:1126-1284 is a single n-ary
+# join; here Catalyst folds pairwise joins and broadcasts the dims).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "groupby"),
+)
+def q3_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q4 — projection + filter pushdown + cast + rename.
+# Covers: P1/P2 (__getitem__), P10 astype, P11 rename, P5 take(mask).
+# Both filter and the 3-column ReadSchema reach the parquet scan.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q4_project_cast_rename",
+    oracle="""
+    SELECT p_partkey AS part_id,
+           p_brand AS brand,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_int
+    FROM part
+    WHERE p_size >= 30 AND p_type LIKE '%PROMO%'
+    """,
+    tags=("projection", "filter", "cast"),
+)
+def q4_project_cast_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (
+        part.filter((F.col("p_size") >= 30) & F.col("p_type").contains("PROMO"))
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_brand").alias("brand"),
+            F.floor("p_retailprice").cast("bigint").alias("price_int"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q5 — distinct: G5 unique() over a composite key.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q5_distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("distinct",),
+)
+def q5_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# q6 — keep-first dedup: G6 drop_duplicates(keep='first').
+# medvedi keeps the first row in frame order (dataframe.py:823-847); here
+# "order" is made explicit: earliest order (date, then key) per customer.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q6_dedup_keep_first",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "window"),
+)
+def q6_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q7 — duplicated() mask aggregated: G7/G10.
+# Count of surplus rows per duplicate (l_partkey, l_suppkey) pair.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q7_duplicated_pairs",
+    oracle="""
+    SELECT l_partkey, l_suppkey, COUNT(*) - 1 AS dup_count
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+    HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "groupby"),
+)
+def q7_duplicated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg((F.count(F.lit(1)) - F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# q8 — semi/anti join membership: J2 Index.diff, J3 isin.
+# Per market segment: customers total, with orders, without orders.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q8_semi_anti_membership",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+           COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders
+    FROM customer c
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "semi", "anti"),
+)
+def q8_semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    buyers = orders.select("o_custkey").distinct()
+    flagged = customer.join(
+        buyers.withColumnRenamed("o_custkey", "c_custkey").withColumn("has_orders", F.lit(1)),
+        on="c_custkey",
+        how="left",
+    )
+    return flagged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count("has_orders").alias("with_orders"),
+        (F.count(F.lit(1)) - F.count("has_orders")).alias("without_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q9 — concat: U1 strict (unionAll) and non-strict (unionByName + fill).
+# medvedi fills absent cells with type defaults (dataframe.py:1096-1120);
+# here the absent int column is filled with 0 to mirror that contract.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q9_concat_union",
+    oracle="""
+    SELECT src, COUNT(*) AS n, SUM(sz) AS total_size
+    FROM (
+      SELECT 'small' AS src, p_partkey, p_size AS sz FROM part WHERE p_size < 10
+      UNION ALL
+      SELECT 'large' AS src, p_partkey, p_size AS sz FROM part WHERE p_size > 40
+      UNION ALL
+      SELECT 'nosize' AS src, p_partkey, 0 AS sz FROM part WHERE p_size BETWEEN 20 AND 22
+    )
+    GROUP BY src
+    """,
+    tags=("concat", "union"),
+)
+def q9_concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    small = part.filter(F.col("p_size") < 10).select(F.lit("small").alias("src"), "p_partkey", F.col("p_size").alias("sz"))
+    large = part.filter(F.col("p_size") > 40).select(F.lit("large").alias("src"), "p_partkey", F.col("p_size").alias("sz"))
+    # non-strict concat: this leg lacks `sz`; unionByName fills NULL, and the
+    # medvedi type-default contract turns that into 0 for ints.
+    nosize = part.filter(F.col("p_size").between(20, 22)).select(F.lit("nosize").alias("src"), "p_partkey")
+    unioned = small.unionAll(large).unionByName(nosize, allowMissingColumns=True).fillna({"sz": 0})
+    return unioned.groupBy("src").agg(F.count(F.lit(1)).alias("n"), F.sum("sz").alias("total_size"))
+
+
+# --------------------------------------------------------------------------
+# q10 — explode: U3 over tokenized documents, top 50 tokens.
+# medvedi explode replicates sibling columns via np.repeat
+# (dataframe.py:581-606); Spark's generator does the same distributed.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q10_explode_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """,
+    tags=("explode", "groupby", "topk"),
+)
+def q10_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — fillna/isnull + JSON extraction: P12/P13, F5/ODT_JSON payloads.
+# Derives a nullable column, then null-handles it both ways.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q11_fillna_isnull_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE big_value IS NULL) AS n_null,
+           SUM(COALESCE(big_value, 0)) AS filled_sum,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+    FROM (
+      SELECT event_type, props,
+             CASE WHEN value > 50 THEN CAST(FLOOR(value) AS BIGINT) ELSE NULL END AS big_value
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    tags=("fillna", "isnull", "json"),
+)
+def q11_fillna_isnull_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    with_null = events.withColumn(
+        # floor before the int cast: Spark's double->bigint cast truncates
+        # while DuckDB's rounds; floor() agrees everywhere.
+        "big_value", F.when(F.col("value") > 50, F.floor(F.col("value")).cast("bigint")).otherwise(F.lit(None))
+    )
+    return with_null.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("big_value").isNull(), 1)).alias("n_null"),
+        F.sum(F.coalesce(F.col("big_value"), F.lit(0))).alias("filled_sum"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — multi-column sort with null placement + limit: O1 sort_values
+# (na_position), O5 top-k. NULLs first on a nullable derived column.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q12_sort_nulls_topk",
+    oracle="""
+    SELECT event_id, user_id, small_value
+    FROM (
+      SELECT event_id, user_id,
+             CASE WHEN value < 10 THEN value ELSE NULL END AS small_value
+      FROM events
+    )
+    ORDER BY small_value ASC NULLS FIRST, user_id DESC, event_id
+    LIMIT 200
+    """,
+    tags=("sort", "topk"),
+)
+def q12_sort_nulls_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.withColumn("small_value", F.when(F.col("value") < 10, F.col("value")).otherwise(F.lit(None)))
+        .select("event_id", "user_id", "small_value")
+        .orderBy(F.asc_nulls_first("small_value"), F.desc("user_id"), F.asc("event_id"))
+        .limit(200)
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — window functions (SURVEY §2.9): row_number, rank, lag, running sum.
+# Unique ordering (o_orderdate, o_orderkey) keeps every window column
+# deterministic; the running sum uses the exact-decimal policy.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q13_window_funcs",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS order_seq,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           o_totalprice - LAG(o_totalprice, 1, 0.0) OVER w AS price_delta,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q13_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.rank().over(w_price).alias("price_rank"),
+        (F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w)).alias("price_delta"),
+        _dwin(F.col("o_totalprice"), w).alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — rollup with grouping id (beyond-reference: SURVEY §2.4 "not
+# implemented" row — grouping sets / rollup / cube).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q14_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("rollup", "groupby"),
+)
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — cube over two dims with count + exact distinct count.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q15_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("cube", "groupby", "distinct"),
+)
+def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "n_customers")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — set operations: U2 intersect / except (beyond-reference).
+# Nations that have customers but no suppliers, and both.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q16_setops",
+    oracle="""
+    SELECT 'both' AS which, * FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only' AS which, * FROM (
+      SELECT c_nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+    tags=("setops",),
+)
+def q16_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_nations = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp_nations = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust_nations.intersect(supp_nations).select(F.lit("both").alias("which"), "nationkey")
+    # subtract == EXCEPT (set semantics); exceptAll would keep surplus dups.
+    only = cust_nations.subtract(supp_nations).select(F.lit("customer_only").alias("which"), "nationkey")
+    return both.unionAll(only)
+
+
+# --------------------------------------------------------------------------
+# q17 — as-of join (beyond-reference: SURVEY §2.3 "not implemented" row).
+# For each (day checkpoint, user): the latest event value at-or-before the
+# checkpoint. Spark lacks ASOF JOIN; expressed as a range join + max_by,
+# which AQE turns into a shuffled hash join on the user dimension.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q17_asof_join",
+    oracle="""
+    WITH checkpoints AS (
+      SELECT DISTINCT date_trunc('day', ts) + INTERVAL 1 DAY AS cp FROM events
+    )
+    SELECT c.cp, e.user_id,
+           arg_max(e.value, e.ts) AS last_value,
+           max(e.ts) AS last_ts
+    FROM events e JOIN checkpoints c ON e.ts <= c.cp
+    WHERE e.user_id < 50
+    GROUP BY c.cp, e.user_id
+    """,
+    tags=("asof", "rangejoin"),
+)
+def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    checkpoints = (
+        load(spark, sf_dir, "events")
+        .select((F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")).alias("cp"))
+        .distinct()
+    )
+    return (
+        events.join(F.broadcast(checkpoints), events.ts <= checkpoints.cp)
+        .groupBy("cp", "user_id")
+        .agg(
+            F.max_by("value", "ts").alias("last_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — pivot (beyond-reference): event counts per user by type.
+# Fixed pivot values keep the schema static (required at scale anyway —
+# dynamic pivot needs a driver-side distinct pass).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q18_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("pivot",),
+)
+def q18_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combos; the count contract says 0.
+    return pivoted.fillna(0, subset=["click", "view", "purchase", "signup", "error"])
+
+
+# --------------------------------------------------------------------------
+# q19 — sessionization via window lag + gap cumsum (SURVEY §2.9; the
+# streaming variant uses session_window in stream_ops).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q19_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+    tags=("session", "window"),
+)
+def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    flagged = events.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(w_cum))
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — null-skipping min/max: G8 nonemin/nonemax (dataframe.py:980-1004).
+# min/max skip NULLs in both engines; all-null groups yield NULL ("None").
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q20_nonemin_nonemax",
+    oracle="""
+    SELECT event_type,
+           MIN(CASE WHEN value >= 99.0 THEN value END) AS none_min,
+           MAX(CASE WHEN value >= 99.0 THEN value END) AS none_max,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "nulls"),
+)
+def q20_nonemin_nonemax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    guarded = F.when(F.col("value") >= 99.0, F.col("value"))
+    return events.groupBy("event_type").agg(
+        F.min(guarded).alias("none_min"),
+        F.max(guarded).alias("none_max"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
     )

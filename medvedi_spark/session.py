@@ -53,5 +53,8 @@ def get_spark(app_name: str = "medvedi-spark", *, shuffle_partitions: int | None
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
+        # The driver's events table stores TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects; read as long and convert in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
