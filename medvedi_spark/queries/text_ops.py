@@ -1,1 +1,244 @@
-"""Placeholder — populated in later phases."""
+"""Text-analysis + multimodal-column operators (SURVEY §2.10).
+
+All scalar work stays JVM-side (built-in functions, whole-stage codegen);
+the one deliberate exception is m1, which routes through ``mapInPandas``
+to prove the Arrow-batched binary-payload plumbing that real multimodal
+decode would use (the decode itself is stubbed — see
+medvedi_spark/functions/multimodal.py).
+
+Determinism notes: no transcendentals (libm differs between the JVM and
+DuckDB); quality scores are rational arithmetic only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medvedi_spark.catalog import load
+from medvedi_spark.queries.registry import register
+
+# Stopword lists for the n-gram language-ID heuristic. Tiny by design:
+# the heuristic must be cheap enough to run on 100 TB of text.
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "de", "et"),
+    "de": ("der", "die", "das", "und"),
+}
+
+
+def _tok(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+# --------------------------------------------------------------------------
+# t1 — language ID: stopword-hit heuristic with a fixed priority order.
+# --------------------------------------------------------------------------
+
+_T1_CASES_SQL = " ".join(
+    f"WHEN n_{lang} >= 2 THEN '{lang}'" for lang in ("en", "es", "fr", "de")
+)
+_T1_COUNTS_SQL = ",\n             ".join(
+    "len(list_filter(string_split(text, ' '), t -> t IN ({}))) AS n_{}".format(
+        ", ".join(f"'{w}'" for w in words), lang
+    )
+    for lang, words in _STOPWORDS.items()
+)
+
+
+@register(
+    "t1_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE {_T1_CASES_SQL} ELSE 'unknown' END AS pred_lang,
+           CASE WHEN (CASE {_T1_CASES_SQL} ELSE 'unknown' END) = lang THEN 1 ELSE 0 END AS hit
+    FROM (
+      SELECT doc_id, lang,
+             {_T1_COUNTS_SQL}
+      FROM documents
+    )
+    """,
+    tags=("text", "langid", "llm"),
+)
+def t1_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(_tok(), lambda t: t.isin(*words))).alias(f"n_{lang}")
+            for lang, words in _STOPWORDS.items()
+        ],
+    )
+    pred = F.lit("unknown")
+    for lang in reversed(("en", "es", "fr", "de")):
+        pred = F.when(F.col(f"n_{lang}") >= 2, F.lit(lang)).otherwise(pred)
+    return counted.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        F.when(pred == F.col("lang"), F.lit(1)).otherwise(F.lit(0)).alias("hit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t2 — quality scoring: length/stopword/repetition ratios, rational
+# arithmetic only (engine-portable bits).
+# --------------------------------------------------------------------------
+
+_ALL_STOPS = tuple(w for words in _STOPWORDS.values() for w in words)
+_STOPS_SQL = ", ".join(f"'{w}'" for w in _ALL_STOPS)
+
+
+@register(
+    "t2_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars_measured AS n_chars,
+           n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+           0.25 * (CAST(LEAST(n_tokens, 200) AS DOUBLE) / 200)
+             + 0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             + 0.25 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality
+    FROM (
+      SELECT doc_id,
+             length(text) AS n_chars_measured,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+             len(list_filter(string_split(text, ' '), t -> t IN ({_STOPS_SQL}))) AS n_stop,
+             len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_distinct
+      FROM documents
+    )
+    """,
+    tags=("text", "quality", "llm"),
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(_tok(), lambda t: t != "")
+    measured = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(_tok(), lambda t: t.isin(*_ALL_STOPS))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    quality = (
+        F.lit(0.25) * (F.least(F.col("n_tokens"), F.lit(200)).cast("double") / F.lit(200))
+        + F.lit(0.5) * ttr
+        + F.lit(0.25) * (F.lit(1.0) - stop_ratio)
+    )
+    return measured.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("ttr"),
+        quality.alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t3 — token counting: whitespace tokens + a BPE-ish subword estimate
+# (pure length arithmetic: ceil(chars/4) is the classic approximation).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t3_token_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           SUM(bpe_est) AS total_bpe_est,
+           MAX(n_tokens) AS max_tokens
+    FROM (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+             (length(text) + 3) // 4 AS bpe_est
+      FROM documents
+    )
+    GROUP BY source
+    """,
+    tags=("text", "tokens", "llm"),
+)
+def t3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(_tok(), lambda t: t != "")
+    per_doc = docs.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        ((F.length("text") + F.lit(3)) / F.lit(4)).cast("bigint").alias("bpe_est"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("bpe_est").alias("total_bpe_est"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t4 — document fingerprinting: canonical content hash over the sorted
+# distinct token set (catches shuffled/reordered copies exact dedup misses).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t4_fingerprint",
+    oracle="""
+    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))), ' ')) AS fingerprint
+      FROM documents
+    )
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    """,
+    tags=("text", "fingerprint", "dedup", "llm"),
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(_tok(), lambda t: t != "")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# m1 — multimodal-column plumbing: binary payloads through an Arrow-batched
+# mapInPandas operator. The per-batch python computes byte-level metadata;
+# real image/audio decode would slot into the same batch loop (stubbed in
+# medvedi_spark/functions/multimodal.py because codec libs aren't present).
+# The oracle recomputes the same metadata in SQL, proving the UDF path.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "m1_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS byte_len,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           ascii(substr(text, length(text), 1)) AS last_byte,
+           (octet_length(CAST(text AS BLOB)) + 255) // 256 AS n_chunks
+    FROM documents
+    """,
+    tags=("multimodal", "udf", "llm"),
+)
+def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.functions.multimodal import binary_metadata_batches
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        binary_metadata_batches,
+        schema="doc_id bigint, byte_len bigint, first_byte bigint, last_byte bigint, n_chunks bigint",
+    )
