@@ -1,0 +1,999 @@
+"""MDF — a medvedi-compatible DataFrame API lowered onto PySpark.
+
+The reference (athenianco/medvedi) is an eager, ordered, numpy-columnar
+frame (`/root/reference/medvedi/dataframe.py:306`). Spark DataFrames are
+lazy and unordered, so this wrapper adds exactly two pieces of state on
+top of a ``pyspark.sql.DataFrame``:
+
+- ``_index``: tuple of column names acting as the (possibly multi-level)
+  index — a *view*, never separate storage, mirroring the reference
+  (`medvedi/dataframe.py:32-39,353`);
+- ``__row_id__``: a hidden bigint column carrying row order, because
+  medvedi's contract makes order observable (groupby stability, join
+  output sorted by key, keep='first' dedup — SURVEY §1.3 δ-2).
+
+Everything else lowers to stock DataFrame API so Catalyst plans it:
+no RDDs, no driver-side loops in any operator that scales with rows.
+Compat-only deviations from SQL semantics (type-default fills instead of
+NULL, last-wins column collisions — SURVEY §1.3) are implemented at the
+edges with ``coalesce`` and are opt-out via ``fill_defaults=False``.
+
+Materializing APIs (``__getitem__`` → ndarray, ``iterrows``) collect to
+the driver by design — they reproduce the reference's eager contract for
+API-server-sized frames. The scale path is ``.df`` / ``.col()`` which
+stay lazy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Hashable, Iterable, Iterator, Mapping, Sequence
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+ROW_ID = "__row_id__"
+
+__all__ = ["MDF", "Index", "Grouper", "join", "concat", "ROW_ID"]
+
+# ---------------------------------------------------------------------------
+# dtype mapping (SURVEY §1.2) and type-default fills (§1.3 δ-1):
+# medvedi materializes type defaults, not NULLs, for absent cells
+# (`medvedi/dataframe.py:1339-1346` _empty_array).
+# ---------------------------------------------------------------------------
+
+_FILL_DEFAULTS: dict[type, Any] = {
+    T.LongType: 0,
+    T.IntegerType: 0,
+    T.ShortType: 0,
+    T.ByteType: 0,
+    T.DoubleType: float("nan"),
+    T.FloatType: float("nan"),
+    T.BooleanType: False,
+    T.StringType: "",
+    T.BinaryType: b"",
+}
+
+
+def _default_for(dtype: T.DataType) -> Any | None:
+    return _FILL_DEFAULTS.get(type(dtype))
+
+
+def _fill_defaults(df: DataFrame, cols: Iterable[str]) -> DataFrame:
+    """coalesce(col, type_default) for each column that has a default.
+
+    Timestamp/interval/array columns keep NULL (the NaT/None analog).
+    """
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    exprs = []
+    for c in df.columns:
+        if c in cols:
+            default = _default_for(by_name[c])
+            if default is not None:
+                if isinstance(default, float):
+                    exprs.append(F.coalesce(F.col(c), F.lit(default)).alias(c))
+                    continue
+                exprs.append(F.coalesce(F.col(c), F.lit(default)).alias(c))
+                continue
+        exprs.append(F.col(c))
+    return df.select(*exprs)
+
+
+def _numpy_to_spark_type(arr: np.ndarray) -> T.DataType:
+    kind = arr.dtype.kind
+    if kind == "b":
+        return T.BooleanType()
+    if kind in ("i", "u"):
+        return T.LongType() if arr.dtype.itemsize > 4 else T.IntegerType()
+    if kind == "f":
+        return T.DoubleType() if arr.dtype.itemsize > 4 else T.FloatType()
+    if kind == "M":
+        return T.TimestampType()
+    if kind == "m":
+        return T.DayTimeIntervalType()
+    if kind == "S":
+        return T.BinaryType()
+    if kind == "U":
+        return T.StringType()
+    if kind == "O":
+        return _infer_object_type(arr)
+    raise TypeError(f"unsupported numpy dtype {arr.dtype!r}")
+
+
+def _infer_object_type(arr: np.ndarray) -> T.DataType:
+    """ODT-style payload inference (`medvedi/io.pyx:195-343`), at the
+    python boundary instead of a serializer: examine non-null payloads
+    and pick the narrowest Spark type."""
+    for v in arr:
+        if v is None:
+            continue
+        if isinstance(v, str):
+            return T.StringType()
+        if isinstance(v, bytes):
+            return T.BinaryType()
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, dict):
+            return T.StringType()  # JSON payload convention (ODT_JSON)
+        if isinstance(v, (list, tuple, np.ndarray)):
+            if len(v) == 0:
+                continue  # empty list says nothing about the element type
+            inner = np.asarray(v)
+            if inner.dtype.kind == "O":
+                return T.ArrayType(T.StringType())
+            return T.ArrayType(_numpy_to_spark_type(inner))
+    return T.StringType()
+
+
+def _normalize_cell(v: Any) -> Any:
+    if isinstance(v, np.datetime64):
+        # .item() on [ns] yields an int; force µs first.
+        return v.astype("datetime64[us]").item()
+    if isinstance(v, np.timedelta64):
+        return v.astype("timedelta64[us]").item()
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return [_normalize_cell(x) for x in v]
+    if isinstance(v, dict):
+        import json
+
+        return json.dumps(v, separators=(",", ":"))
+    return v
+
+
+class Index:
+    """View over the parent frame's index columns (no storage of its own),
+    mirroring `medvedi/dataframe.py:32-186`."""
+
+    def __init__(self, parent: "MDF"):
+        self._parent = parent
+
+    @property
+    def names(self) -> tuple[Hashable, ...]:
+        return self._parent._index
+
+    @property
+    def name(self) -> Hashable:
+        names = self._parent._index
+        if len(names) != 1:
+            raise AttributeError(f"index has {len(names)} levels, use .names")
+        return names[0]
+
+    @property
+    def nlevels(self) -> int:
+        return len(self._parent._index)
+
+    @property
+    def empty(self) -> bool:
+        return self._parent.empty
+
+    def get_level_values(self, level: int) -> np.ndarray:
+        return self._parent[self._parent._index[level]]
+
+    @property
+    def values(self) -> np.ndarray:
+        levels = [self.get_level_values(i) for i in range(self.nlevels)]
+        if len(levels) == 1:
+            return levels[0]
+        out = np.empty(len(levels[0]), dtype=object)
+        for i, row in enumerate(zip(*levels)):
+            out[i] = row
+        return out
+
+    @property
+    def is_unique(self) -> bool:
+        df = self._parent._df
+        keys = list(self._parent._index)
+        return df.select(*keys).distinct().count() == df.count()
+
+    def duplicated(self, keep: str = "first") -> np.ndarray:
+        return self._parent.duplicated(subset=list(self._parent._index), keep=keep)
+
+    def diff(self, other: "Index") -> np.ndarray:
+        """Anti-join of unique index values → positions in self
+        (`medvedi/dataframe.py:169-186`)."""
+        left = self._parent._df_pos()
+        rnames = [f"__r{i}__" for i in range(len(other.names))]
+        right = other._parent._df.select(
+            *[F.col(str(c)).alias(r) for c, r in zip(other.names, rnames)]
+        )
+        on = None
+        for l, r in zip(self._parent._index, rnames):
+            c = left[str(l)].eqNullSafe(right[r])
+            on = c if on is None else on & c
+        kept = left.join(right, on=on, how="left_anti").select("__pos__")
+        return np.asarray(sorted(r["__pos__"] for r in kept.collect()), dtype=np.int64)
+
+    @property
+    def is_monotonic_increasing(self) -> bool:
+        return self._monotonic(ascending=True)
+
+    @property
+    def is_monotonic_decreasing(self) -> bool:
+        return self._monotonic(ascending=False)
+
+    def _monotonic(self, ascending: bool) -> bool:
+        parent = self._parent
+        keys = [F.col(k) for k in parent._index]
+        w = Window.orderBy(F.col(ROW_ID))
+        cur = F.struct(*keys)
+        prev = F.lag(cur).over(w)
+        cmp = cur >= prev if ascending else cur <= prev
+        flags = parent._df.select((prev.isNotNull() & ~cmp).alias("bad"))
+        return flags.filter(F.col("bad")).isEmpty()
+
+
+class Grouper:
+    """Result of ``MDF.groupby`` — aggregation + per-group iteration.
+
+    The reference returns (order, counts) for use with np.ufunc.reduceat
+    (`medvedi/dataframe.py:189-261`); on Spark the same use-cases lower to
+    groupBy().agg() (G2), first-of-group (G3), and grouped-map
+    (G4 → applyInPandas).
+    """
+
+    _AGG = {
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "mean": F.avg,
+        "avg": F.avg,
+        "count": F.count,
+        "first": F.first,
+        "last": F.last,
+        "any": F.max,
+        "all": F.min,
+        "collect": F.collect_list,
+    }
+
+    def __init__(self, parent: "MDF", keys: Sequence[str]):
+        self._parent = parent
+        self._keys = list(keys)
+
+    def agg(self, spec: Mapping[str, str | Column] | None = None, **named: str | Column) -> "MDF":
+        """Aggregate: ``g.agg({"b": "sum"})`` or ``g.agg(total=("b","sum"))``
+        style via kwargs of (col, fn) tuples or Column expressions."""
+        exprs: list[Column] = []
+        for col, fn in (spec or {}).items():
+            exprs.append(self._resolve(col, fn).alias(f"{col}_{fn}" if isinstance(fn, str) else str(col)))
+        for out_name, item in named.items():
+            if isinstance(item, Column):
+                exprs.append(item.alias(out_name))
+            else:
+                col, fn = item
+                exprs.append(self._resolve(col, fn).alias(out_name))
+        if not exprs:
+            exprs = [F.count(F.lit(1)).alias("count")]
+        # stable-sorted group order is part of the reference contract
+        # (`medvedi/dataframe.py:897`): sort output by key.
+        out = (
+            self._parent._df.groupBy(*self._keys)
+            .agg(*exprs)
+            .orderBy(*[F.asc(k) for k in self._keys])
+        )
+        return MDF._from_spark(out.withColumn(ROW_ID, F.monotonically_increasing_id()), index=tuple(self._keys))
+
+    def _resolve(self, col: str, fn: str | Column) -> Column:
+        if isinstance(fn, Column):
+            return fn
+        try:
+            return self._AGG[fn](col)
+        except KeyError:
+            raise ValueError(f"unknown aggregate {fn!r}; one of {sorted(self._AGG)}") from None
+
+    def apply(self, fn, schema: str | T.StructType) -> "MDF":
+        """Grouped-map (G4, `Grouper.__iter__` use-case): pandas in/out."""
+        out = self._parent._df.drop(ROW_ID).groupBy(*self._keys).applyInPandas(fn, schema=schema)
+        return MDF._from_spark(out.withColumn(ROW_ID, F.monotonically_increasing_id()), index=())
+
+    def __iter__(self) -> Iterator[tuple[Any, "pd.DataFrame"]]:
+        """Driver-side per-group iteration (compat path; scale path is
+        ``apply``)."""
+        pdf = self._parent._df.orderBy(ROW_ID).drop(ROW_ID).toPandas()
+        for key, sub in pdf.groupby(self._keys, sort=True):
+            yield key[0] if len(self._keys) == 1 else key, sub
+
+
+class MDF:
+    """medvedi-compatible frame over a Spark DataFrame. See module doc."""
+
+    # -- construction (S1, S3) ---------------------------------------------
+
+    def __init__(
+        self,
+        data: Mapping[Hashable, Any] | None = None,
+        columns: Sequence[Hashable] | None = None,
+        index: Hashable | Sequence[Hashable] | None = None,
+        copy: bool = False,  # noqa: ARG002 - Spark frames are immutable
+        dtype: Mapping[Hashable, Any] | None = None,
+        check: bool = True,
+        *,
+        spark: SparkSession | None = None,
+    ):
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("no active SparkSession; pass spark=")
+        if data is None:
+            data = {}
+        if not isinstance(data, Mapping):
+            # iterable of columns + explicit names (`dataframe.py:308-357`)
+            if columns is None:
+                raise ValueError("columns= required when data is not a mapping")
+            data = dict(zip(columns, data))
+        arrays: dict[str, np.ndarray] = {}
+        for k, v in data.items():
+            arr = np.asarray(v)
+            if dtype and k in dtype:
+                arr = arr.astype(dtype[k])
+            if check and arr.ndim != 1:
+                raise ValueError(f"column {k!r} must be 1-D, got shape {arr.shape}")
+            arrays[str(k)] = arr
+        if check and len({len(a) for a in arrays.values()}) > 1:
+            raise ValueError("all columns must have equal length")
+        n = len(next(iter(arrays.values()))) if arrays else 0
+        fields = [T.StructField(k, _numpy_to_spark_type(a)) for k, a in arrays.items()]
+        fields.append(T.StructField(ROW_ID, T.LongType(), False))
+        rows = [
+            tuple(_normalize_cell(arrays[k][i]) if not _is_null_cell(arrays[k][i]) else None for k in arrays)
+            + (i,)
+            for i in range(n)
+        ]
+        self._df = spark.createDataFrame(rows, schema=T.StructType(fields))
+        self._index: tuple[str, ...] = ()
+        if index is not None:
+            self.set_index(index, inplace=True)
+
+    @classmethod
+    def _from_spark(cls, df: DataFrame, index: tuple[str, ...] = ()) -> "MDF":
+        obj = cls.__new__(cls)
+        if ROW_ID not in df.columns:
+            df = df.withColumn(ROW_ID, F.monotonically_increasing_id())
+        obj._df = df
+        obj._index = index
+        return obj
+
+    @classmethod
+    def from_spark(cls, df: DataFrame, index: Sequence[str] = ()) -> "MDF":
+        return cls._from_spark(df, tuple(index))
+
+    @classmethod
+    def from_arrow(cls, table, *, spark: SparkSession | None = None, index: Sequence[str] = ()) -> "MDF":
+        """S3 (`dataframe.py:1059-1066`)."""
+        spark = spark or SparkSession.getActiveSession()
+        df = spark.createDataFrame(table.to_pandas())
+        return cls._from_spark(df, tuple(index))
+
+    @classmethod
+    def read_parquet(cls, path: str, *, spark: SparkSession | None = None, index: Sequence[str] = ()) -> "MDF":
+        """S5-replacement: parquet is the serialization format (SURVEY §3.3)."""
+        spark = spark or SparkSession.getActiveSession()
+        return cls._from_spark(spark.read.parquet(path), tuple(index))
+
+    # -- basic protocol ------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        """The underlying Spark DataFrame (scale path), row-id included."""
+        return self._df
+
+    @property
+    def columns(self) -> tuple[str, ...]:
+        return tuple(c for c in self._df.columns if c != ROW_ID)
+
+    @property
+    def index(self) -> Index:
+        return Index(self)
+
+    @property
+    def empty(self) -> bool:
+        return self._df.isEmpty()
+
+    def __len__(self) -> int:
+        return self._df.count()
+
+    def __contains__(self, key: Hashable) -> bool:
+        return str(key) in self.columns
+
+    def __repr__(self) -> str:
+        return f"MDF(columns={list(self.columns)}, index={list(self._index)})"
+
+    # -- P1/P2: projection ----------------------------------------------------
+
+    def __getitem__(self, key):
+        if isinstance(key, (list, tuple, set, frozenset)):
+            keys = [str(k) for k in key]
+            # index columns are implicitly retained (`tests/test_init.py:152-169`)
+            keep = list(dict.fromkeys([*self._index, *keys]))
+            return MDF._from_spark(self._df.select(*keep, ROW_ID), self._index)
+        col = str(key)
+        if col not in self.columns:
+            raise KeyError(key)
+        pdf = self._df.select(col, ROW_ID).orderBy(ROW_ID).toPandas()
+        return _to_numpy(pdf[col], self._df.schema[col].dataType)
+
+    def col(self, key: Hashable) -> Column:
+        """Lazy column expression (the scale path for P1)."""
+        return F.col(str(key))
+
+    # -- P3/P4: set / delete --------------------------------------------------
+
+    def __setitem__(self, key: Hashable, value) -> None:
+        name = str(key)
+        if name in self._index:
+            raise ValueError(f"cannot overwrite index column {name!r}")
+        if isinstance(value, Column):
+            self._df = self._df.withColumn(name, value)
+            return
+        if np.isscalar(value) or value is None:
+            self._df = self._df.withColumn(name, F.lit(_normalize_cell(value)))
+            return
+        arr = np.asarray(value)
+        n = self._df.count()
+        if len(arr) != n:
+            raise ValueError(f"length mismatch: {len(arr)} != {n}")
+        spark = self._df.sparkSession
+        lookup = spark.createDataFrame(
+            [(i, _normalize_cell(v) if not _is_null_cell(v) else None) for i, v in enumerate(arr)],
+            schema=T.StructType(
+                [T.StructField("__pos__", T.LongType(), False), T.StructField(name, _numpy_to_spark_type(arr))]
+            ),
+        )
+        left = self._df_pos().drop(name) if name in self._df.columns else self._df_pos()
+        self._df = left.join(lookup, on="__pos__", how="left").drop("__pos__")
+
+    def __delitem__(self, key: Hashable) -> None:
+        name = str(key)
+        if name in self._index:
+            raise ValueError(f"cannot delete index column {name!r}")  # `dataframe.py:428-436`
+        if name not in self.columns:
+            raise KeyError(key)
+        self._df = self._df.drop(name)
+
+    # -- P5/P6: take / iloc ----------------------------------------------------
+
+    def _df_pos(self) -> DataFrame:
+        """Attach a contiguous 0-based position column (ordered by row id)."""
+        w = Window.orderBy(F.col(ROW_ID))
+        return self._df.withColumn("__pos__", F.row_number().over(w) - 1)
+
+    def take(self, mask_or_indexes, inplace: bool = False) -> "MDF | None":
+        arr = np.asarray(mask_or_indexes)
+        pos = self._df_pos()
+        if arr.dtype.kind == "b":
+            if len(arr) != self._df.count():
+                raise ValueError("boolean mask length mismatch")
+            wanted = np.nonzero(arr)[0]
+        else:
+            wanted = arr.astype(np.int64)
+        spark = self._df.sparkSession
+        order = spark.createDataFrame(
+            [(int(p), i) for i, p in enumerate(wanted)],
+            schema=T.StructType(
+                [T.StructField("__pos__", T.LongType(), False), T.StructField("__new_rid__", T.LongType(), False)]
+            ),
+        )
+        out = (
+            pos.join(order, on="__pos__", how="inner")
+            .drop("__pos__", ROW_ID)
+            .withColumnRenamed("__new_rid__", ROW_ID)
+        )
+        if inplace:
+            self._df = out
+            return None
+        return MDF._from_spark(out, self._index)
+
+    def take_where(self, cond: Column, inplace: bool = False) -> "MDF | None":
+        """Scale-path filter (the P5 mask case without materializing a mask)."""
+        out = self._df.filter(cond)
+        if inplace:
+            self._df = out
+            return None
+        return MDF._from_spark(out, self._index)
+
+    @property
+    def iloc(self) -> "Iloc":
+        return Iloc(self)
+
+    # -- P7: iterrows -----------------------------------------------------------
+
+    def iterrows(self, *columns: Hashable) -> Iterator[tuple]:
+        cols = [str(c) for c in columns] or list(self.columns)
+        for row in self._df.select(*cols, ROW_ID).orderBy(ROW_ID).drop(ROW_ID).toLocalIterator():
+            yield tuple(row)
+
+    # -- P8/P9: copy / sample ----------------------------------------------------
+
+    def copy(self, shallow: bool = False) -> "MDF":  # noqa: ARG002
+        return MDF._from_spark(self._df, self._index)
+
+    def sample(
+        self,
+        n: int | None = None,
+        frac: float | None = None,
+        replace: bool = False,
+        weights=None,
+        ignore_index: bool = False,
+    ) -> "MDF":
+        if weights is not None:
+            # inverse-CDF over rand(): P(keep row i) ∝ w_i (no native support)
+            w = np.asarray(weights, dtype=np.float64)
+            idx = np.random.choice(len(w), size=n or len(w), replace=replace, p=w / w.sum())
+            return self.take(idx)
+        if frac is not None:
+            out = self._df.sample(withReplacement=replace, fraction=frac)
+        else:
+            count = self._df.count()
+            if n is None:
+                raise ValueError("pass n or frac")
+            if n > count and not replace:
+                raise ValueError("n larger than rows without replacement")
+            out = self._df.orderBy(F.rand()).limit(n)
+        if ignore_index:
+            out = out.drop(ROW_ID)
+        return MDF._from_spark(out, self._index if not ignore_index else ())
+
+    # -- P10-P12: astype / rename / fillna ----------------------------------------
+
+    def astype(self, dtype, copy: bool = True, errors: str = "raise") -> "MDF":  # noqa: ARG002
+        mapping = dtype if isinstance(dtype, Mapping) else {c: dtype for c in self.columns}
+        df = self._df
+        for col, target in mapping.items():
+            name = str(col)
+            spark_t = _numpy_to_spark_type(np.empty(0, dtype=np.dtype(target)))
+            cast = F.col(name).try_cast(spark_t) if errors == "ignore" else F.col(name).cast(spark_t)
+            df = df.withColumn(name, cast)
+        return MDF._from_spark(df, self._index)
+
+    def rename(self, columns: Mapping[Hashable, Hashable], inplace: bool = False, errors: str = "ignore") -> "MDF | None":
+        mapping = {str(k): str(v) for k, v in columns.items()}
+        if errors == "raise":
+            missing = set(mapping) - set(self.columns)
+            if missing:
+                raise KeyError(f"columns not found: {sorted(missing)}")
+        df = self._df.withColumnsRenamed(mapping)
+        index = tuple(mapping.get(c, c) for c in self._index)
+        if inplace:
+            self._df, self._index = df, index
+            return None
+        return MDF._from_spark(df, index)
+
+    def fillna(self, value, column: Hashable | None = None, inplace: bool = False) -> "MDF | None":
+        cols = [str(column)] if column is not None else list(self.columns)
+        df = self._df
+        for c in cols:
+            dt = df.schema[c].dataType
+            expr = F.col(c)
+            if isinstance(dt, (T.DoubleType, T.FloatType)):
+                expr = F.when(F.isnan(expr) | expr.isNull(), F.lit(value)).otherwise(expr)
+            else:
+                expr = F.coalesce(expr, F.lit(_normalize_cell(value)))
+            df = df.withColumn(c, expr)
+        if inplace:
+            self._df = df
+            return None
+        return MDF._from_spark(df, self._index)
+
+    # -- P13: isnull / notnull ------------------------------------------------------
+
+    def _null_cond(self, column: Hashable) -> Column:
+        c = str(column)
+        dt = self._df.schema[c].dataType
+        cond = F.col(c).isNull()
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            cond = cond | F.isnan(F.col(c))
+        return cond
+
+    def isnull(self, column: Hashable) -> np.ndarray:
+        pdf = self._df.select(self._null_cond(column).alias("m"), ROW_ID).orderBy(ROW_ID).toPandas()
+        return pdf["m"].to_numpy(dtype=bool)
+
+    def notnull(self, column: Hashable) -> np.ndarray:
+        return ~self.isnull(column)
+
+    # -- G5-G8: unique / dedup / none-minmax -----------------------------------------
+
+    def unique(self, column: Hashable, unordered: bool = False) -> np.ndarray:
+        c = str(column)
+        df = self._df.select(c).distinct()
+        if not unordered:
+            df = df.orderBy(c)
+        pdf = df.toPandas()
+        return _to_numpy(pdf[c], self._df.schema[c].dataType)
+
+    def duplicated(self, subset: Sequence[Hashable] | None = None, keep: str = "first") -> np.ndarray:
+        cols = [str(c) for c in subset] if subset else list(self.columns)
+        order = F.col(ROW_ID).asc() if keep == "first" else F.col(ROW_ID).desc()
+        w = Window.partitionBy(*cols).orderBy(order)
+        if keep in ("first", "last"):
+            mask = F.row_number().over(w) > 1
+        elif keep is False or keep == False:  # noqa: E712
+            mask = F.count(F.lit(1)).over(Window.partitionBy(*cols)) > 1
+        else:
+            raise ValueError(f"keep must be 'first'|'last'|False, got {keep!r}")
+        pdf = self._df.select(mask.alias("m"), ROW_ID).orderBy(ROW_ID).toPandas()
+        return pdf["m"].to_numpy(dtype=bool)
+
+    def drop_duplicates(self, subset: Sequence[Hashable] | None = None, keep: str = "first", ignore_index: bool = False) -> "MDF":
+        cols = [str(c) for c in subset] if subset else list(self.columns)
+        if keep in ("first", "last"):
+            order = F.col(ROW_ID).asc() if keep == "first" else F.col(ROW_ID).desc()
+            w = Window.partitionBy(*cols).orderBy(order)
+            out = self._df.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
+        else:
+            w = Window.partitionBy(*cols)
+            out = self._df.withColumn("__cnt__", F.count(F.lit(1)).over(w)).filter(F.col("__cnt__") == 1).drop("__cnt__")
+        if ignore_index:
+            out = out.drop(ROW_ID)
+        return MDF._from_spark(out, self._index)
+
+    def nonemin(self, column: Hashable):
+        return self._none_reduce(column, F.min)
+
+    def nonemax(self, column: Hashable):
+        return self._none_reduce(column, F.max)
+
+    def _none_reduce(self, column: Hashable, fn):
+        c = str(column)
+        expr = F.col(c)
+        if isinstance(self._df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            expr = F.when(~F.isnan(expr), expr)
+        row = self._df.select(fn(expr).alias("v")).collect()[0]
+        return row["v"]
+
+    # -- J3: isin ---------------------------------------------------------------------
+
+    def isin(self, column: Hashable, haystack, assume_unique: bool = False, invert: bool = False) -> np.ndarray:  # noqa: ARG002
+        c = str(column)
+        if isinstance(haystack, MDF):
+            values = [r[0] for r in haystack._df.select(haystack.columns[0]).distinct().collect()]
+        else:
+            values = [_normalize_cell(v) for v in haystack]
+        cond = F.col(c).isin(values)
+        if invert:
+            cond = ~cond
+        pdf = self._df.select(cond.alias("m"), ROW_ID).orderBy(ROW_ID).toPandas()
+        return pdf["m"].fillna(bool(invert)).to_numpy(dtype=bool)
+
+    # -- G1: groupby --------------------------------------------------------------------
+
+    def groupby(self, *by: Hashable) -> Grouper:
+        keys = [str(k) for k in (by or self._index)]
+        if not keys:
+            raise ValueError("no group keys: pass columns or set an index")
+        missing = set(keys) - set(self.columns)
+        if missing:
+            raise KeyError(f"unknown group keys {sorted(missing)}")
+        return Grouper(self, keys)
+
+    # -- O1/O2: sorts ------------------------------------------------------------------
+
+    def sort_values(
+        self,
+        by: Hashable | Sequence[Hashable],
+        ascending: bool = True,
+        kind: str = "stable",  # noqa: ARG002 - row-id tiebreak makes every sort stable
+        na_position: str = "last",
+        ignore_index: bool = False,
+        non_negative_hint: bool = False,  # noqa: ARG002 - radix-sort hint is a numpy detail
+    ) -> "MDF":
+        keys = [by] if isinstance(by, (str, int)) else list(by)
+        exprs = []
+        for k in keys:
+            c = str(k)
+            col = F.col(c)
+            if isinstance(self._df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+                # medvedi's na_position governs NaN; Spark separates NaN from
+                # NULL — fold NaN into NULL so one rule places both.
+                col = F.when(~F.isnan(F.col(c)), F.col(c))
+            if ascending:
+                exprs.append(col.asc_nulls_first() if na_position == "first" else col.asc_nulls_last())
+            else:
+                exprs.append(col.desc_nulls_first() if na_position == "first" else col.desc_nulls_last())
+        # stable: ties keep original order; descending reverses ties too
+        # (`dataframe.py:623-671` reverses the ascending permutation).
+        exprs.append(F.col(ROW_ID).asc() if ascending else F.col(ROW_ID).desc())
+        out = self._df.orderBy(*exprs)
+        w = Window.orderBy(F.monotonically_increasing_id())
+        out = out.withColumn("__new_rid__", F.row_number().over(w) - 1).drop(ROW_ID).withColumnRenamed("__new_rid__", ROW_ID)
+        return MDF._from_spark(out, () if ignore_index else self._index)
+
+    def sort_index(self, level: int | Sequence[int] | None = None, **kwargs) -> "MDF":
+        levels = range(len(self._index)) if level is None else ([level] if isinstance(level, int) else level)
+        return self.sort_values([self._index[i] for i in levels], **kwargs)
+
+    # -- X1/X2: index management -----------------------------------------------------------
+
+    def set_index(self, index: Hashable | Sequence[Hashable], inplace: bool = False, drop: bool = False) -> "MDF | None":
+        if isinstance(index, (str, int)):
+            names: list[Any] = [index]
+        elif isinstance(index, np.ndarray) and index.dtype.kind != "O":
+            names = [index]  # one value-array level, not a list of names
+        else:
+            names = list(index)
+        cols = []
+        df = self._df
+        for i, item in enumerate(names):
+            if isinstance(item, (str, int)) and str(item) in self.columns:
+                cols.append(str(item))
+            else:
+                arr = np.asarray(item)
+                synth = f"_index{i}"
+                tmp = MDF._from_spark(df, self._index)
+                tmp[synth] = arr
+                df = tmp._df
+                cols.append(synth)
+        old_index = self._index
+        if drop:
+            for c in old_index:
+                if c not in cols:
+                    df = df.drop(c)
+        if inplace:
+            self._df, self._index = df, tuple(cols)
+            return None
+        return MDF._from_spark(df, tuple(cols))
+
+    def reset_index(self, inplace: bool = False, drop: bool = False) -> "MDF | None":
+        df = self._df
+        if drop:
+            for c in self._index:
+                df = df.drop(c)
+        if inplace:
+            self._df, self._index = df, ()
+            return None
+        return MDF._from_spark(df, ())
+
+    # -- U3: explode -------------------------------------------------------------------------
+
+    def explode(self, column: Hashable, ignore_index: bool = False) -> "MDF":
+        c = str(column)
+        dt = self._df.schema[c].dataType
+        if not isinstance(dt, T.ArrayType):
+            # non-list column → no-op copy (`dataframe.py:581-606`)
+            return self.copy()
+        others = [x for x in self._df.columns if x != c]
+        # empty lists drop their row in the reference (0 repeats) — plain
+        # explode() does the same; NULL arrays also vanish.
+        out = self._df.select(*others, F.explode(F.col(c)).alias(c))
+        w = Window.orderBy(F.col(ROW_ID).asc(), F.monotonically_increasing_id())
+        out = out.withColumn("__new_rid__", F.row_number().over(w) - 1).drop(ROW_ID).withColumnRenamed("__new_rid__", ROW_ID)
+        return MDF._from_spark(out, () if ignore_index else self._index)
+
+    # -- S2: arrow / parquet export ---------------------------------------------------------------
+
+    def to_arrow(self):
+        return self._df.orderBy(ROW_ID).drop(ROW_ID).toArrow()
+
+    def to_pandas(self) -> pd.DataFrame:
+        return self._df.orderBy(ROW_ID).drop(ROW_ID).toPandas()
+
+    def to_parquet(self, path: str, mode: str = "overwrite") -> None:
+        """S4-replacement: parquet is the serialize/deserialize format."""
+        self._df.write.mode(mode).parquet(path)
+
+    # -- joins (J1) -------------------------------------------------------------------------------
+
+    def join(
+        self,
+        *others: "MDF",
+        how: str = "left",
+        suffixes: Sequence[str | None] | None = None,
+        copy: bool = False,  # noqa: ARG002
+        fill_defaults: bool = True,
+        check_unique: bool = True,
+    ) -> "MDF":
+        return join(self, *others, how=how, suffixes=suffixes, fill_defaults=fill_defaults, check_unique=check_unique)
+
+    def concat(self, *others: "MDF", ignore_index: bool = False, strict: bool = True) -> "MDF":
+        return concat(self, *others, ignore_index=ignore_index, strict=strict)
+
+
+class Iloc:
+    """Positional row access (`medvedi/dataframe.py:264-287`)."""
+
+    def __init__(self, parent: MDF):
+        self._parent = parent
+
+    def __getitem__(self, item):
+        parent = self._parent
+        if isinstance(item, (int, np.integer)):
+            n = len(parent)
+            i = int(item)
+            if i < 0:
+                i += n
+            if not 0 <= i < n:
+                raise IndexError(item)
+            row = parent._df_pos().filter(F.col("__pos__") == i).drop("__pos__", ROW_ID).collect()
+            return row[0].asDict()
+        if isinstance(item, slice):
+            idx = np.arange(len(parent))[item]
+            return parent.take(idx)
+        return parent.take(np.asarray(item))
+
+
+def _is_null_cell(v: Any) -> bool:
+    if v is None:
+        return True
+    if isinstance(v, float) and v != v:
+        return True
+    if isinstance(v, np.datetime64) and np.isnat(v):
+        return True
+    if isinstance(v, np.timedelta64) and np.isnat(v):
+        return True
+    return False
+
+
+def _to_numpy(series: pd.Series, dtype: T.DataType) -> np.ndarray:
+    if isinstance(dtype, (T.LongType, T.IntegerType)):
+        if series.isna().any():
+            return series.to_numpy()  # nullable → object/float, caller's delta
+        return series.to_numpy(dtype=np.int64 if isinstance(dtype, T.LongType) else np.int32)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return series.to_numpy(dtype=np.float64 if isinstance(dtype, T.DoubleType) else np.float32)
+    if isinstance(dtype, T.BooleanType) and not series.isna().any():
+        return series.to_numpy(dtype=bool)
+    if isinstance(dtype, T.BinaryType):
+        return series.map(lambda v: bytes(v) if v is not None else None).to_numpy()
+    return series.to_numpy()
+
+
+# ---------------------------------------------------------------------------
+# module-level join / concat (API parity with `medvedi/pure_static.py:13-49`)
+# ---------------------------------------------------------------------------
+
+
+def join(
+    *dfs: MDF,
+    how: str = "left",
+    suffixes: Sequence[str | None] | None = None,
+    fill_defaults: bool = True,
+    check_unique: bool = True,
+) -> MDF:
+    """n-ary index-equi join with medvedi semantics (SURVEY §2.3 J1):
+
+    - keys are each frame's index levels, matched by POSITION not name
+      (`tests/test_join.py:224-231` in the reference);
+    - ``right`` = reversed ``left`` (`dataframe.py:1134-1135`);
+    - duplicate keys allowed in the first frame only; elsewhere they raise
+      (the reference's m:n guard, `dataframe.py:1196-1209`) — checked
+      distributed via count-vs-distinct when ``check_unique``;
+    - missing matches fill with type defaults, not NULL (δ-1);
+    - same-name non-key columns: LAST frame wins, or ``suffixes`` renames;
+    - output sorted by key (np.unique sorting, `dataframe.py:1194`).
+    """
+    if not 2 <= len(dfs) <= 255:
+        raise ValueError("join takes 2..255 frames")
+    if how not in ("left", "right", "inner", "outer"):
+        raise ValueError(f"bad how={how!r}")
+    if how == "right":
+        return join(*reversed(dfs), how="left", suffixes=None if suffixes is None else list(reversed(list(suffixes))),
+                    fill_defaults=fill_defaults, check_unique=check_unique)
+    nlevels = len(dfs[0]._index)
+    if nlevels == 0:
+        raise ValueError("first frame has no index")
+    for d in dfs:
+        if len(d._index) != nlevels:
+            raise ValueError("all frames must have the same number of index levels")
+    key_names = [f"__k{i}__" for i in range(nlevels)]
+    # suffixes apply only to colliding non-key columns (reference
+    # `tests/test_join.py:160-178`); without suffixes, last frame wins.
+    from collections import Counter
+
+    collision_counts = Counter(
+        c for d in dfs for c in d.columns if c not in d._index
+    )
+    colliding = {c for c, n in collision_counts.items() if n > 1}
+    prepared: list[DataFrame] = []
+    all_value_cols: list[list[str]] = []
+    for fi, d in enumerate(dfs):
+        df = d._df
+        # positional key rename
+        for kn, local in zip(key_names, d._index):
+            df = df.withColumn(kn, F.col(local))
+        value_cols = [c for c in d.columns if c not in d._index]
+        suffix = None
+        if suffixes is not None:
+            suffix = suffixes[fi]
+        if suffix:
+            renames = {c: c + suffix for c in value_cols if c in colliding}
+            df = df.withColumnsRenamed(renames)
+            value_cols = [renames.get(c, c) for c in value_cols]
+        df = df.select(*key_names, *value_cols, *( [ROW_ID] if fi == 0 else [] ))
+        if fi > 0 and check_unique:
+            total = df.count()
+            distinct = df.select(*key_names).distinct().count()
+            if distinct != total:
+                raise NotImplementedError(
+                    f"duplicate index values in joined frame #{fi} — the reference "
+                    "forbids many-to-many joins (medvedi/dataframe.py:1196-1209)"
+                )
+        prepared.append(df)
+        all_value_cols.append(value_cols)
+
+    # last-wins column collisions: drop earlier copies (`dataframe.py:1245-1275`)
+    seen: dict[str, int] = {}
+    for fi, cols in enumerate(all_value_cols):
+        for c in cols:
+            seen[c] = fi
+    for fi in range(len(prepared)):
+        keep = [c for c in all_value_cols[fi] if seen[c] == fi]
+        dropped = [c for c in all_value_cols[fi] if seen[c] != fi]
+        if dropped:
+            prepared[fi] = prepared[fi].drop(*dropped)
+            all_value_cols[fi] = keep
+
+    spark_how = {"left": "left", "inner": "inner", "outer": "full_outer"}[how]
+    out = prepared[0]
+    for fi in range(1, len(prepared)):
+        right = prepared[fi]
+        rk = [f"__rk{i}__" for i in range(nlevels)]
+        right = right.withColumnsRenamed(dict(zip(key_names, rk)))
+        cond = None
+        for a, b in zip(key_names, rk):
+            c = out[a].eqNullSafe(right[b])
+            cond = c if cond is None else cond & c
+        out = out.join(right, on=cond, how=spark_how)
+        # outer: surviving key = coalesce(left, right)
+        for a, b in zip(key_names, rk):
+            out = out.withColumn(a, F.coalesce(F.col(a), F.col(b))).drop(b)
+
+    value_out = [c for cols in all_value_cols for c in cols]
+    if fill_defaults:
+        out = _fill_defaults(out, value_out)
+    # sorted-by-key output; fresh contiguous row ids in that order
+    out = out.orderBy(*[F.col(k).asc_nulls_first() for k in key_names], F.col(ROW_ID).asc_nulls_first())
+    w = Window.orderBy(F.monotonically_increasing_id())
+    out = out.drop(ROW_ID).withColumn(ROW_ID, F.row_number().over(w) - 1)
+    # index names: first frame's names
+    renames = dict(zip(key_names, dfs[0]._index))
+    out = out.withColumnsRenamed(renames)
+    out = out.select(*dfs[0]._index, *value_out, ROW_ID)
+    return MDF._from_spark(out, dfs[0]._index)
+
+
+def concat(*dfs: MDF, ignore_index: bool = False, strict: bool = True, copy: bool = False) -> MDF:  # noqa: ARG001
+    """U1 vertical concat (`medvedi/pure_static.py:13-30`, impl
+    `dataframe.py:1068-1124`): strict requires identical column sets;
+    non-strict unions by name and fills absent cells with type defaults."""
+    if not dfs:
+        raise ValueError("concat of nothing")
+    first = dfs[0]
+    if not ignore_index:
+        for d in dfs[1:]:
+            if d._index != first._index:
+                raise ValueError("indexes must match unless ignore_index=True")
+    if strict:
+        cols = set(first.columns)
+        for d in dfs[1:]:
+            if set(d.columns) != cols:
+                raise ValueError("strict concat requires identical column sets")
+    out: DataFrame | None = None
+    offset = F.lit(0)
+    all_cols: list[str] = []
+    for d in dfs:
+        for c in d.columns:
+            if c not in all_cols:
+                all_cols.append(c)
+    running = 0
+    parts = []
+    for d in dfs:
+        df = d._df
+        n = df.count()
+        df = df.withColumn(ROW_ID, F.col(ROW_ID) + F.lit(running))
+        running += n
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=not strict)
+    if not strict:
+        out = _fill_defaults(out, all_cols)
+    index = () if ignore_index else first._index
+    return MDF._from_spark(out.select(*all_cols, ROW_ID), index)

@@ -1,0 +1,200 @@
+"""MDF core semantics: construction, projection, mutation, null handling.
+
+Cases model the reference suite's behavior (SURVEY §5: test_init,
+test_columns, test_isnull, test_fillna, test_astype, test_take,
+test_iloc, test_sample, test_unique, test_iter) without copying it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from medvedi_spark.frame import MDF
+
+
+@pytest.fixture
+def basic(spark):
+    return MDF(
+        {
+            "a": np.array([3, 1, 2, 1], dtype=np.int64),
+            "b": np.array([1.5, np.nan, 0.5, 2.5]),
+            "s": np.array(["x", "", "y", "x"]),
+        },
+        spark=spark,
+    )
+
+
+def test_init_columns_and_len(basic):
+    assert basic.columns == ("a", "b", "s")
+    assert len(basic) == 4
+
+
+def test_init_rejects_unequal_lengths(spark):
+    with pytest.raises(ValueError):
+        MDF({"a": [1, 2], "b": [1]}, spark=spark)
+
+
+def test_init_from_iterable_with_columns(spark):
+    m = MDF([[1, 2], ["u", "v"]], columns=["x", "y"], spark=spark)
+    assert m.columns == ("x", "y")
+    assert list(m["x"]) == [1, 2]
+
+
+def test_getitem_returns_ndarray_in_row_order(basic):
+    np.testing.assert_array_equal(basic["a"], [3, 1, 2, 1])
+
+
+def test_getitem_collection_projects(basic):
+    sub = basic[["a", "s"]]
+    assert sub.columns == ("a", "s")
+
+
+def test_projection_keeps_index_columns(spark):
+    m = MDF({"k": [1, 2], "v": [10, 20], "w": [5, 6]}, index="k", spark=spark)
+    sub = m[["v"]]
+    assert set(sub.columns) == {"k", "v"}
+
+
+def test_setitem_scalar_broadcast(basic):
+    basic["c"] = 7
+    np.testing.assert_array_equal(basic["c"], [7, 7, 7, 7])
+
+
+def test_setitem_array(basic):
+    basic["c"] = np.array([10, 20, 30, 40])
+    np.testing.assert_array_equal(basic["c"], [10, 20, 30, 40])
+
+
+def test_setitem_length_mismatch(basic):
+    with pytest.raises(ValueError):
+        basic["c"] = np.array([1, 2])
+
+
+def test_delitem(basic):
+    del basic["b"]
+    assert basic.columns == ("a", "s")
+    with pytest.raises(KeyError):
+        del basic["nope"]
+
+
+def test_delitem_refuses_index(spark):
+    m = MDF({"k": [1], "v": [2]}, index="k", spark=spark)
+    with pytest.raises(ValueError):
+        del m["k"]
+
+
+def test_take_mask(basic):
+    out = basic.take(np.array([True, False, True, False]))
+    np.testing.assert_array_equal(out["a"], [3, 2])
+
+
+def test_take_indexes_reorders(basic):
+    out = basic.take(np.array([2, 0]))
+    np.testing.assert_array_equal(out["a"], [2, 3])
+
+
+def test_iloc_scalar_row(basic):
+    row = basic.iloc[1]
+    assert row["a"] == 1 and row["s"] == ""
+
+
+def test_iloc_negative(basic):
+    assert basic.iloc[-1]["a"] == 1
+
+
+def test_iloc_slice(basic):
+    out = basic.iloc[1:3]
+    np.testing.assert_array_equal(out["a"], [1, 2])
+
+
+def test_iterrows(basic):
+    rows = list(basic.iterrows("a", "s"))
+    assert rows == [(3, "x"), (1, ""), (2, "y"), (1, "x")]
+
+
+def test_astype(basic):
+    out = basic.astype({"a": "float64"})
+    assert out["a"].dtype.kind == "f"
+
+
+def test_rename(basic):
+    out = basic.rename({"a": "alpha"})
+    assert "alpha" in out.columns and "a" not in out.columns
+
+
+def test_rename_errors_raise(basic):
+    with pytest.raises(KeyError):
+        basic.rename({"nope": "x"}, errors="raise")
+
+
+def test_fillna_float_nan(basic):
+    out = basic.fillna(0.0, column="b")
+    np.testing.assert_array_equal(out["b"], [1.5, 0.0, 0.5, 2.5])
+
+
+def test_isnull_float(basic):
+    np.testing.assert_array_equal(basic.isnull("b"), [False, True, False, False])
+    np.testing.assert_array_equal(basic.notnull("b"), [True, False, True, True])
+
+
+def test_isnull_int_never_null(basic):
+    np.testing.assert_array_equal(basic.isnull("a"), [False] * 4)
+
+
+def test_unique_sorted(basic):
+    np.testing.assert_array_equal(basic.unique("a"), [1, 2, 3])
+
+
+def test_unique_unordered(basic):
+    assert set(basic.unique("a", unordered=True)) == {1, 2, 3}
+
+
+def test_nonemin_nonemax_skip_nan(basic):
+    assert basic.nonemin("b") == 0.5
+    assert basic.nonemax("b") == 2.5
+
+
+def test_nonemin_empty_is_none(spark):
+    m = MDF({"x": np.array([np.nan, np.nan])}, spark=spark)
+    assert m.nonemin("x") is None
+
+
+def test_isin(basic):
+    np.testing.assert_array_equal(basic.isin("a", [1, 3]), [True, True, False, True])
+    np.testing.assert_array_equal(basic.isin("a", [1, 3], invert=True), [False, False, True, False])
+
+
+def test_sample_n(basic):
+    assert len(basic.sample(n=2)) == 2
+
+
+def test_copy_independent(basic):
+    c = basic.copy()
+    c["z"] = 1
+    assert "z" not in basic.columns
+
+
+def test_to_pandas_row_order(basic):
+    pdf = basic.to_pandas()
+    assert list(pdf["a"]) == [3, 1, 2, 1]
+
+
+def test_arrow_roundtrip(spark, basic):
+    table = basic.to_arrow()
+    back = MDF.from_arrow(table, spark=spark)
+    np.testing.assert_array_equal(back["a"], basic["a"])
+
+
+def test_parquet_roundtrip(spark, basic, tmp_path):
+    path = str(tmp_path / "t.parquet")
+    basic.to_parquet(path)
+    back = MDF.read_parquet(path, spark=spark)
+    assert sorted(back["a"]) == sorted(basic["a"])
+
+
+def test_timestamps_and_nat(spark):
+    ts = np.array(["2024-01-02", "NaT", "2023-12-31"], dtype="datetime64[us]")
+    m = MDF({"t": ts}, spark=spark)
+    np.testing.assert_array_equal(m.isnull("t"), [False, True, False])
+    assert m.nonemin("t") == ts[2].item()

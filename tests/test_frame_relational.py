@@ -1,0 +1,318 @@
+"""MDF relational semantics: join/concat/groupby/sort/dedup/explode.
+
+Models the reference's richest spec files (test_join.py's 28 cases,
+test_concat, test_groupby, test_duplicates, test_sort_values,
+test_explode — SURVEY §5) without copying them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from medvedi_spark.frame import MDF, concat, join
+
+
+@pytest.fixture
+def left(spark):
+    return MDF({"k": [2, 0, 1, 0], "v": [20, 0, 10, 1]}, index="k", spark=spark)
+
+
+@pytest.fixture
+def right(spark):
+    return MDF({"k": [1, 2, 7], "w": [100, 200, 700]}, index="k", spark=spark)
+
+
+# -- joins (J1 semantics) ----------------------------------------------------
+
+
+def test_left_join_sorted_by_key_and_fills_zero(left, right):
+    out = left.join(right, how="left")
+    # output sorted by merged key (reference: np.unique ordering)
+    np.testing.assert_array_equal(out["k"], [0, 0, 1, 2])
+    # missing matches fill with int default 0, not NULL (δ-1)
+    np.testing.assert_array_equal(out["w"], [0, 0, 100, 200])
+    np.testing.assert_array_equal(out["v"], [0, 1, 10, 20])
+
+
+def test_inner_join(left, right):
+    out = left.join(right, how="inner")
+    np.testing.assert_array_equal(out["k"], [1, 2])
+    np.testing.assert_array_equal(out["w"], [100, 200])
+
+
+def test_outer_join(left, right):
+    out = left.join(right, how="outer")
+    np.testing.assert_array_equal(out["k"], [0, 0, 1, 2, 7])
+    np.testing.assert_array_equal(out["v"], [0, 1, 10, 20, 0])
+    np.testing.assert_array_equal(out["w"], [0, 0, 100, 200, 700])
+
+
+def test_right_join_is_reversed_left(spark, right):
+    # right = reversed left, so the (now non-first) left frame must have
+    # unique keys — the reference's m:n guard applies after reversal.
+    uleft = MDF({"k": [2, 0, 1], "v": [20, 0, 10]}, index="k", spark=spark)
+    out = uleft.join(right, how="right")
+    np.testing.assert_array_equal(out["k"], [1, 2, 7])
+    np.testing.assert_array_equal(out["w"], [100, 200, 700])
+    np.testing.assert_array_equal(out["v"], [10, 20, 0])
+
+
+def test_right_join_with_dup_left_raises(left, right):
+    with pytest.raises(NotImplementedError):
+        left.join(right, how="right")
+
+
+def test_join_keys_match_by_position_not_name(spark):
+    a = MDF({"a": [1, 2], "x": [10, 20]}, index="a", spark=spark)
+    b = MDF({"A": [2, 1], "y": [200, 100]}, index="A", spark=spark)
+    out = a.join(b, how="inner")
+    np.testing.assert_array_equal(out["a"], [1, 2])
+    np.testing.assert_array_equal(out["y"], [100, 200])
+
+
+def test_join_duplicate_keys_in_left_replicate_right(spark, right):
+    dup_left = MDF({"k": [1, 1, 2], "v": [10, 11, 20]}, index="k", spark=spark)
+    out = dup_left.join(right, how="left")
+    np.testing.assert_array_equal(out["k"], [1, 1, 2])
+    np.testing.assert_array_equal(out["w"], [100, 100, 200])
+
+
+def test_join_duplicate_keys_in_right_raise(spark, left):
+    dup_right = MDF({"k": [1, 1], "w": [5, 6]}, index="k", spark=spark)
+    with pytest.raises(NotImplementedError):
+        left.join(dup_right)
+
+
+def test_join_collision_last_wins(spark):
+    a = MDF({"k": [1, 2], "v": [10, 20]}, index="k", spark=spark)
+    b = MDF({"k": [1, 2], "v": [77, 88]}, index="k", spark=spark)
+    out = a.join(b, how="inner")
+    np.testing.assert_array_equal(out["v"], [77, 88])
+
+
+def test_join_collision_suffixes(spark):
+    a = MDF({"k": [1, 2], "v": [10, 20]}, index="k", spark=spark)
+    b = MDF({"k": [1, 2], "v": [77, 88]}, index="k", spark=spark)
+    out = a.join(b, how="inner", suffixes=("_1", "_2"))
+    np.testing.assert_array_equal(out["v_1"], [10, 20])
+    np.testing.assert_array_equal(out["v_2"], [77, 88])
+
+
+def test_join_multilevel_index(spark):
+    a = MDF({"k1": [1, 1, 2], "k2": ["x", "y", "x"], "v": [1, 2, 3]}, index=("k1", "k2"), spark=spark)
+    b = MDF({"k1": [1, 2], "k2": ["y", "x"], "w": [20, 30]}, index=("k1", "k2"), spark=spark)
+    out = a.join(b, how="inner")
+    np.testing.assert_array_equal(out["v"], [2, 3])
+    np.testing.assert_array_equal(out["w"], [20, 30])
+
+
+def test_nary_join_three_frames(spark):
+    a = MDF({"k": [1, 2, 3], "x": [1, 2, 3]}, index="k", spark=spark)
+    b = MDF({"k": [1, 2], "y": [10, 20]}, index="k", spark=spark)
+    c = MDF({"k": [2, 3], "z": [200, 300]}, index="k", spark=spark)
+    out = join(a, b, c, how="left")
+    np.testing.assert_array_equal(out["k"], [1, 2, 3])
+    np.testing.assert_array_equal(out["y"], [10, 20, 0])
+    np.testing.assert_array_equal(out["z"], [0, 200, 300])
+
+
+def test_join_no_fill_mode_keeps_nulls(left, right):
+    out = left.join(right, how="left", fill_defaults=False)
+    w = out["w"]
+    assert sum(1 for v in w if v is None or (isinstance(v, float) and np.isnan(v))) == 2
+
+
+def test_join_string_fill_empty(spark):
+    a = MDF({"k": [1, 2], "v": [1, 2]}, index="k", spark=spark)
+    b = MDF({"k": [1], "s": ["hi"]}, index="k", spark=spark)
+    out = a.join(b, how="left")
+    np.testing.assert_array_equal(out["s"], ["hi", ""])
+
+
+# -- concat (U1) ---------------------------------------------------------------
+
+
+def test_concat_strict_appends_in_order(spark):
+    a = MDF({"x": [1, 2]}, spark=spark)
+    b = MDF({"x": [3, 4]}, spark=spark)
+    out = concat(a, b)
+    np.testing.assert_array_equal(out["x"], [1, 2, 3, 4])
+
+
+def test_concat_strict_rejects_column_mismatch(spark):
+    a = MDF({"x": [1]}, spark=spark)
+    b = MDF({"y": [2]}, spark=spark)
+    with pytest.raises(ValueError):
+        concat(a, b)
+
+
+def test_concat_nonstrict_fills_defaults(spark):
+    a = MDF({"x": [1, 2], "s": ["p", "q"]}, spark=spark)
+    b = MDF({"x": [3]}, spark=spark)
+    out = concat(a, b, strict=False)
+    np.testing.assert_array_equal(out["x"], [1, 2, 3])
+    np.testing.assert_array_equal(out["s"], ["p", "q", ""])
+
+
+# -- groupby (G1-G4) --------------------------------------------------------------
+
+
+def test_groupby_agg_sorted_by_key(spark):
+    m = MDF({"a": [2, 1, 2, 1, 3], "b": [1, 2, 3, 4, 5]}, spark=spark)
+    out = m.groupby("a").agg({"b": "sum"})
+    np.testing.assert_array_equal(out["a"], [1, 2, 3])
+    np.testing.assert_array_equal(out["b_sum"], [6, 4, 5])
+
+
+def test_groupby_named_aggs(spark):
+    m = MDF({"a": [1, 1, 2], "b": [5, 7, 9]}, spark=spark)
+    out = m.groupby("a").agg(total=("b", "sum"), lo=("b", "min"), n=("b", "count"))
+    np.testing.assert_array_equal(out["total"], [12, 9])
+    np.testing.assert_array_equal(out["lo"], [5, 9])
+    np.testing.assert_array_equal(out["n"], [2, 1])
+
+
+def test_groupby_iter_groups(spark):
+    m = MDF({"a": [1, 2, 1], "b": [10, 20, 30]}, spark=spark)
+    got = {k: sorted(sub["b"]) for k, sub in m.groupby("a")}
+    assert got == {1: [10, 30], 2: [20]}
+
+
+def test_groupby_apply_grouped_map(spark):
+    m = MDF({"a": [1, 1, 2], "b": [1.0, 3.0, 5.0]}, spark=spark)
+
+    def center(pdf):
+        pdf = pdf.copy()
+        pdf["b"] = pdf["b"] - pdf["b"].mean()
+        return pdf[["a", "b"]]
+
+    out = m.groupby("a").apply(center, schema="a bigint, b double")
+    assert sorted(out["b"]) == [-1.0, 0.0, 1.0]
+
+
+def test_groupby_unknown_key_raises(spark):
+    m = MDF({"a": [1]}, spark=spark)
+    with pytest.raises(KeyError):
+        m.groupby("zz")
+
+
+# -- sorts (O1/O2) -------------------------------------------------------------------
+
+
+def test_sort_values_stable(spark):
+    m = MDF({"k": [1, 1, 0, 1], "tag": ["a", "b", "c", "d"]}, spark=spark)
+    out = m.sort_values("k")
+    np.testing.assert_array_equal(out["tag"], ["c", "a", "b", "d"])
+
+
+def test_sort_values_descending_reverses_ties(spark):
+    m = MDF({"k": [1, 1, 0], "tag": ["a", "b", "c"]}, spark=spark)
+    out = m.sort_values("k", ascending=False)
+    np.testing.assert_array_equal(out["tag"], ["b", "a", "c"])
+
+
+def test_sort_values_nan_position(spark):
+    m = MDF({"x": [2.0, np.nan, 1.0]}, spark=spark)
+    last = m.sort_values("x", na_position="last")["x"]
+    assert np.isnan(last[-1]) and list(last[:2]) == [1.0, 2.0]
+    first = m.sort_values("x", na_position="first")["x"]
+    assert np.isnan(first[0]) and list(first[1:]) == [1.0, 2.0]
+
+
+def test_sort_multi_column(spark):
+    m = MDF({"a": [1, 1, 0], "b": [2, 1, 9]}, spark=spark)
+    out = m.sort_values(["a", "b"])
+    np.testing.assert_array_equal(out["b"], [9, 1, 2])
+
+
+def test_sort_index(spark):
+    m = MDF({"k": [3, 1, 2], "v": [30, 10, 20]}, index="k", spark=spark)
+    out = m.sort_index()
+    np.testing.assert_array_equal(out["v"], [10, 20, 30])
+
+
+# -- dedup (G6/G7) -----------------------------------------------------------------------
+
+
+def test_drop_duplicates_keep_first(spark):
+    m = MDF({"a": [1, 2, 1, 2], "tag": ["p", "q", "r", "s"]}, spark=spark)
+    out = m.drop_duplicates(subset=["a"]).sort_values("tag")
+    np.testing.assert_array_equal(out["tag"], ["p", "q"])
+
+
+def test_drop_duplicates_keep_last(spark):
+    m = MDF({"a": [1, 2, 1, 2], "tag": ["p", "q", "r", "s"]}, spark=spark)
+    out = m.drop_duplicates(subset=["a"], keep="last").sort_values("tag")
+    np.testing.assert_array_equal(out["tag"], ["r", "s"])
+
+
+def test_drop_duplicates_keep_false(spark):
+    m = MDF({"a": [1, 2, 1], "tag": ["p", "q", "r"]}, spark=spark)
+    out = m.drop_duplicates(subset=["a"], keep=False)
+    np.testing.assert_array_equal(out["tag"], ["q"])
+
+
+def test_duplicated_mask(spark):
+    m = MDF({"a": [1, 2, 1, 1]}, spark=spark)
+    np.testing.assert_array_equal(m.duplicated(subset=["a"]), [False, False, True, True])
+    np.testing.assert_array_equal(m.duplicated(subset=["a"], keep="last"), [True, False, True, False])
+
+
+# -- explode (U3) -----------------------------------------------------------------------------
+
+
+def test_explode_replicates_siblings(spark):
+    m = MDF({"k": np.array([1, 2], dtype=np.int64), "vals": np.array([[10, 11], [20]], dtype=object)}, spark=spark)
+    out = m.explode("vals")
+    np.testing.assert_array_equal(out["k"], [1, 1, 2])
+    np.testing.assert_array_equal(out["vals"], [10, 11, 20])
+
+
+def test_explode_empty_list_drops_row(spark):
+    m = MDF({"k": np.array([1, 2], dtype=np.int64), "vals": np.array([[], [5]], dtype=object)}, spark=spark)
+    out = m.explode("vals")
+    np.testing.assert_array_equal(out["k"], [2])
+
+
+def test_explode_non_list_column_noop(spark):
+    m = MDF({"k": [1, 2], "v": [5, 6]}, spark=spark)
+    out = m.explode("v")
+    np.testing.assert_array_equal(out["v"], [5, 6])
+
+
+# -- index (X1/X2, J2) ----------------------------------------------------------------------------
+
+
+def test_set_reset_index(spark):
+    m = MDF({"k": [1, 2], "v": [5, 6]}, spark=spark)
+    m2 = m.set_index("k")
+    assert m2.index.names == ("k",)
+    m3 = m2.reset_index()
+    assert m3.index.names == ()
+
+
+def test_set_index_from_array(spark):
+    m = MDF({"v": [5, 6]}, spark=spark)
+    m2 = m.set_index(np.array([10, 20]))
+    assert m2.index.names == ("_index0",)
+    np.testing.assert_array_equal(m2["_index0"], [10, 20])
+
+
+def test_index_is_unique(spark):
+    assert MDF({"k": [1, 2], "v": [0, 0]}, index="k", spark=spark).index.is_unique
+    assert not MDF({"k": [1, 1], "v": [0, 0]}, index="k", spark=spark).index.is_unique
+
+
+def test_index_diff_positions(spark):
+    a = MDF({"k": [5, 6, 7], "v": [0, 0, 0]}, index="k", spark=spark)
+    b = MDF({"k": [6], "w": [0]}, index="k", spark=spark)
+    np.testing.assert_array_equal(a.index.diff(b.index), [0, 2])
+
+
+def test_index_monotonic(spark):
+    inc = MDF({"k": [1, 2, 2, 3], "v": [0] * 4}, index="k", spark=spark)
+    assert inc.index.is_monotonic_increasing
+    assert not inc.index.is_monotonic_decreasing
+    dec = MDF({"k": [3, 2, 1], "v": [0] * 3}, index="k", spark=spark)
+    assert dec.index.is_monotonic_decreasing
