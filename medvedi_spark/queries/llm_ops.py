@@ -92,25 +92,50 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity", "llm"),
 )
 def d2_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact prefix-filtered set-similarity join (AllPairs/PPJoin shape).
+
+    A naive token inverted-index self-join explodes quadratically on
+    frequent tokens (measured 90s at sf0.1 vs ~1s for this plan). Prefix
+    filtering is LOSSLESS for a Jaccard threshold t: order each doc's
+    tokens by ascending global document frequency; any pair with
+    J(A,B) >= t must share at least |A∩B| >= ceil(t*|A|) tokens, hence
+    must collide inside the first |A| - ceil(t*|A|) + 1 tokens of the
+    ordering. Candidates come from self-joining only that tiny prefix;
+    verification is an array_intersect on the full (small) token arrays —
+    per-pair JVM work, no second explode-join shuffle.
+    """
+    threshold = 0.95
     docs = load(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
         .filter(F.col("t") != "")
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = tok.alias("a"), tok.alias("b")
-    shared = (
-        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # global document frequency per token (vocab-sized → broadcast join)
+    df_map = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tok_df"))
+    ranked = tok.join(F.broadcast(df_map), "t")
+    w = Window.partitionBy("doc_id").orderBy("tok_df", "t")
+    w_sz = Window.partitionBy("doc_id")
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w_sz))
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("doc_id", "t")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    candidates = (
+        pa.join(pb, (F.col("pa.t") == F.col("pb.t")) & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    token_sets = tok.groupBy("doc_id").agg(F.sort_array(F.collect_list("t")).alias("toks"))
+    ta = token_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = token_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    shared = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - shared
     return (
-        shared.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.95)
+        candidates.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("jaccard", shared.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 
