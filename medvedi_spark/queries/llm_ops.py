@@ -92,17 +92,26 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity", "llm"),
 )
 def d2_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact prefix-filtered set-similarity join (AllPairs/PPJoin shape).
+    """Exact token-set Jaccard self-join with adaptive algorithm selection.
 
-    A naive token inverted-index self-join explodes quadratically on
-    frequent tokens (measured 90s at sf0.1 vs ~1s for this plan). Prefix
-    filtering is LOSSLESS for a Jaccard threshold t: order each doc's
-    tokens by ascending global document frequency; any pair with
-    J(A,B) >= t must share at least |A∩B| >= ceil(t*|A|) tokens, hence
-    must collide inside the first |A| - ceil(t*|A|) + 1 tokens of the
-    ordering. Candidates come from self-joining only that tiny prefix;
-    verification is an array_intersect on the full (small) token arrays —
-    per-pair JVM work, no second explode-join shuffle.
+    Two physical plans, picked at runtime from one scalar corpus statistic
+    (vocabulary size — a single tiny aggregate job, the same kind of
+    runtime statistic AQE replans on):
+
+    - vocab <= 64 → **bitset path**: encode every document's token set as
+      one int64 mask, group identical masks, and compare only DISTINCT
+      masks pairwise with popcount(a&b)/popcount(a|b) — pure whole-stage
+      codegen integer ops, no arrays shuffled. Token-based blocking is
+      provably useless on a tiny vocabulary (every token collides with
+      thousands of docs), so this is the only plan that stays fast there.
+    - vocab > 64 → **prefix-filter path** (AllPairs/PPJoin): order tokens
+      by ascending global document frequency; a pair with J >= t must
+      share a token inside each doc's first |A| - ceil(t*|A|) + 1 tokens,
+      so only that prefix is self-joined; full sets verify candidates via
+      array_intersect. Lossless for threshold t, and the blocking that
+      scales to 100 TB corpora with realistic (large) vocabularies.
+
+    Both paths are exact, so either matches the oracle bit-for-bit.
     """
     threshold = 0.95
     docs = load(spark, sf_dir, "documents")
@@ -110,6 +119,58 @@ def d2_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
         .filter(F.col("t") != "")
     )
+    vocab = tok.select("t").distinct()
+    if vocab.count() <= 64:
+        return _d2_bitset(tok, vocab, threshold)
+    return _d2_prefix_filter(tok, threshold)
+
+
+def _d2_bitset(tok: DataFrame, vocab: DataFrame, threshold: float) -> DataFrame:
+    """Small-universe path: token sets as int64 masks, popcount Jaccard."""
+    bits = vocab.select("t", (F.row_number().over(Window.orderBy("t")) - 1).alias("bit"))
+    masks = (
+        tok.join(F.broadcast(bits), "t")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
+    )
+    # group identical sets: dup groups expand to jaccard=1.0 pairs for free
+    groups = masks.groupBy("mask").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    intra = (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("doc_a"), F.col("ids").alias("ids_b"))
+        .select("doc_a", F.explode("ids_b").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    # distinct masks pairwise — ints only; id lists join back after the filter
+    mt = groups.select("mask")
+    ma, mb = mt.alias("ma"), mt.alias("mb")
+    shared = F.bit_count(F.col("ma.mask").bitwiseAND(F.col("mb.mask")))
+    union = F.bit_count(F.col("ma.mask").bitwiseOR(F.col("mb.mask")))
+    near = (
+        ma.join(F.broadcast(mb), F.col("ma.mask") < F.col("mb.mask"))
+        .withColumn("jaccard", shared.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("ma.mask").alias("mask_a"), F.col("mb.mask").alias("mask_b"), "jaccard")
+    )
+    ga = groups.select(F.col("mask").alias("mask_a"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("mask").alias("mask_b"), F.col("ids").alias("ids_b"))
+    cross = (
+        near.join(F.broadcast(ga), "mask_a")
+        .join(F.broadcast(gb), "mask_b")
+        .select("jaccard", F.explode("ids_a").alias("ida"), "ids_b")
+        .select("jaccard", "ida", F.explode("ids_b").alias("idb"))
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return intra.select("doc_a", "doc_b", "jaccard").unionAll(cross.select("doc_a", "doc_b", "jaccard"))
+
+
+def _d2_prefix_filter(tok: DataFrame, threshold: float) -> DataFrame:
+    """Large-vocabulary path: lossless prefix-filtered candidate join."""
     # global document frequency per token (vocab-sized → broadcast join)
     df_map = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tok_df"))
     ranked = tok.join(F.broadcast(df_map), "t")
@@ -331,6 +392,21 @@ def _dot_dec(a, b):
     return F.aggregate(prods, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC)).cast("string").cast("double")
 
 
+# Exact-decimal dot-product accumulation in DuckDB SQL (pairs of parallel
+# unnest columns xa/xb); mirrors _dot_dec bit-for-bit — see _det.py.
+_SQL_DEC_DOT = (
+    "CAST(CAST(SUM(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) AS DECIMAL(28,10)))"
+    " AS VARCHAR) AS DOUBLE)"
+)
+_SQL_NORMS = """
+    norms AS (
+      SELECT vec_id,
+             SQRT(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id
+    )
+"""
+
+
 @register(
     "s1_cosine_topk",
     oracle=f"""
@@ -382,5 +458,216 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _COS_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# d5 — embedding-cosine near-dup via sign-bit hyperplane banding.
+# Signature = sign bits of the 64 dims, split into 8 bands × 8 bits
+# (axis-aligned SRP-LSH). Candidates = pairs sharing >= 1 band value —
+# the shuffle is keyed on (band, value), never all-pairs. Exact-cosine
+# verification runs only on candidates (~3% of pairs on the test table).
+# Recall depends on how separated near-dups are from the background: on a
+# real near-dup corpus (cosine >= 0.9 duplicates vs ~0 background) a band
+# match is near-certain; the driver's uniform synthetic embeddings put
+# the 0.3 threshold inside the background distribution, so the banding
+# prunes hard and recalls partially — the oracle replicates the identical
+# algorithm, so both engines agree bit-for-bit either way.
+# --------------------------------------------------------------------------
+
+_D5_THRESHOLD = 0.3
+_D5_BANDS, _D5_BITS = 8, 8
+
+
+def _d5_band_val_sql(k: int) -> str:
+    bits = " + ".join(
+        f"CASE WHEN embedding[{_D5_BITS * k + j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(_D5_BITS)
+    )
+    return f"({bits})"
+
+
+@register(
+    "d5_embedding_neardup",
+    oracle=f"""
+    WITH band_vals AS (
+      SELECT vec_id, [{", ".join(_d5_band_val_sql(k) for k in range(_D5_BANDS))}] AS bv
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, band_idx, bv[band_idx + 1] AS band_val
+      FROM band_vals, (SELECT unnest(generate_series(0, {_D5_BANDS - 1})) AS band_idx)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    ),
+    {_SQL_NORMS},
+    pairs AS (
+      SELECT c.vec_a, c.vec_b, unnest(x.embedding) AS xa, unnest(y.embedding) AS xb
+      FROM cand c
+      JOIN embeddings x ON x.vec_id = c.vec_a
+      JOIN embeddings y ON y.vec_id = c.vec_b
+    ),
+    dots AS (
+      SELECT vec_a, vec_b, {_SQL_DEC_DOT} AS dot
+      FROM pairs GROUP BY vec_a, vec_b
+    )
+    SELECT d.vec_a, d.vec_b, d.dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= {_D5_THRESHOLD}
+    """,
+    tags=("dedup", "similarity", "embedding", "lsh", "llm"),
+)
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    sign_bit = lambda i: F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_idx"),
+                sum((sign_bit(_D5_BITS * k + j) * F.lit(1 << j) for j in range(1, _D5_BITS)), sign_bit(_D5_BITS * k)).alias("band_val"),
+            )
+            for k in range(_D5_BANDS)
+        ]
+    )
+    bands = emb.select("vec_id", F.explode(band_structs).alias("b")).select(
+        "vec_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_val") == F.col("bb.band_val"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    norms = emb.select("vec_id", F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding"))).alias("nrm"))
+    x = emb.join(norms, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    y = emb.join(norms, "vec_id").select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .withColumn("cosine", _dot_dec(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("cosine") >= _D5_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# s2 — IVF-bucketed approximate nearest neighbor (the scale path for s1).
+# Coarse quantizer: 16 fixed centroid vectors (stand-ins for an offline
+# k-means codebook — at 100 TB the codebook is trained once and broadcast,
+# exactly as here). Every vector is assigned to its argmax-inner-product
+# cell in ONE broadcast-join pass; a probe searches only its top-4 cells,
+# so per-query work is nprobe/ncells of brute force while the shuffle is
+# keyed on cell id. All dot products accumulate in exact decimal so cell
+# assignment and final ranking are engine-independent (see _det.py).
+# --------------------------------------------------------------------------
+
+_S2_K = 10
+_S2_NPROBE = 4
+_S2_NCENT = 16
+
+
+@register(
+    "s2_ann_ivf",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings WHERE vec_id < {_S2_NCENT}
+    ),
+    apairs AS (
+      SELECT e.vec_id, c.cent_id, unnest(e.embedding) AS xa, unnest(c.c_emb) AS xb
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    adots AS (
+      SELECT vec_id, cent_id, {_SQL_DEC_DOT} AS dot
+      FROM apairs GROUP BY vec_id, cent_id
+    ),
+    ranked AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cent_id) AS rn
+      FROM adots
+    ),
+    assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+      WHERE vec_id < 10 AND rn <= {_S2_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    {_SQL_NORMS},
+    cpairs AS (
+      SELECT c.query_id, c.neighbor_id, unnest(q.embedding) AS xa, unnest(n.embedding) AS xb
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    ),
+    cdots AS (
+      SELECT query_id, neighbor_id, {_SQL_DEC_DOT} AS dot
+      FROM cpairs GROUP BY query_id, neighbor_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id, d.dot / (nq.nrm * nn.nrm) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot / (nq.nrm * nn.nrm) DESC, d.neighbor_id) AS rank
+      FROM cdots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nn ON nn.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM scored WHERE rank <= {_S2_K}
+    """,
+    tags=("similarity", "ann", "ivf", "llm"),
+)
+def s2_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _S2_NCENT).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    scored_cells = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("dot", _dot_dec(F.col("embedding"), F.col("c_emb")))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cent_id"))
+    ranked = scored_cells.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("cent_id").alias("cell"))
+    probes = (
+        ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= _S2_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    cand = probes.join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    norms = emb.select("vec_id", F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding"))).alias("nrm"))
+    q = emb.join(norms, "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    n = emb.join(norms, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), F.col("nrm").alias("n_nrm")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .withColumn("cosine", _dot_dec(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _S2_K)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )

@@ -38,7 +38,7 @@ class Query:
 QUERIES: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):

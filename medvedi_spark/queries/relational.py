@@ -678,3 +678,214 @@ def q20_nonemin_nonemax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# q21 — range (interval) join against a small banding dimension
+# (beyond-reference: SURVEY §2.3 "theta/range joins" row). The band dim is
+# broadcast, so the non-equi condition executes as a broadcast nested-loop
+# join — the only strategy that scales for inequality predicates; the fact
+# side streams through without a shuffle.
+# --------------------------------------------------------------------------
+
+_Q21_BANDS = [
+    ("low", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("high", 150_000.0, 300_000.0),
+    ("vip", 300_000.0, 1.0e9),
+]
+
+
+@register(
+    "q21_range_join",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _Q21_BANDS)}
+    )
+    SELECT b.band,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS total_price
+    FROM orders o
+    JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+    tags=("rangejoin", "join"),
+)
+def q21_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_Q21_BANDS, "band string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — EXISTS subquery (TPC-H Q4 shape): orders with at least one line
+# shipped after the order date. Lowered to LEFT SEMI join — the semi join
+# short-circuits per key, no row multiplication, shuffle keyed on orderkey.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q22_exists_semijoin",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("semijoin", "exists", "subquery"),
+)
+def q22_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# q23 — outer-join distribution (TPC-H Q13 shape): how many customers have
+# how many orders, zeros included. Two aggregations bracket one LEFT OUTER
+# join; the second groupBy runs on the already-tiny per-customer counts.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q23_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("outerjoin", "groupby"),
+)
+def q23_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# q24 — GROUPING SETS (beyond-reference: SURVEY §2.4; completes the
+# rollup/cube family from q14/q15 with an explicit set list).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q24_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("groupingsets", "groupby"),
+)
+def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# q25 — part sizing above brand average (TPC-H Q17 shape: correlated
+# scalar aggregate). The per-brand average is a tiny aggregate joined
+# back broadcast — no window over the fact table, no second shuffle of
+# the big side.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q25_above_brand_avg",
+    oracle=f"""
+    WITH brand_avg AS (
+      SELECT p_brand, {sql_davg('p_retailprice')} AS avg_price
+      FROM part GROUP BY p_brand
+    )
+    SELECT p.p_brand,
+           COUNT(*) AS n_above,
+           {sql_dsum('p.p_retailprice')} AS sum_above
+    FROM part p
+    JOIN brand_avg b ON p.p_brand = b.p_brand
+    WHERE p.p_retailprice > 1.02 * b.avg_price
+    GROUP BY p.p_brand
+    """,
+    tags=("subquery", "agg", "join"),
+)
+def q25_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    brand_avg = part.groupBy("p_brand").agg(davg("p_retailprice").alias("avg_price"))
+    return (
+        part.join(F.broadcast(brand_avg), "p_brand")
+        .filter(F.col("p_retailprice") > F.lit(1.02) * F.col("avg_price"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_above"), dsum("p_retailprice").alias("sum_above"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q26 — sketch aggregates: approx_count_distinct (HyperLogLog++) and
+# percentile_approx (KLL-style). Estimates are engine-specific by design,
+# so there is NO DuckDB value oracle (rows-only check); the exact
+# counterparts are covered by q15 (countDistinct) and q27 (percentile).
+# At 100 TB these sketches are the only viable plan: fixed-size state,
+# one pass, mergeable across partitions.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q26_approx_sketches",
+    tags=("approx", "sketch", "agg"),
+)
+def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

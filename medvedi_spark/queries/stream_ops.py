@@ -107,3 +107,121 @@ def st3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     deduped = events.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     return run_to_memory(deduped, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st4 — sliding window (6h duration, 3h slide): each event lands in two
+# overlapping windows. The oracle replicates Spark's window assignment
+# (start = floor(ts/slide)*slide - k*slide for k in {0,1}).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "st4_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 3 HOUR, CAST(ts AS TIMESTAMP)) - off * INTERVAL 3 HOUR AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+    FROM events, (VALUES (0), (1)) t(off)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def st4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy(F.window("ts", "6 hours", "3 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("string").cast("double").alias("value_sum"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# st5 — watermark + append mode: only FINALIZED windows (window end at or
+# before max_event_time - 1h watermark) are emitted; trailing windows stay
+# open in state. This is the production late-data pattern — append-mode
+# emission is what lets a 100 TB/day stream write immutable parquet
+# partitions downstream. Deterministic here because availableNow drains
+# the file source in one batch, then the final watermark gates emission.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "st5_watermark_append",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
+    SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    HAVING window_start + INTERVAL 6 HOUR <= (SELECT max_ts - INTERVAL 1 HOUR FROM mx)
+    """,
+    tags=("streaming", "watermark", "latedata"),
+)
+def st5_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    return run_to_memory(agg, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st6 — custom stateful operator via applyInPandasWithState (SURVEY §2.9:
+# the Spark analog of medvedi's Grouper.__iter__ grouped-map, lifted to
+# streams). Per-user running event count + last seen value kept in
+# GroupState; state is partitioned by user_id so it shards horizontally.
+# Output after the availableNow drain equals the batch aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "st6_stateful_counter",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "applyinpandas"),
+)
+def st6_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update_counts(key, pdfs, state):
+        import decimal
+
+        import pandas as pd
+
+        n, vsum = state.get if state.exists else (0, "0")
+        acc = decimal.Decimal(vsum)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact decimal accumulation — same policy as _det.dsum
+            for v in pdf["value"]:
+                acc += decimal.Decimal(repr(float(v))).quantize(decimal.Decimal("1e-10"))
+        state.update((n, str(acc)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum": [float(acc)]})
+
+    result = (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_counts,
+            outputStructType="user_id bigint, n_events bigint, value_sum double",
+            stateStructType="n bigint, vsum string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(result, output_mode="update")

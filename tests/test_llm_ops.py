@@ -1,0 +1,67 @@
+"""LLM-pipeline operator semantics beyond the generic oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medvedi_spark.catalog import load
+from medvedi_spark.queries.llm_ops import _d2_bitset, _d2_prefix_filter
+
+
+def _tok(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
+        .filter(F.col("t") != "")
+    )
+
+
+def test_d2_paths_agree(spark, sf_dir):
+    """The bitset fast path and the prefix-filter general path are the
+    same exact function — identical pair sets and jaccard values."""
+    tok = _tok(spark, sf_dir)
+    vocab = tok.select("t").distinct()
+    assert vocab.count() <= 64, "test corpus should take the bitset path"
+    fast = _d2_bitset(tok, vocab, 0.95).orderBy("doc_a", "doc_b").collect()
+    slow = _d2_prefix_filter(tok, 0.95).orderBy("doc_a", "doc_b").collect()
+    assert len(fast) == len(slow) > 0
+    for fr, sr in zip(fast, slow):
+        assert (fr.doc_a, fr.doc_b) == (sr.doc_a, sr.doc_b)
+        assert fr.jaccard == sr.jaccard  # both exact → bit-identical
+
+
+def test_d2_prefix_filter_lossless_vs_bruteforce(spark, sf_dir):
+    """Prefix filtering must not drop any qualifying pair (lossless)."""
+    tok = _tok(spark, sf_dir)
+    sets = tok.groupBy("doc_id").agg(F.collect_set("t").alias("s"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= 0.95)
+        .count()
+    )
+    assert _d2_prefix_filter(tok, 0.95).count() == brute
+
+
+def test_s2_ivf_hits_are_true_neighbors(spark, sf_dir):
+    """Every IVF result must appear in the brute-force ranking with the
+    same cosine (approximation may only *miss* neighbors, never invent)."""
+    from medvedi_spark.queries.llm_ops import s1_cosine_topk, s2_ann_ivf
+
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in s1_cosine_topk(spark, sf_dir).collect()
+    }
+    ivf = s2_ann_ivf(spark, sf_dir).collect()
+    assert len(ivf) > 0
+    overlap = sum(1 for r in ivf if (r.query_id, r.neighbor_id) in brute)
+    # IVF with nprobe=4/16 cells should recover a solid share of true top-k
+    assert overlap / len(ivf) > 0.3
+    for r in ivf:
+        exact = brute.get((r.query_id, r.neighbor_id))
+        if exact is not None:
+            assert r.cosine == exact
