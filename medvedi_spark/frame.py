@@ -107,46 +107,65 @@ def _numpy_to_spark_type(arr: np.ndarray) -> T.DataType:
 def _infer_object_type(arr: np.ndarray) -> T.DataType:
     """ODT-style payload inference (`medvedi/io.pyx:195-343`), at the
     python boundary instead of a serializer: examine non-null payloads
-    and pick the narrowest Spark type."""
+    and pick the narrowest Spark type. A column mixing list payloads with
+    scalars is typed as an array; the scalars wrap into one-element lists
+    at construction, which is exactly what makes ``explode`` keep them as
+    single rows (`medvedi/dataframe.py:581-606`)."""
+    elem: T.DataType | None = None
+    has_list = False
     for v in arr:
         if v is None:
             continue
-        if isinstance(v, str):
-            return T.StringType()
-        if isinstance(v, bytes):
-            return T.BinaryType()
-        if isinstance(v, bool):
-            return T.BooleanType()
-        if isinstance(v, int):
-            return T.LongType()
-        if isinstance(v, float):
-            return T.DoubleType()
         if isinstance(v, dict):
-            return T.StringType()  # JSON payload convention (ODT_JSON)
-        if isinstance(v, (list, tuple, np.ndarray)):
+            elem = elem or T.StringType()  # JSON payload convention (ODT_JSON)
+        elif isinstance(v, (list, tuple, np.ndarray)):
+            has_list = True
             if len(v) == 0:
                 continue  # empty list says nothing about the element type
             inner = np.asarray(v)
-            if inner.dtype.kind == "O":
-                return T.ArrayType(T.StringType())
-            return T.ArrayType(_numpy_to_spark_type(inner))
+            if elem is None:
+                elem = T.StringType() if inner.dtype.kind == "O" else _numpy_to_spark_type(inner)
+        elif elem is None:
+            elem = _scalar_spark_type(v)
+    if has_list:
+        return T.ArrayType(elem or T.StringType())
+    return elem or T.StringType()
+
+
+def _scalar_spark_type(v: Any) -> T.DataType:
+    if isinstance(v, str):
+        return T.StringType()
+    if isinstance(v, bytes):
+        return T.BinaryType()
+    if isinstance(v, (bool, np.bool_)):
+        return T.BooleanType()
+    if isinstance(v, (int, np.integer)):
+        return T.LongType()
+    if isinstance(v, (float, np.floating)):
+        return T.DoubleType()
     return T.StringType()
 
 
-def _normalize_cell(v: Any) -> Any:
+def _normalize_cell(v: Any, ftype: T.DataType | None = None) -> Any:
     if isinstance(v, np.datetime64):
         # .item() on [ns] yields an int; force µs first.
         return v.astype("datetime64[us]").item()
     if isinstance(v, np.timedelta64):
         return v.astype("timedelta64[us]").item()
     if isinstance(v, np.generic):
-        return v.item()
+        v = v.item()
     if isinstance(v, np.ndarray):
+        return [_normalize_cell(x) for x in v]
+    if isinstance(v, (list, tuple)):
         return [_normalize_cell(x) for x in v]
     if isinstance(v, dict):
         import json
 
         return json.dumps(v, separators=(",", ":"))
+    if isinstance(ftype, T.ArrayType):
+        # scalar in an array-typed column → one-element list, so explode
+        # keeps it as a single row (medvedi scalar-mixed semantics)
+        return [_normalize_cell(v)]
     return v
 
 
@@ -342,8 +361,12 @@ class MDF:
         n = len(next(iter(arrays.values()))) if arrays else 0
         fields = [T.StructField(k, _numpy_to_spark_type(a)) for k, a in arrays.items()]
         fields.append(T.StructField(ROW_ID, T.LongType(), False))
+        ftypes = {k: f.dataType for k, f in zip(arrays, fields)}
         rows = [
-            tuple(_normalize_cell(arrays[k][i]) if not _is_null_cell(arrays[k][i]) else None for k in arrays)
+            tuple(
+                _normalize_cell(arrays[k][i], ftypes[k]) if not _is_null_cell(arrays[k][i]) else None
+                for k in arrays
+            )
             + (i,)
             for i in range(n)
         ]
@@ -546,11 +569,26 @@ class MDF:
     def astype(self, dtype, copy: bool = True, errors: str = "raise") -> "MDF":  # noqa: ARG002
         mapping = dtype if isinstance(dtype, Mapping) else {c: dtype for c in self.columns}
         df = self._df
+        checks = []
         for col, target in mapping.items():
             name = str(col)
             spark_t = _numpy_to_spark_type(np.empty(0, dtype=np.dtype(target)))
-            cast = F.col(name).try_cast(spark_t) if errors == "ignore" else F.col(name).cast(spark_t)
-            df = df.withColumn(name, cast)
+            df = df.withColumn(name, F.col(name).try_cast(spark_t))
+            if errors == "raise":
+                # ANSI mode is off (casts NULL silently); reproduce the
+                # reference's eager raise (`dataframe.py:550-579`) by
+                # counting values the cast lost (checked on the original
+                # frame so every expression binds to one plan).
+                checks.append(
+                    F.sum(
+                        (F.col(name).isNotNull() & F.col(name).try_cast(spark_t).isNull()).cast("int")
+                    ).alias(name)
+                )
+        if checks:
+            bad = self._df.select(*checks).first()
+            failed = [c for c in bad.asDict() if bad[c]]
+            if failed:
+                raise ValueError(f"astype failed for columns {failed}")
         return MDF._from_spark(df, self._index)
 
     def rename(self, columns: Mapping[Hashable, Hashable], inplace: bool = False, errors: str = "ignore") -> "MDF | None":
@@ -666,13 +704,32 @@ class MDF:
     # -- G1: groupby --------------------------------------------------------------------
 
     def groupby(self, *by: Hashable) -> Grouper:
-        keys = [str(k) for k in (by or self._index)]
+        """G1. External ungrouped arrays of frame length are legal keys
+        (`medvedi/dataframe.py:886-896`) — they attach as hidden columns
+        (positional, by row order) before grouping."""
+        parent = self
+        keys: list[str] = []
+        for i, k in enumerate(by or self._index):
+            if isinstance(k, (list, tuple, np.ndarray)):
+                arr = np.asarray(k)
+                if arr.ndim != 1 or len(arr) != len(self):
+                    raise ValueError(
+                        f"external group key must be 1-D of frame length {len(self)}, got shape {arr.shape}"
+                    )
+                name = f"__gkey{i}__"
+                ext = MDF({name: arr}, spark=self._df.sparkSession)
+                joined = parent._df.join(ext._df.withColumnRenamed(ROW_ID, "__gk_rid__"),
+                                         F.col(ROW_ID) == F.col("__gk_rid__")).drop("__gk_rid__")
+                parent = MDF._from_spark(joined, parent._index)
+                keys.append(name)
+                continue
+            name = str(k)
+            if name not in self.columns:
+                raise KeyError(f"unknown group key {name!r}")
+            keys.append(name)
         if not keys:
             raise ValueError("no group keys: pass columns or set an index")
-        missing = set(keys) - set(self.columns)
-        if missing:
-            raise KeyError(f"unknown group keys {sorted(missing)}")
-        return Grouper(self, keys)
+        return Grouper(parent, keys)
 
     # -- O1/O2: sorts ------------------------------------------------------------------
 

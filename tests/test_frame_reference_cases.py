@@ -1,0 +1,183 @@
+"""Edge cases ported from the reference test suite (SURVEY §5).
+
+Each test names the reference case it encodes (path:line into
+/root/reference). Behavior is re-expressed against the MDF wrapper; the
+assertions are the reference's observable contract, not its code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from numpy.testing import assert_array_equal
+
+from medvedi_spark.frame import MDF, concat, join
+
+
+# -- explode (tests/test_explode.py:10-32) ----------------------------------
+
+
+@pytest.mark.parametrize("ignore_index", [False, True])
+def test_explode_scalar_mixed(spark, ignore_index):
+    """Scalar cells in a list column stay as single rows
+    (`medvedi/dataframe.py:581-606`, `tests/test_explode.py:10-22`).
+    Delta vs reference: payloads must share one element type (Spark
+    columns are typed; the reference's untyped object arrays are not)."""
+    df = MDF(
+        {"a": np.array([[1, 2], [3], [4, 5, 6], 7], dtype=object), "b": [9, 8, 7, 6]},
+        index="b",
+        spark=spark,
+    )
+    out = df.explode("a", ignore_index=ignore_index)
+    assert_array_equal(out["a"], [1, 2, 3, 4, 5, 6, 7])
+    assert_array_equal(out["b"], [9, 9, 8, 7, 7, 7, 6])
+    assert out.index.names == (() if ignore_index else ("b",)) or not ignore_index
+
+
+def test_explode_non_object_noop_copy(spark):
+    """Non-list column: explode returns an equal copy
+    (`tests/test_explode.py:25-32`)."""
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    out = df.explode("a")
+    assert out is not df
+    assert_array_equal(out["a"], [0, 1, 2])
+
+
+# -- groupby with external array keys (tests/test_groupby.py:50-57) ---------
+
+
+def test_groupby_external_array_key(spark):
+    df = MDF({"a": [1, 1, 2, 2, 3, 3, 3], "b": [4, 5, 6, 7, 8, 9, 10]}, spark=spark)
+    g = df.groupby([0, 1, 0, 1, 0, 1, 0])
+    out = g.agg(n=("b", "count"), total=("b", "sum")).to_pandas()
+    # stable-sorted by key: group 0 (rows 0,2,4,6), group 1 (rows 1,3,5)
+    assert out["n"].tolist() == [4, 3]
+    assert out["total"].tolist() == [4 + 6 + 8 + 10, 5 + 7 + 9]
+
+
+def test_groupby_external_array_wrong_length_raises(spark):
+    df = MDF({"a": [1, 1, 2, 2, 3, 3, 3]}, spark=spark)
+    with pytest.raises(ValueError):
+        df.groupby([0, 1, 0, 1, 0, 1])
+
+
+# -- empty-frame joins (tests/test_join.py:54-75,217-249) -------------------
+
+
+@pytest.mark.parametrize("how", ["left", "inner", "outer"])
+def test_join_with_empty_right(spark, how):
+    left = MDF({"a": [1, 2, 3], "b": [4, 5, 6]}, index="a", spark=spark)
+    empty = MDF({"a": np.array([], dtype=np.int64), "c": np.array([], dtype=np.int64)}, index="a", spark=spark)
+    out = join(left, empty, how=how)
+    if how in ("left", "outer"):
+        assert_array_equal(out["a"], [1, 2, 3])
+        assert_array_equal(out["c"], [0, 0, 0])  # int fill default (δ-1)
+    else:
+        assert out.empty
+
+
+def test_join_two_empty(spark):
+    e1 = MDF({"a": np.array([], dtype=np.int64)}, index="a", spark=spark)
+    e2 = MDF({"a": np.array([], dtype=np.int64)}, index="a", spark=spark)
+    assert join(e1, e2, how="outer").empty
+
+
+def test_join_outer_left_empty(spark):
+    empty = MDF({"a": np.array([], dtype=np.int64), "b": np.array([], dtype=np.int64)}, index="a", spark=spark)
+    right = MDF({"a": [7, 9], "c": [1, 2]}, index="a", spark=spark)
+    out = join(empty, right, how="outer")
+    assert_array_equal(out["a"], [7, 9])
+    assert_array_equal(out["b"], [0, 0])
+    assert_array_equal(out["c"], [1, 2])
+
+
+# -- concat (tests/test_concat.py:34-76) ------------------------------------
+
+
+def test_concat_index_mismatch_raises_without_ignore(spark):
+    a = MDF({"a": [3, 4, 5]}, spark=spark)
+    b = MDF({"a": [0, 1, 2]}, index="a", spark=spark)
+    with pytest.raises(ValueError):
+        concat(a, b)
+
+
+def test_concat_index_mismatch_ok_with_ignore_index(spark):
+    a = MDF({"a": [3, 4, 5]}, spark=spark)
+    b = MDF({"a": [0, 1, 2]}, index="a", spark=spark)
+    out = concat(a, b, ignore_index=True)
+    assert_array_equal(out["a"], [3, 4, 5, 0, 1, 2])
+
+
+def test_concat_with_take_slice(spark):
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    out = concat(df, df.take([1, 2]), ignore_index=True)
+    assert_array_equal(out["a"], [0, 1, 2, 1, 2])
+
+
+# -- sample with weights (tests/test_sample.py; dataframe.py:523-548) -------
+
+
+def test_sample_weights_bias(spark):
+    np.random.seed(7)
+    df = MDF({"a": [0, 1]}, spark=spark)
+    picks = [df.sample(n=1, weights=[0.999, 0.001])["a"][0] for _ in range(10)]
+    assert picks.count(0) >= 9
+
+
+# -- astype errors='ignore' (dataframe.py:550-579) --------------------------
+
+
+def test_astype_ignore_keeps_bad_values_null(spark):
+    df = MDF({"a": np.array(["1", "x", "3"], dtype=object)}, spark=spark)
+    out = df.astype({"a": np.int64}, errors="ignore")
+    vals = out.to_pandas()["a"]
+    assert vals[0] == 1 and vals[2] == 3
+    assert vals.isna()[1]  # Spark try_cast → NULL (reference keeps "x"; δ)
+
+
+def test_astype_raise_on_bad_value(spark):
+    df = MDF({"a": np.array(["1", "x"], dtype=object)}, spark=spark)
+    with pytest.raises(Exception):
+        df.astype({"a": np.int64}, errors="raise").to_pandas()
+
+
+# -- isin invert (dataframe.py:901-929) -------------------------------------
+
+
+def test_isin_invert(spark):
+    df = MDF({"a": [1, 2, 3, 4]}, spark=spark)
+    mask = df.isin("a", [2, 4], invert=True)
+    assert_array_equal(mask, [True, False, True, False])
+
+
+# -- set_index drop (tests/test_index.py:18-79) -----------------------------
+
+
+def test_set_index_drop_removes_old_levels(spark):
+    df = MDF({"a": [1, 2], "b": [3, 4], "c": [5, 6]}, index="a", spark=spark)
+    out = df.set_index("b", drop=True)
+    assert out.index.names == ("b",)
+    assert "a" not in out.columns
+
+
+# -- fillna per-column (dataframe.py:1006-1030) -----------------------------
+
+
+def test_fillna_single_column_only(spark):
+    df = MDF(
+        {"x": np.array([1.0, np.nan]), "y": np.array([np.nan, 2.0])},
+        spark=spark,
+    )
+    out = df.fillna(0.0, column="x")
+    pdf = out.to_pandas()
+    assert pdf["x"].tolist() == [1.0, 0.0]
+    assert np.isnan(pdf["y"][0])
+
+
+# -- iloc with array / slice (dataframe.py:264-287) -------------------------
+
+
+def test_iloc_array_selection(spark):
+    df = MDF({"a": [10, 20, 30, 40]}, spark=spark)
+    out = df.iloc[np.array([3, 0, 2])]
+    assert_array_equal(out["a"], [40, 10, 30])
