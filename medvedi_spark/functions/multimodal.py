@@ -36,6 +36,37 @@ def binary_metadata_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         )
 
 
+def fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for the codec stage of a media pipeline.
+
+    Real deployments swap this for PIL/ffmpeg decode; the Spark-side
+    contract stays identical: binary ``payload`` in, typed media
+    metadata out, Arrow batches both ways, no cross-row state. The fake
+    derives (height, width, n_frames) from the payload's md5 so the
+    whole downstream pipeline (resize, frame sampling) is exercised
+    end-to-end and oracle-checkable.
+    """
+    import hashlib
+
+    for pdf in batches:
+        digests = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": pdf["payload"].map(len).astype("int64"),
+                "height": digests.map(lambda d: 1 + int(d[0:3], 16) % 512).astype("int64"),
+                "width": digests.map(lambda d: 1 + int(d[3:6], 16) % 512).astype("int64"),
+                "n_frames": digests.map(lambda d: 1 + int(d[6:8], 16) % 120).astype("int64"),
+            }
+        )
+
+
+def resize_dims(height: int, width: int, target: int = 224) -> tuple[int, int]:
+    """Integer aspect-preserving resize (long side → ``target``)."""
+    long_side = max(height, width)
+    return height * target // long_side, width * target // long_side
+
+
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to HxWxC uint8. STUB: no codec libs here."""
     raise NotImplementedError(

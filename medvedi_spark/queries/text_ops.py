@@ -242,3 +242,54 @@ def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         binary_metadata_batches,
         schema="doc_id bigint, byte_len bigint, first_byte bigint, last_byte bigint, n_chunks bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# m2 — full media pipeline shape: decode (deterministic fake) → resize →
+# frame-sample, all inside ONE mapInPandas pass (Arrow batches, zero
+# cross-row state, so AQE can re-partition freely and the stage scales
+# linearly with executors). Swap fake_decode_batches for a real codec and
+# nothing else changes. The oracle replays the identical arithmetic in
+# SQL from the same md5, proving the python stage bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "m2_media_pipeline",
+    oracle="""
+    WITH decoded AS (
+      SELECT doc_id,
+             octet_length(CAST(text AS BLOB)) AS byte_len,
+             1 + CAST('0x' || substr(md5(text), 1, 3) AS BIGINT) % 512 AS height,
+             1 + CAST('0x' || substr(md5(text), 4, 3) AS BIGINT) % 512 AS width,
+             1 + CAST('0x' || substr(md5(text), 7, 2) AS BIGINT) % 120 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, byte_len, height, width, n_frames,
+           height * 224 // GREATEST(height, width) AS out_h,
+           width * 224 // GREATEST(height, width) AS out_w,
+           (n_frames + 29) // 30 AS n_sampled_frames
+    FROM decoded
+    """,
+    tags=("multimodal", "udf", "llm"),
+)
+def m2_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.functions.multimodal import fake_decode_batches
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    decoded = payloads.mapInPandas(
+        fake_decode_batches,
+        schema="doc_id bigint, byte_len bigint, height bigint, width bigint, n_frames bigint",
+    )
+    long_side = F.greatest("height", "width")
+    return decoded.select(
+        "doc_id",
+        "byte_len",
+        "height",
+        "width",
+        "n_frames",
+        (F.col("height") * 224 / long_side).cast("bigint").alias("out_h"),
+        (F.col("width") * 224 / long_side).cast("bigint").alias("out_w"),
+        ((F.col("n_frames") + 29) / 30).cast("bigint").alias("n_sampled_frames"),
+    )

@@ -1,0 +1,79 @@
+"""File sources & sinks (SURVEY §2.1 S7).
+
+The reference has NO file formats — Arrow tables and a custom binary blob
+are its only I/O (`medvedi/io.pyx`; absence of any reader elsewhere).
+Spark supplies csv/json/parquet/orc/text for free; these wrappers expose
+them as MDF constructors/sinks so a reference user's load-compute-store
+loop maps 1:1. Schema-on-write discipline (§1.2): every reader takes an
+optional explicit schema and never silently infers twice.
+
+Scale notes: parquet is the cache/serialize replacement (columnar,
+predicate-pushdown-able, splittable). CSV/JSON readers run distributed
+and splittable (multiLine=False) — a 100 TB text corpus reads in
+parallel without driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from medvedi_spark.frame import MDF, ROW_ID
+
+
+def _spark(spark: SparkSession | None) -> SparkSession:
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("no active SparkSession; pass spark=")
+    return s
+
+
+def read_parquet(path: str, *, spark: SparkSession | None = None, index=()) -> MDF:
+    return MDF.read_parquet(path, spark=_spark(spark), index=index)
+
+
+def read_csv(
+    path: str,
+    *,
+    header: bool = True,
+    schema: str | None = None,
+    sep: str = ",",
+    spark: SparkSession | None = None,
+    index=(),
+) -> MDF:
+    reader = _spark(spark).read.option("header", header).option("sep", sep)
+    reader = reader.schema(schema) if schema else reader.option("inferSchema", True)
+    return MDF.from_spark(reader.csv(path), index=index)
+
+
+def read_json(
+    path: str,
+    *,
+    schema: str | None = None,
+    multiline: bool = False,
+    spark: SparkSession | None = None,
+    index=(),
+) -> MDF:
+    reader = _spark(spark).read.option("multiLine", multiline)
+    if schema:
+        reader = reader.schema(schema)
+    return MDF.from_spark(reader.json(path), index=index)
+
+
+def read_arrow(table, *, spark: SparkSession | None = None, index=()) -> MDF:
+    """S3 `from_arrow` (`medvedi/dataframe.py:1059-1066`)."""
+    return MDF.from_arrow(table, spark=_spark(spark), index=index)
+
+
+def write_parquet(df: MDF, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.df.drop(ROW_ID).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: MDF, path: str, *, mode: str = "overwrite", header: bool = True) -> None:
+    df.df.drop(ROW_ID).write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(df: MDF, path: str, *, mode: str = "overwrite") -> None:
+    df.df.drop(ROW_ID).write.mode(mode).json(path)

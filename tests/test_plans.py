@@ -1,0 +1,60 @@
+"""Physical-plan invariants: the scale properties the engine promises.
+
+These tests pin what .explain shows, so a regression that silently turns
+a broadcast join into a shuffle join (or sneaks a row-at-a-time Python
+UDF into the hot path) fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.explain_audit import plan_facts
+
+from medvedi_spark.queries.registry import queries
+
+STREAMING = {"st1", "st2", "st3", "st4", "st5", "st6"}
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    return queries()
+
+
+def test_no_python_row_udfs_anywhere(spark, sf_dir, qmap):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned from every
+    batch query — Python crosses the boundary only via Arrow."""
+    for name, fn in qmap.items():
+        if name.split("_")[0] in STREAMING:
+            continue  # memory-sink reads re-plan; audited separately
+        facts = plan_facts(fn(spark, sf_dir))
+        assert facts["pyudf"] == 0, f"{name} uses BatchEvalPython"
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir, qmap):
+    facts = plan_facts(qmap["q1_pricing_summary"](spark, sf_dir))
+    assert facts["push"], "l_shipdate filter must reach the parquet scan"
+    assert facts["scan_cols"] == [7], "scan must prune to the 7 used columns"
+    assert facts["exch"] == 1, "partial+final agg needs exactly one shuffle"
+
+
+def test_q3_joins_all_broadcast(spark, sf_dir, qmap):
+    facts = plan_facts(qmap["q3_revenue_by_nation"](spark, sf_dir))
+    assert facts["smj"] + facts["shj"] == 0, "dim joins must broadcast"
+    assert facts["bhj"] >= 3
+
+
+def test_q22_semi_join_broadcast(spark, sf_dir, qmap):
+    facts = plan_facts(qmap["q22_exists_semijoin"](spark, sf_dir))
+    assert facts["smj"] + facts["shj"] == 0
+    assert facts["bhj"] == 1
+
+
+def test_s1_probe_side_broadcast(spark, sf_dir, qmap):
+    facts = plan_facts(qmap["s1_cosine_topk"](spark, sf_dir))
+    assert facts["bnlj"] + facts["bhj"] >= 1, "probe side must broadcast"
+
+
+def test_d1_single_shuffle(spark, sf_dir, qmap):
+    facts = plan_facts(qmap["d1_exact_dedup"](spark, sf_dir))
+    assert facts["exch"] == 1, "exact dedup is one shuffle on the hash"

@@ -1,0 +1,60 @@
+"""File source/sink round-trips (SURVEY §2.1 S7 — new capability)."""
+
+from __future__ import annotations
+
+import numpy as np
+from numpy.testing import assert_array_equal
+
+from medvedi_spark.frame import MDF
+from medvedi_spark.sources import readers as src
+
+
+def _frame(spark):
+    return MDF(
+        {"k": [3, 1, 2], "s": np.array(["a", "b", "c"], dtype=object), "v": [1.5, 2.5, 3.5]},
+        spark=spark,
+    )
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = _frame(spark)
+    p = str(tmp_path / "t.parquet")
+    src.write_parquet(df, p)
+    back = src.read_parquet(p, spark=spark).sort_values("k")
+    assert_array_equal(back["k"], [1, 2, 3])
+    assert_array_equal(back["v"], [2.5, 3.5, 1.5])
+
+
+def test_parquet_partitioned_write(spark, tmp_path):
+    df = _frame(spark)
+    p = str(tmp_path / "part.parquet")
+    src.write_parquet(df, p, partition_by=["k"])
+    back = src.read_parquet(p, spark=spark)
+    assert sorted(back.to_pandas()["k"].astype(int).tolist()) == [1, 2, 3]
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    df = _frame(spark)
+    p = str(tmp_path / "t.csv")
+    src.write_csv(df, p)
+    back = src.read_csv(p, schema="k bigint, s string, v double", spark=spark).sort_values("k")
+    assert_array_equal(back["k"], [1, 2, 3])
+    assert_array_equal(back["s"], ["b", "c", "a"])
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = _frame(spark)
+    p = str(tmp_path / "t.json")
+    src.write_json(df, p)
+    back = src.read_json(p, spark=spark).sort_values("k")
+    assert_array_equal(back["v"], [2.5, 3.5, 1.5])
+
+
+def test_arrow_roundtrip(spark):
+    import pyarrow as pa
+
+    table = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    back = src.read_arrow(table, spark=spark)
+    assert_array_equal(back["a"], [1, 2])
+    out = back.to_arrow()
+    assert out.column("b").to_pylist() == ["x", "y"]

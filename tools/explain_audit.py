@@ -1,0 +1,80 @@
+"""Physical-plan audit: scale anti-pattern detector for every query.
+
+For each registered query, prints one line of plan facts:
+
+- ``exch=N``    shuffle exchanges (every one is a full-data network pass)
+- ``bhj/bnlj``  broadcast hash / nested-loop joins (good: small side stays
+                local) vs ``smj/shj`` shuffle joins
+- ``push=Y/N``  at least one parquet scan has PushedFilters
+- ``prune=a/b`` columns read vs columns in the widest scanned table
+- ``pyudf=N``   row-at-a-time Python UDF operators (BatchEvalPython) — the
+                slow path; Arrow variants (ArrowEvalPython,
+                FlatMapGroupsInPandas*) are reported as ``arrow=N``
+- ``wscg=N``    whole-stage-codegen spans
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
+from medvedi_spark.session import get_spark
+
+
+def plan_facts(df) -> dict:
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    formatted = qe.explainString(df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    facts = {
+        "exch": len(re.findall(r"\bExchange hashpartitioning", plan)),
+        "bhj": len(re.findall(r"\bBroadcastHashJoin", plan)),
+        "bnlj": len(re.findall(r"\bBroadcastNestedLoopJoin", plan)),
+        "smj": len(re.findall(r"\bSortMergeJoin", plan)),
+        "shj": len(re.findall(r"\bShuffledHashJoin", plan)),
+        "pyudf": len(re.findall(r"\bBatchEvalPython", plan)),
+        "arrow": len(re.findall(r"\bArrowEvalPython|\bFlatMapGroupsInPandas|\bMapInPandas", plan)),
+        "wscg": len(set(re.findall(r"\*\((\d+)\)", plan))),
+    }
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
+    facts["push"] = any(p.strip() for p in pushed)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+    facts["scan_cols"] = [len([c for c in s.split(",") if c]) for s in schemas]
+    return facts
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    _ensure_loaded()
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, q in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            df = q.builder(spark, sf_dir)
+            f = plan_facts(df)
+        except Exception as e:  # streaming memory-sink queries re-plan on read
+            print(f"{name:28s} SKIP ({type(e).__name__}: {str(e)[:60]})")
+            continue
+        joins = f"bhj={f['bhj']} bnlj={f['bnlj']} smj={f['smj']} shj={f['shj']}"
+        warn = []
+        if f["pyudf"]:
+            warn.append("PYUDF")
+        if f["smj"] + f["shj"] > 0 and f["bhj"] + f["bnlj"] == 0 and f["exch"] > 4:
+            warn.append("SHUFFLE-HEAVY")
+        print(
+            f"{name:28s} exch={f['exch']:2d} {joins} push={'Y' if f['push'] else 'N'} "
+            f"scans={f['scan_cols']} arrow={f['arrow']} wscg={f['wscg']}"
+            + ("  !! " + ",".join(warn) if warn else "")
+        )
+
+
+if __name__ == "__main__":
+    main()
