@@ -1,0 +1,335 @@
+"""Reusable LLM-data-pipeline operators (SURVEY §2.10), parameterized.
+
+Every function here is a pure DataFrame→DataFrame operator: no
+driver-side materialization (the one exception is documented), no
+row-at-a-time Python UDFs, shuffles keyed on blocking values rather than
+all-pairs — the properties that let the same plan run on 500 rows or
+100 TB. The registered bench queries (`medvedi_spark.queries.llm_ops`)
+are thin calls into this module with fixed parameters; users compose
+these directly with their own columns/thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from medvedi_spark.functions.hashing import minhash_agg_cols, simhash_col, token_hash
+from medvedi_spark.queries._det import DEC
+
+
+def dot_dec(a: Column | str, b: Column | str) -> Column:
+    """Exact-decimal dot product of two double arrays (order-free sum,
+    engine-independent bits — see queries/_det.py)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
+    return F.aggregate(prods, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC)).cast("string").cast("double")
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup groups by content hash: one shuffle keyed on the hash;
+    payloads never move twice (only ids aggregate)."""
+    return (
+        df.groupBy(F.md5(text_col).alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def tokenize_distinct(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs, whitespace-split, empty tokens dropped,
+    per-document distinct."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(F.split(text_col, " "))).alias("t"))
+        .filter(F.col("t") != "")
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.95,
+    bitset_vocab_limit: int = 64,
+) -> DataFrame:
+    """Exact token-set Jaccard self-join with adaptive algorithm selection.
+
+    One scalar corpus statistic (vocabulary size — a tiny aggregate job,
+    the same kind of runtime statistic AQE replans on) picks the plan:
+
+    - vocab <= ``bitset_vocab_limit`` → bitset path: token sets become
+      int64 masks; only DISTINCT masks compare pairwise, with
+      popcount(a&b)/popcount(a|b) in whole-stage codegen. Token blocking
+      provably cannot prune on a tiny vocabulary, so this is the only
+      plan that stays fast there.
+    - otherwise → prefix-filter path (AllPairs/PPJoin): lossless
+      candidate blocking for threshold t; scales to large-vocabulary
+      corpora because the shuffle is keyed on rare prefix tokens.
+
+    Both are exact: identical output either way.
+    """
+    tok = tokenize_distinct(df, id_col, text_col)
+    vocab = tok.select("t").distinct()
+    if vocab.count() <= bitset_vocab_limit:
+        return _jaccard_bitset(tok, vocab, threshold)
+    return _jaccard_prefix_filter(tok, threshold)
+
+
+def _jaccard_bitset(tok: DataFrame, vocab: DataFrame, threshold: float) -> DataFrame:
+    bits = vocab.select("t", (F.row_number().over(Window.orderBy("t")) - 1).alias("bit"))
+    masks = (
+        tok.join(F.broadcast(bits), "t")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
+    )
+    # group identical sets: dup groups expand to jaccard=1.0 pairs for free
+    groups = masks.groupBy("mask").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    intra = (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("doc_a"), F.col("ids").alias("ids_b"))
+        .select("doc_a", F.explode("ids_b").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    mt = groups.select("mask")
+    ma, mb = mt.alias("ma"), mt.alias("mb")
+    shared = F.bit_count(F.col("ma.mask").bitwiseAND(F.col("mb.mask")))
+    union = F.bit_count(F.col("ma.mask").bitwiseOR(F.col("mb.mask")))
+    near = (
+        ma.join(F.broadcast(mb), F.col("ma.mask") < F.col("mb.mask"))
+        .withColumn("jaccard", shared.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("ma.mask").alias("mask_a"), F.col("mb.mask").alias("mask_b"), "jaccard")
+    )
+    ga = groups.select(F.col("mask").alias("mask_a"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("mask").alias("mask_b"), F.col("ids").alias("ids_b"))
+    cross = (
+        near.join(F.broadcast(ga), "mask_a")
+        .join(F.broadcast(gb), "mask_b")
+        .select("jaccard", F.explode("ids_a").alias("ida"), "ids_b")
+        .select("jaccard", "ida", F.explode("ids_b").alias("idb"))
+        .select(F.least("ida", "idb").alias("doc_a"), F.greatest("ida", "idb").alias("doc_b"), "jaccard")
+    )
+    return intra.select("doc_a", "doc_b", "jaccard").unionAll(cross.select("doc_a", "doc_b", "jaccard"))
+
+
+def _jaccard_prefix_filter(tok: DataFrame, threshold: float) -> DataFrame:
+    # global document frequency per token (vocab-sized → broadcast join)
+    df_map = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tok_df"))
+    ranked = tok.join(F.broadcast(df_map), "t")
+    w = Window.partitionBy("doc_id").orderBy("tok_df", "t")
+    w_sz = Window.partitionBy("doc_id")
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w_sz))
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("doc_id", "t")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    candidates = (
+        pa.join(pb, (F.col("pa.t") == F.col("pb.t")) & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    token_sets = tok.groupBy("doc_id").agg(F.sort_array(F.collect_list("t")).alias("toks"))
+    ta = token_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = token_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    shared = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - shared
+    return (
+        candidates.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("jaccard", shared.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
+    """SimHash near-dup: 32-bit signature per doc in one aggregate pass;
+    byte-block LSH is EXACT for hamming <= n_blocks - 1 by pigeonhole."""
+    tok = tokenize_distinct(df, id_col, text_col)
+    hashed = tok.select("doc_id", token_hash(F.col("t")).alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(simhash_col("h").alias("simhash"))
+    bits_per = 32 // n_blocks
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("simhash", bits_per * i).bitwiseAND(F.lit((1 << bits_per) - 1)).alias("val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    la, lb = blocks.alias("la"), blocks.alias("lb")
+    cand = (
+        la.join(
+            lb,
+            (F.col("la.blk") == F.col("lb.blk"))
+            & (F.col("la.val") == F.col("lb.val"))
+            & (F.col("la.doc_id") < F.col("lb.doc_id")),
+        )
+        .select(
+            F.col("la.doc_id").alias("doc_a"),
+            F.col("lb.doc_id").alias("doc_b"),
+            F.col("la.simhash").alias("sim_a"),
+            F.col("lb.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+# -- embedding similarity ---------------------------------------------------
+
+
+def vector_norms(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(F.col(id_col).alias("vec_id"), F.sqrt(dot_dec(vec_col, vec_col)).alias("nrm"))
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+) -> DataFrame:
+    """Sign-bit hyperplane banding (axis-aligned SRP-LSH) + exact-cosine
+    verification on candidates only. The shuffle is keyed on (band,
+    value), never all-pairs."""
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    sign_bit = lambda i: F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_idx"),
+                sum(
+                    (sign_bit(bits_per_band * k + j) * F.lit(1 << j) for j in range(1, bits_per_band)),
+                    sign_bit(bits_per_band * k),
+                ).alias("band_val"),
+            )
+            for k in range(n_bands)
+        ]
+    )
+    bands = e.select("vec_id", F.explode(band_structs).alias("b")).select(
+        "vec_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_val") == F.col("bb.band_val"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    norms = vector_norms(e, "vec_id", "embedding")
+    x = e.join(norms, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    y = e.join(norms, "vec_id").select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .withColumn("cosine", dot_dec(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def cosine_topk(emb: DataFrame, id_col: str, vec_col: str, probe: Column, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): the probe side
+    broadcasts; base vectors stream through one codegen stage."""
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    norms = vector_norms(e, "vec_id", "embedding")
+    probe_df = (
+        e.filter(probe)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .join(norms.withColumnRenamed("vec_id", "query_id").withColumnRenamed("nrm", "q_nrm"), "query_id")
+    )
+    base = e.join(norms, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), F.col("nrm").alias("n_nrm")
+    )
+    scored = (
+        F.broadcast(probe_df)
+        .crossJoin(base)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot_dec(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_ann(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe: Column,
+    centroids: DataFrame | None = None,
+    centroid_filter: Column | None = None,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbor (the scale path).
+
+    ``centroids`` is the coarse codebook — at 100 TB it comes from an
+    offline k-means and broadcasts, exactly as here; for the bench a
+    fixed subset of vectors (``centroid_filter``) stands in. Every vector
+    is assigned to its argmax-inner-product cell in ONE broadcast-join
+    pass; a probe searches only its top-``nprobe`` cells.
+    """
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if centroids is None:
+        if centroid_filter is None:
+            raise ValueError("pass centroids= or centroid_filter=")
+        centroids = e.filter(centroid_filter).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
+    scored_cells = e.crossJoin(F.broadcast(centroids)).withColumn("dot", dot_dec(F.col("embedding"), F.col("c_emb")))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cent_id"))
+    ranked = scored_cells.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("cent_id").alias("cell"))
+    probes = (
+        ranked.filter(probe & (F.col("rn") <= nprobe))
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    cand = probes.join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    norms = vector_norms(e, "vec_id", "embedding")
+    q = e.join(norms, "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    n = e.join(norms, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), F.col("nrm").alias("n_nrm")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .withColumn("cosine", dot_dec(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

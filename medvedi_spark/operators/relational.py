@@ -1,0 +1,89 @@
+"""Reusable relational operators Spark lacks as single calls.
+
+Beyond-reference surface (SURVEY §2.3 / §2.9 "not implemented" rows),
+exposed as parameterized DataFrame→DataFrame functions. The registered
+queries (q17, q19) are fixed-parameter instances of these.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by: Sequence[str] = (),
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, the latest (``backward``) or
+    earliest (``forward``) right row at-or-before/after its timestamp,
+    optionally within ``tolerance_seconds`` and per ``by`` keys.
+
+    Plan shape: the range condition forces a non-equi join; with ``by``
+    keys Catalyst runs it as a shuffled join on the keys (pairs stay
+    co-partitioned), and ``max_by``/``min_by`` collapses candidates in
+    the same shuffle — two wide stages total, no window over the big
+    side. Small right sides broadcast automatically via AQE.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"bad direction={direction!r}")
+    lcols = [F.col(f"l.{c}") for c in left.columns]
+    cond = (
+        F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
+        if direction == "backward"
+        else F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")
+    )
+    for k in by:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    if tolerance_seconds is not None:
+        gap = F.abs(F.col(f"l.{left_ts}").cast("long") - F.col(f"r.{right_ts}").cast("long"))
+        cond = cond & (gap <= tolerance_seconds)
+    values = value_cols if value_cols is not None else [c for c in right.columns if c != right_ts and c not in by]
+    pick = F.max_by if direction == "backward" else F.min_by
+    extreme = F.max if direction == "backward" else F.min
+    aggs = [pick(F.col(f"r.{v}"), F.col(f"r.{right_ts}")).alias(v) for v in values]
+    aggs.append(extreme(F.col(f"r.{right_ts}")).alias(f"asof_{right_ts}"))
+    return (
+        left.alias("l")
+        .join(right.alias("r"), cond, "left_outer")
+        .groupBy(*lcols)
+        .agg(*aggs)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: int,
+    by: Sequence[str],
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Assign batch session ids: a new session starts after a silence of
+    more than ``gap_seconds`` within each ``by`` partition (islands via
+    lag + running sum — one shuffle on the keys, two window passes over
+    already-partitioned data). Streaming variant: F.session_window
+    (see queries/stream_ops.st2)."""
+    w = Window.partitionBy(*by).orderBy(ts_col, *order_tiebreak)
+    w_cum = Window.partitionBy(*by).orderBy(ts_col, *order_tiebreak).rowsBetween(Window.unboundedPreceding, 0)
+    is_new = F.when(
+        F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long") > gap_seconds,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn("__is_new__", is_new).withColumn(
+        "session_id", F.sum("__is_new__").over(w_cum)
+    ).drop("__is_new__")
+
+
+def top_k_per_group(df: DataFrame, by: Sequence[str], order: Sequence[Column], k: int) -> DataFrame:
+    """Rank-and-take inside each group (TakeOrderedAndProject per key)."""
+    w = Window.partitionBy(*by).orderBy(*order)
+    return df.withColumn("__rank__", F.row_number().over(w)).filter(F.col("__rank__") <= k).drop("__rank__")

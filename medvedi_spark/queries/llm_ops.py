@@ -11,7 +11,7 @@ materialization, no row-at-a-time UDFs) so the same plan scales from the
 - SimHash: 32 conditional sums in one aggregate → byte-block LSH
   (pigeonhole-exact for hamming ≤ 3) → popcount verify.
 - cosine top-k: brute-force with a broadcast probe side (the baseline;
-  the LSH/IVF scale path lives in medvedi_spark.operators.similarity).
+  the IVF scale path is s2/operators.llm.ivf_ann).
 
 DuckDB oracles are generated from the same hash constants
 (medvedi_spark/functions/hashing.py), so both engines compute the same
@@ -22,19 +22,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from medvedi_spark.catalog import load
+from medvedi_spark.operators import llm as ops
 from medvedi_spark.functions.hashing import (
-    MINHASH_PRIME,
     minhash_agg_cols,
-    simhash_col,
     sql_minhash_aggs,
     sql_simhash,
     sql_token_hash,
     token_hash,
 )
-from medvedi_spark.queries._det import DEC
 from medvedi_spark.queries.registry import register
 
 # --------------------------------------------------------------------------
@@ -55,11 +52,7 @@ from medvedi_spark.queries.registry import register
     tags=("dedup", "llm"),
 )
 def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(F.md5("text").alias("content_hash"))
-        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
-    )
+    return ops.exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -92,113 +85,9 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity", "llm"),
 )
 def d2_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard self-join with adaptive algorithm selection.
-
-    Two physical plans, picked at runtime from one scalar corpus statistic
-    (vocabulary size — a single tiny aggregate job, the same kind of
-    runtime statistic AQE replans on):
-
-    - vocab <= 64 → **bitset path**: encode every document's token set as
-      one int64 mask, group identical masks, and compare only DISTINCT
-      masks pairwise with popcount(a&b)/popcount(a|b) — pure whole-stage
-      codegen integer ops, no arrays shuffled. Token-based blocking is
-      provably useless on a tiny vocabulary (every token collides with
-      thousands of docs), so this is the only plan that stays fast there.
-    - vocab > 64 → **prefix-filter path** (AllPairs/PPJoin): order tokens
-      by ascending global document frequency; a pair with J >= t must
-      share a token inside each doc's first |A| - ceil(t*|A|) + 1 tokens,
-      so only that prefix is self-joined; full sets verify candidates via
-      array_intersect. Lossless for threshold t, and the blocking that
-      scales to 100 TB corpora with realistic (large) vocabularies.
-
-    Both paths are exact, so either matches the oracle bit-for-bit.
-    """
-    threshold = 0.95
-    docs = load(spark, sf_dir, "documents")
-    tok = (
-        docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
-        .filter(F.col("t") != "")
-    )
-    vocab = tok.select("t").distinct()
-    if vocab.count() <= 64:
-        return _d2_bitset(tok, vocab, threshold)
-    return _d2_prefix_filter(tok, threshold)
-
-
-def _d2_bitset(tok: DataFrame, vocab: DataFrame, threshold: float) -> DataFrame:
-    """Small-universe path: token sets as int64 masks, popcount Jaccard."""
-    bits = vocab.select("t", (F.row_number().over(Window.orderBy("t")) - 1).alias("bit"))
-    masks = (
-        tok.join(F.broadcast(bits), "t")
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
-    )
-    # group identical sets: dup groups expand to jaccard=1.0 pairs for free
-    groups = masks.groupBy("mask").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-    intra = (
-        groups.filter(F.size("ids") >= 2)
-        .select(F.explode("ids").alias("doc_a"), F.col("ids").alias("ids_b"))
-        .select("doc_a", F.explode("ids_b").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", F.lit(1.0))
-    )
-    # distinct masks pairwise — ints only; id lists join back after the filter
-    mt = groups.select("mask")
-    ma, mb = mt.alias("ma"), mt.alias("mb")
-    shared = F.bit_count(F.col("ma.mask").bitwiseAND(F.col("mb.mask")))
-    union = F.bit_count(F.col("ma.mask").bitwiseOR(F.col("mb.mask")))
-    near = (
-        ma.join(F.broadcast(mb), F.col("ma.mask") < F.col("mb.mask"))
-        .withColumn("jaccard", shared.cast("double") / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("ma.mask").alias("mask_a"), F.col("mb.mask").alias("mask_b"), "jaccard")
-    )
-    ga = groups.select(F.col("mask").alias("mask_a"), F.col("ids").alias("ids_a"))
-    gb = groups.select(F.col("mask").alias("mask_b"), F.col("ids").alias("ids_b"))
-    cross = (
-        near.join(F.broadcast(ga), "mask_a")
-        .join(F.broadcast(gb), "mask_b")
-        .select("jaccard", F.explode("ids_a").alias("ida"), "ids_b")
-        .select("jaccard", "ida", F.explode("ids_b").alias("idb"))
-        .select(
-            F.least("ida", "idb").alias("doc_a"),
-            F.greatest("ida", "idb").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    return intra.select("doc_a", "doc_b", "jaccard").unionAll(cross.select("doc_a", "doc_b", "jaccard"))
-
-
-def _d2_prefix_filter(tok: DataFrame, threshold: float) -> DataFrame:
-    """Large-vocabulary path: lossless prefix-filtered candidate join."""
-    # global document frequency per token (vocab-sized → broadcast join)
-    df_map = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tok_df"))
-    ranked = tok.join(F.broadcast(df_map), "t")
-    w = Window.partitionBy("doc_id").orderBy("tok_df", "t")
-    w_sz = Window.partitionBy("doc_id")
-    prefix = (
-        ranked.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(w_sz))
-        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
-        .select("doc_id", "t")
-    )
-    pa, pb = prefix.alias("pa"), prefix.alias("pb")
-    candidates = (
-        pa.join(pb, (F.col("pa.t") == F.col("pb.t")) & (F.col("pa.doc_id") < F.col("pb.doc_id")))
-        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    token_sets = tok.groupBy("doc_id").agg(F.sort_array(F.collect_list("t")).alias("toks"))
-    ta = token_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = token_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    shared = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size("toks_a") + F.size("toks_b") - shared
-    return (
-        candidates.join(ta, "doc_a").join(tb, "doc_b")
-        .withColumn("jaccard", shared.cast("double") / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    """See operators.llm.token_jaccard_pairs (adaptive bitset vs
+    prefix-filter plan selection; both exact)."""
+    return ops.token_jaccard_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.95)
 
 
 # --------------------------------------------------------------------------
@@ -342,38 +231,7 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash", "llm"),
 )
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    tok = (
-        docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
-        .filter(F.col("t") != "")
-    )
-    hashed = tok.select("doc_id", token_hash(F.col("t")).alias("h"))
-    sigs = hashed.groupBy("doc_id").agg(simhash_col("h").alias("simhash"))
-    blocks = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[F.struct(F.lit(i).alias("blk"), F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)).alias("val")) for i in range(4)])
-        ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
-    la, lb = blocks.alias("la"), blocks.alias("lb")
-    cand = (
-        la.join(
-            lb,
-            (F.col("la.blk") == F.col("lb.blk"))
-            & (F.col("la.val") == F.col("lb.val"))
-            & (F.col("la.doc_id") < F.col("lb.doc_id")),
-        )
-        .select(
-            F.col("la.doc_id").alias("doc_a"),
-            F.col("lb.doc_id").alias("doc_b"),
-            F.col("la.simhash").alias("sim_a"),
-            F.col("lb.simhash").alias("sim_b"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 3).select("doc_a", "doc_b", "hamming")
+    return ops.simhash_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, n_blocks=4)
 
 
 # --------------------------------------------------------------------------
@@ -385,15 +243,8 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COS_K = 10
 
-
-def _dot_dec(a, b):
-    """Exact-decimal dot product of two double arrays (order-free sum)."""
-    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
-    return F.aggregate(prods, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC)).cast("string").cast("double")
-
-
 # Exact-decimal dot-product accumulation in DuckDB SQL (pairs of parallel
-# unnest columns xa/xb); mirrors _dot_dec bit-for-bit — see _det.py.
+# unnest columns xa/xb); mirrors operators.llm.dot_dec bit-for-bit.
 _SQL_DEC_DOT = (
     "CAST(CAST(SUM(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) AS DECIMAL(28,10)))"
     " AS VARCHAR) AS DOUBLE)"
@@ -439,27 +290,7 @@ _SQL_NORMS = """
 )
 def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    norms = emb.select("vec_id", F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding"))).alias("nrm"))
-    probe = (
-        emb.filter(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-        .join(norms.withColumnRenamed("vec_id", "query_id").withColumnRenamed("nrm", "q_nrm"), "query_id")
-    )
-    base = emb.join(norms, "vec_id").select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), F.col("nrm").alias("n_nrm")
-    )
-    scored = (
-        F.broadcast(probe)
-        .crossJoin(base)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot_dec(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _COS_K)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return ops.cosine_topk(emb, "vec_id", "embedding", probe=F.col("vec_id") < 10, k=_COS_K)
 
 
 # --------------------------------------------------------------------------
@@ -525,44 +356,9 @@ def _d5_band_val_sql(k: int) -> str:
     tags=("dedup", "similarity", "embedding", "lsh", "llm"),
 )
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    sign_bit = lambda i: F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("band_idx"),
-                sum((sign_bit(_D5_BITS * k + j) * F.lit(1 << j) for j in range(1, _D5_BITS)), sign_bit(_D5_BITS * k)).alias("band_val"),
-            )
-            for k in range(_D5_BANDS)
-        ]
-    )
-    bands = emb.select("vec_id", F.explode(band_structs).alias("b")).select(
-        "vec_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
-    )
-    ba, bb = bands.alias("ba"), bands.alias("bb")
-    cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band_idx") == F.col("bb.band_idx"))
-            & (F.col("ba.band_val") == F.col("bb.band_val"))
-            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
-        )
-        .select(F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b"))
-        .distinct()
-    )
-    norms = emb.select("vec_id", F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding"))).alias("nrm"))
-    x = emb.join(norms, "vec_id").select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
-    )
-    y = emb.join(norms, "vec_id").select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
-    )
-    return (
-        cand.join(x, "vec_a")
-        .join(y, "vec_b")
-        .withColumn("cosine", _dot_dec(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")))
-        .filter(F.col("cosine") >= _D5_THRESHOLD)
-        .select("vec_a", "vec_b", "cosine")
+    return ops.embedding_neardup(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=_D5_THRESHOLD, n_bands=_D5_BANDS, bits_per_band=_D5_BITS,
     )
 
 
@@ -635,39 +431,9 @@ _S2_NCENT = 16
     tags=("similarity", "ann", "ivf", "llm"),
 )
 def s2_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < _S2_NCENT).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-    )
-    scored_cells = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("dot", _dot_dec(F.col("embedding"), F.col("c_emb")))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cent_id"))
-    ranked = scored_cells.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("cent_id").alias("cell"))
-    probes = (
-        ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= _S2_NPROBE))
-        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
-    )
-    cand = probes.join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    norms = emb.select("vec_id", F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding"))).alias("nrm"))
-    q = emb.join(norms, "vec_id").select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
-    )
-    n = emb.join(norms, "vec_id").select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), F.col("nrm").alias("n_nrm")
-    )
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(n, "neighbor_id")
-        .withColumn("cosine", _dot_dec(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= _S2_K)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+    return ops.ivf_ann(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        probe=F.col("vec_id") < 10,
+        centroid_filter=F.col("vec_id") < _S2_NCENT,
+        k=_S2_K, nprobe=_S2_NPROBE,
     )

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from medvedi_spark.catalog import load
-from medvedi_spark.queries.llm_ops import _d2_bitset, _d2_prefix_filter
+from medvedi_spark.operators.llm import _jaccard_bitset, _jaccard_prefix_filter
 
 
 def _tok(spark, sf_dir):
@@ -22,8 +22,8 @@ def test_d2_paths_agree(spark, sf_dir):
     tok = _tok(spark, sf_dir)
     vocab = tok.select("t").distinct()
     assert vocab.count() <= 64, "test corpus should take the bitset path"
-    fast = _d2_bitset(tok, vocab, 0.95).orderBy("doc_a", "doc_b").collect()
-    slow = _d2_prefix_filter(tok, 0.95).orderBy("doc_a", "doc_b").collect()
+    fast = _jaccard_bitset(tok, vocab, 0.95).orderBy("doc_a", "doc_b").collect()
+    slow = _jaccard_prefix_filter(tok, 0.95).orderBy("doc_a", "doc_b").collect()
     assert len(fast) == len(slow) > 0
     for fr, sr in zip(fast, slow):
         assert (fr.doc_a, fr.doc_b) == (sr.doc_a, sr.doc_b)
@@ -44,7 +44,7 @@ def test_d2_prefix_filter_lossless_vs_bruteforce(spark, sf_dir):
         .filter(F.col("jaccard") >= 0.95)
         .count()
     )
-    assert _d2_prefix_filter(tok, 0.95).count() == brute
+    assert _jaccard_prefix_filter(tok, 0.95).count() == brute
 
 
 def test_s2_ivf_hits_are_true_neighbors(spark, sf_dir):

@@ -1,0 +1,87 @@
+"""The operators/ package as a user-facing API: non-default parameters,
+custom frames — proving the registered queries are just instances."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from medvedi_spark.operators import llm, relational
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_join_backward_with_keys_and_tolerance(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts(9), 10.0), ("A", _ts(11), 11.0), ("B", _ts(10), 20.0)],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts(10)), ("A", _ts(12)), ("B", _ts(9)), ("B", _ts(23))],
+        "sym string, tts timestamp",
+    )
+    out = relational.asof_join(
+        trades, quotes, "tts", "qts", by=["sym"], value_cols=["px"], tolerance_seconds=4 * 3600
+    )
+    got = {(r.sym, r.tts.hour): r.px for r in out.collect()}
+    assert got[("A", 10)] == 10.0   # latest quote at/before 10:00
+    assert got[("A", 12)] == 11.0
+    assert got[("B", 9)] is None    # no quote yet
+    assert got[("B", 23)] is None   # 10:00 quote outside 4h tolerance
+
+
+def test_asof_join_forward(spark):
+    ref = spark.createDataFrame([(1, _ts(12), "x")], "k int, rts timestamp, v string")
+    probe = spark.createDataFrame([(1, _ts(10)), (1, _ts(13))], "k int, pts timestamp")
+    out = relational.asof_join(probe, ref, "pts", "rts", by=["k"], direction="forward")
+    got = {r.pts.hour: r.v for r in out.collect()}
+    assert got[10] == "x" and got[13] is None
+
+
+def test_sessionize_custom_gap(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(9, 0)), (1, _ts(9, 4)), (1, _ts(9, 20)), (2, _ts(9, 0))],
+        "uid int, ts timestamp",
+    )
+    out = relational.sessionize(ev, "ts", gap_seconds=600, by=["uid"])
+    sessions = {(r.uid, r.ts.minute): r.session_id for r in out.collect()}
+    assert sessions[(1, 0)] == sessions[(1, 4)]      # 4 min gap < 10 min
+    assert sessions[(1, 20)] == sessions[(1, 0)] + 1  # 16 min gap splits
+    assert sessions[(2, 0)] == 0
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame([("a", i) for i in range(5)] + [("b", 9)], "g string, v int")
+    out = relational.top_k_per_group(df, ["g"], [F.desc("v")], k=2)
+    got = sorted((r.g, r.v) for r in out.collect())
+    assert got == [("a", 3), ("a", 4), ("b", 9)]
+
+
+def test_token_jaccard_custom_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "id long, body string",
+    )
+    # J(1,2) = 3/5 = 0.6 — visible at 0.5, gone at 0.7
+    lo = llm.token_jaccard_pairs(docs, "id", "body", threshold=0.5)
+    hi = llm.token_jaccard_pairs(docs, "id", "body", threshold=0.7)
+    assert [(r.doc_a, r.doc_b, round(r.jaccard, 3)) for r in lo.collect()] == [(1, 2, 0.6)]
+    assert hi.count() == 0
+
+
+def test_exact_dedup_custom_frame(spark):
+    docs = spark.createDataFrame([(1, "same"), (2, "same"), (3, "other")], "id long, body string")
+    out = llm.exact_dedup(docs, "body", "id")
+    got = {r.keeper_id: r.n_copies for r in out.collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    docs = spark.createDataFrame([(1, "p q r s"), (2, "p q r s"), (3, "entirely different words here")],
+                                 "id long, body string")
+    out = llm.simhash_pairs(docs, "id", "body", max_hamming=0)
+    rows = out.collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(1, 2, 0)]
