@@ -153,11 +153,13 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            SUM(n_tokens) AS total_tokens,
            SUM(bpe_est) AS total_bpe_est,
+           SUM(n_subwords) AS total_subwords,
            MAX(n_tokens) AS max_tokens
     FROM (
       SELECT source,
              len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
-             (length(text) + 3) // 4 AS bpe_est
+             (length(text) + 3) // 4 AS bpe_est,
+             len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS n_subwords
       FROM documents
     )
     GROUP BY source
@@ -171,11 +173,17 @@ def t3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(toks).alias("n_tokens"),
         ((F.length("text") + F.lit(3)) / F.lit(4)).cast("bigint").alias("bpe_est"),
+        # BPE-ish regex segmentation: letter runs, digit runs, single
+        # punctuation — the GPT-2 pretokenizer shape minus lookaheads
+        # (which RE2, the oracle's engine, lacks). Same unicode classes
+        # both sides.
+        F.regexp_count("text", F.lit(r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]")).alias("n_subwords"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("bpe_est").alias("total_bpe_est"),
+        F.sum("n_subwords").alias("total_subwords"),
         F.max("n_tokens").alias("max_tokens"),
     )
 
