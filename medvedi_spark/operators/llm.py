@@ -150,13 +150,26 @@ def _jaccard_prefix_filter(tok: DataFrame, threshold: float) -> DataFrame:
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
     """SimHash near-dup: 32-bit signature per doc in one aggregate pass;
-    byte-block LSH is EXACT for hamming <= n_blocks - 1 by pigeonhole."""
+    byte-block LSH is EXACT for hamming <= n_blocks - 1 by pigeonhole.
+
+    Docs sharing a signature collapse into one group before the block
+    join (same trick as the Jaccard bitset path): the quadratic LSH join
+    runs over DISTINCT signatures only, hamming computes once per
+    signature pair, and doc pairs expand afterward — intra-group pairs
+    are hamming 0 by construction."""
     tok = tokenize_distinct(df, id_col, text_col)
     hashed = tok.select("doc_id", token_hash(F.col("t")).alias("h"))
     sigs = hashed.groupBy("doc_id").agg(simhash_col("h").alias("simhash"))
+    groups = sigs.groupBy("simhash").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    intra = (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("doc_a"), F.col("ids").alias("ids_b"))
+        .select("doc_a", F.explode("ids_b").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.lit(0))
+    )
     bits_per = 32 // n_blocks
-    blocks = sigs.select(
-        "doc_id",
+    blocks = groups.select(
         "simhash",
         F.explode(
             F.array(
@@ -169,25 +182,31 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    ).select("simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
     la, lb = blocks.alias("la"), blocks.alias("lb")
-    cand = (
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    near = (
         la.join(
             lb,
             (F.col("la.blk") == F.col("lb.blk"))
             & (F.col("la.val") == F.col("lb.val"))
-            & (F.col("la.doc_id") < F.col("lb.doc_id")),
+            & (F.col("la.simhash") < F.col("lb.simhash")),
         )
-        .select(
-            F.col("la.doc_id").alias("doc_a"),
-            F.col("lb.doc_id").alias("doc_b"),
-            F.col("la.simhash").alias("sim_a"),
-            F.col("lb.simhash").alias("sim_b"),
-        )
+        .select(F.col("la.simhash").alias("sim_a"), F.col("lb.simhash").alias("sim_b"))
         .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)  # cross pairs: hamming >= 1
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+    ga = groups.select(F.col("simhash").alias("sim_a"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("simhash").alias("sim_b"), F.col("ids").alias("ids_b"))
+    cross = (
+        near.join(ga, "sim_a")
+        .join(gb, "sim_b")
+        .select("hamming", F.explode("ids_a").alias("ida"), "ids_b")
+        .select("hamming", "ida", F.explode("ids_b").alias("idb"))
+        .select(F.least("ida", "idb").alias("doc_a"), F.greatest("ida", "idb").alias("doc_b"), "hamming")
+    )
+    return intra.select("doc_a", "doc_b", "hamming").unionAll(cross.select("doc_a", "doc_b", "hamming"))
 
 
 # -- embedding similarity ---------------------------------------------------

@@ -87,3 +87,32 @@ def top_k_per_group(df: DataFrame, by: Sequence[str], order: Sequence[Column], k
     """Rank-and-take inside each group (TakeOrderedAndProject per key)."""
     w = Window.partitionBy(*by).orderBy(*order)
     return df.withColumn("__rank__", F.row_number().over(w)).filter(F.col("__rank__") <= k).drop("__rank__")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    num_salts: int = 8,
+) -> DataFrame:
+    """Equi-join with key salting for skew: hot keys on the (big, skewed)
+    left side would otherwise pile into one shuffle partition and strand
+    the rest of the cluster. The left side salts each row into one of
+    ``num_salts`` sub-keys from a hash of all its columns; the right side
+    replicates ``num_salts``-fold so every sub-key still finds its match.
+    Semantics are identical to ``left.join(right, on, how)`` for inner
+    and left joins; cost trades a ``num_salts``x replication of the
+    small side for an even shuffle of the big side. (AQE's skew-join
+    splitting handles moderate skew automatically — salting is for the
+    pathological single-key case AQE can't split, e.g. one key holding
+    half the rows.)"""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(num_salts))
+    lsalted = left.withColumn("__salt__", salt)
+    rsalted = right.withColumn(
+        "__salt__", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    out = lsalted.join(rsalted, [*on, "__salt__"], how)
+    return out.drop("__salt__")

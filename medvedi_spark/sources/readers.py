@@ -77,3 +77,27 @@ def write_csv(df: MDF, path: str, *, mode: str = "overwrite", header: bool = Tru
 
 def write_json(df: MDF, path: str, *, mode: str = "overwrite") -> None:
     df.df.drop(ROW_ID).write.mode(mode).json(path)
+
+
+def write_bucketed(
+    df: MDF,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows hash-partition into ``n_buckets``
+    files by ``bucket_cols`` at WRITE time, so every later join or
+    aggregation on those keys reads co-located data and skips its
+    shuffle entirely (verified by tests/test_scale_utils.py). This is
+    the 100 TB answer for a fact table joined repeatedly on one key:
+    pay the shuffle once at ingest, never again."""
+    w = df.df.drop(ROW_ID).write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(table: str, *, spark: SparkSession | None = None, index=()) -> MDF:
+    return MDF.from_spark(_spark(spark).table(table), index=index)
