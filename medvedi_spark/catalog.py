@@ -31,9 +31,19 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+# Analyzed-DataFrame cache: a metastore's job. Re-calling spark.read
+# re-lists the path and re-reads parquet footers on every query; the
+# returned DataFrame is immutable, so one per (session, path) suffices.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) on disk; with nanosAsLong it arrives as a
@@ -44,6 +54,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Integer division: epoch-nanos exceeds double precision, so a
         # float divide would corrupt the low microseconds.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _DF_CACHE[key] = df
     return df
 
 

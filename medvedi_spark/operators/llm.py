@@ -28,6 +28,15 @@ def dot_dec(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(prods, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC)).cast("string").cast("double")
 
 
+def dot_double(a: Column | str, b: Column | str) -> Column:
+    """Plain double dot product — fast pre-filter only (order-dependent
+    last bits, so never emitted in results)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
 # -- dedup ------------------------------------------------------------------
 
 
@@ -211,6 +220,32 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
 
 # -- embedding similarity ---------------------------------------------------
 
+# |double_dot - exact_dot| for a 64-term sum of O(1) products is ~1e-14;
+# the refine band is 2e-9 — five orders of margin, so the fast prune is
+# lossless (see _refine_topk proof sketch).
+_REFINE_EPS = 2e-9
+
+
+def _refine_topk(scored: DataFrame, part_col: str, fast_col: str, k: int) -> DataFrame:
+    """Lossless top-k pre-selection on a fast (double) score.
+
+    Keeps every row whose fast score is within ``_REFINE_EPS`` of the
+    k-th best fast score in its partition; the exact top-k is provably
+    inside this set: any excluded row e has fast_e < kth_fast - eps, so
+    exact_e < kth_fast - eps + err; meanwhile k kept rows each have
+    exact >= kth_fast - err — with eps > 2*err, e can never displace
+    them. Callers compute the expensive exact score on the survivors
+    only (typically exactly k rows) and re-rank."""
+    w_fast = Window.partitionBy(part_col).orderBy(F.desc(fast_col))
+    w_part = Window.partitionBy(part_col)
+    with_rank = scored.withColumn("__rnf__", F.row_number().over(w_fast))
+    kth = F.max(F.when(F.col("__rnf__") == k, F.col(fast_col))).over(w_part)
+    return (
+        with_rank.withColumn("__kth__", kth)
+        .filter(F.col(fast_col) >= F.coalesce(F.col("__kth__"), F.lit(float("-inf"))) - _REFINE_EPS)
+        .drop("__rnf__", "__kth__")
+    )
+
 
 def vector_norms(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return emb.select(F.col(id_col).alias("vec_id"), F.sqrt(dot_dec(vec_col, vec_col)).alias("nrm"))
@@ -262,9 +297,15 @@ def embedding_neardup(
     y = e.join(norms, "vec_id").select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
     )
+    # two-phase verify: a plain-double cosine prunes candidates first
+    # (decimal arithmetic is ~10x the cost of double); the epsilon band
+    # makes the prune lossless — a 64-term double dot's error is ~1e-13
+    # relative, far inside 1e-9 — then the exact decimal cosine decides.
+    fast = dot_double(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         cand.join(x, "vec_a")
         .join(y, "vec_b")
+        .filter(fast >= threshold - 1e-9)
         .withColumn("cosine", dot_dec(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
@@ -288,11 +329,14 @@ def cosine_topk(emb: DataFrame, id_col: str, vec_col: str, probe: Column, k: int
         F.broadcast(probe_df)
         .crossJoin(base)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", dot_dec(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
+        .withColumn("cos_fast", dot_double(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
     )
+    # exact decimal only near the top-k boundary (lossless, see _refine_topk)
+    cand = _refine_topk(scored, "query_id", "cos_fast", k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("cosine", dot_dec(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -323,9 +367,16 @@ def ivf_ann(
         centroids = e.filter(centroid_filter).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
         )
-    scored_cells = e.crossJoin(F.broadcast(centroids)).withColumn("dot", dot_dec(F.col("embedding"), F.col("c_emb")))
+    # cell scoring in fast double, exact decimal only for the ~nprobe
+    # surviving cells per vector (lossless — see _refine_topk)
+    fast_cells = e.crossJoin(F.broadcast(centroids)).withColumn(
+        "dot_fast", dot_double(F.col("embedding"), F.col("c_emb"))
+    )
+    cand_cells = _refine_topk(fast_cells, "vec_id", "dot_fast", nprobe)
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cent_id"))
-    ranked = scored_cells.withColumn("rn", F.row_number().over(w_assign))
+    ranked = cand_cells.withColumn("dot", dot_dec(F.col("embedding"), F.col("c_emb"))).withColumn(
+        "rn", F.row_number().over(w_assign)
+    )
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("cent_id").alias("cell"))
     probes = (
         ranked.filter(probe & (F.col("rn") <= nprobe))
@@ -344,11 +395,13 @@ def ivf_ann(
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(n, "neighbor_id")
-        .withColumn("cosine", dot_dec(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
+        .withColumn("cos_fast", dot_double(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
     )
+    top = _refine_topk(scored, "query_id", "cos_fast", k)
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w_rank))
+        top.withColumn("cosine", dot_dec(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
+        .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )

@@ -132,12 +132,13 @@ _D3_SHINGLES_SQL = """
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    hset AS (SELECT DISTINCT doc_id, h FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hset GROUP BY doc_id),
     verified AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
       FROM candidates c
-      JOIN shingles x ON x.doc_id = c.doc_a
-      JOIN shingles y ON y.doc_id = c.doc_b AND y.s = x.s
+      JOIN hset x ON x.doc_id = c.doc_a
+      JOIN hset y ON y.doc_id = c.doc_b AND y.h = x.h
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT v.doc_a, v.doc_b,
@@ -187,21 +188,20 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = shingles.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sx"))
-    y = shingles.select(F.col("doc_id").alias("doc_b_y"), F.col("s").alias("sy"))
-    verified = (
-        candidates.join(x, "doc_a")
-        .join(y, (F.col("doc_b") == F.col("doc_b_y")) & (F.col("sx") == F.col("sy")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    # verify on collected per-doc HASHED shingle sets (8-byte longs, not
+    # ~15-char strings): two map joins + a per-pair array_intersect in
+    # codegen, instead of exploding the full (doc, shingle) table into
+    # the candidate join twice. Jaccard over the md5-derived hash sets is
+    # the operator's definition (standard MinHash practice); both engines
+    # compute the identical integer sets, so parity is exact.
+    shingle_sets = hashed.groupBy("doc_id").agg(F.array_distinct(F.sort_array(F.collect_list("h"))).alias("toks"))
+    ta = shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    shared = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - shared
     return (
-        verified.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        candidates.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("jaccard", shared.cast("double") / union)
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
     )

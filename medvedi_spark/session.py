@@ -45,6 +45,10 @@ def get_spark(app_name: str = "medvedi-spark", *, shuffle_partitions: int | None
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size reducers by data (64MB advisory), not by core count: tiny
+        # shuffles collapse to one task instead of `cpus` near-empty ones,
+        # and at 100 TB the same advisory yields thousands of partitions.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

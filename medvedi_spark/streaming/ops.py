@@ -33,18 +33,32 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_to_memory(result: DataFrame, *, output_mode: str) -> DataFrame:
-    """Drain a streaming DataFrame into a memory sink, return its table."""
+def run_to_memory(result: DataFrame, *, output_mode: str, state_partitions: int = 8) -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink, return its table.
+
+    Stateful operators allocate one state store per shuffle partition at
+    query START, and that count is frozen into the checkpoint. 32 stores
+    for a single-file drain is pure constant overhead, so the drain runs
+    with ``state_partitions``; the batch session conf is restored after.
+    On a real cluster this knob is sized to stream throughput, not to
+    the batch session's shuffle width — same code path.
+    """
+    spark = result.sparkSession
     name = f"ms_sink_{next(_SINK_IDS)}_{os.getpid()}"
-    query = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        query.processAllAvailable()
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        query = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     finally:
-        query.stop()
-    return result.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
