@@ -164,7 +164,14 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hashed = shingles.select("doc_id", token_hash(F.col("s")).alias("h"))
-    sigs = hashed.groupBy("doc_id").agg(*minhash_agg_cols("h"))
+    # ONE aggregation produces both the 16 minhash mins and the full hash
+    # set per doc — the groupBy exchange computes once and every branch
+    # (banding, verification) reuses it instead of re-running the
+    # shingle explode+distinct pipeline.
+    sigs = hashed.groupBy("doc_id").agg(
+        *minhash_agg_cols("h"),
+        F.array_distinct(F.sort_array(F.collect_list("h"))).alias("toks"),
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -194,13 +201,12 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate join twice. Jaccard over the md5-derived hash sets is
     # the operator's definition (standard MinHash practice); both engines
     # compute the identical integer sets, so parity is exact.
-    shingle_sets = hashed.groupBy("doc_id").agg(F.array_distinct(F.sort_array(F.collect_list("h"))).alias("toks"))
-    ta = shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    ta = sigs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     shared = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - shared
     return (
-        candidates.join(ta, "doc_a").join(tb, "doc_b")
+        candidates.join(F.broadcast(ta), "doc_a").join(F.broadcast(tb), "doc_b")
         .withColumn("jaccard", shared.cast("double") / union)
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")

@@ -889,3 +889,49 @@ def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q27 — the SQL API surface (TPC-H Q3 shape). The reference has no SQL
+# layer at all (SURVEY §3: "no parser/analyzer/optimizer"); here the
+# engine exposes full ANSI SQL via registered views — same Catalyst plan
+# as the DataFrame API, so pushdown/broadcast behavior is identical.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q27_sql_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+    """,
+    tags=("sql", "join", "topk"),
+)
+def q27_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l.l_orderkey,
+               CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS STRING) AS DOUBLE) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 20
+    """)
