@@ -321,6 +321,41 @@ class Grouper:
         for key, sub in pdf.groupby(self._keys, sort=True):
             yield key[0] if len(self._keys) == 1 else key, sub
 
+    # -- numpy reduceat protocol (G1-G3: dataframe.py:189-261) -------------
+    # Driver-side by definition (the protocol hands raw positions to numpy
+    # ufuncs); the distributed path is agg()/apply().
+
+    def _order_counts(self) -> tuple[np.ndarray, np.ndarray]:
+        pdf = self._parent._df.select(*self._keys, ROW_ID).orderBy(ROW_ID).toPandas()
+        pdf = pdf.reset_index(drop=True)
+        srt = pdf.sort_values(self._keys, kind="mergesort")
+        order = srt.index.to_numpy(dtype=np.int64)
+        counts = srt.groupby(self._keys, sort=False).size().to_numpy(dtype=np.int64)
+        return order, counts
+
+    @property
+    def order(self) -> np.ndarray:
+        """Stable permutation sorting rows into contiguous key groups
+        (`medvedi/dataframe.py:189-199`)."""
+        return self._order_counts()[0]
+
+    @property
+    def counts(self) -> np.ndarray:
+        """Group sizes in sorted-key order."""
+        return self._order_counts()[1]
+
+    def reduceat_indexes(self) -> np.ndarray:
+        """Offsets for ``np.ufunc.reduceat`` over ``col[grouper.order]``
+        (`dataframe.py:201-216`)."""
+        counts = self.counts
+        out = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=out[1:])
+        return out
+
+    def group_indexes(self) -> np.ndarray:
+        """Position of each group's first row (`dataframe.py:218-234`)."""
+        return self.order[self.reduceat_indexes()]
+
 
 class MDF:
     """medvedi-compatible frame over a Spark DataFrame. See module doc."""

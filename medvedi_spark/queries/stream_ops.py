@@ -225,3 +225,50 @@ def st6_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(result, output_mode="update")
+
+
+# --------------------------------------------------------------------------
+# st7 — stream-stream interval join: purchases matched to a preceding view
+# by the same user within 1 hour. Both sides carry watermarks so the join
+# state is bounded (Spark drops view state older than the watermark minus
+# the interval) — the property that lets this run forever on an unbounded
+# stream. Inner join + availableNow drain == the batch interval join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "st7_stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def st7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "view_ts", "purchase_ts")
+    return run_to_memory(joined, output_mode="append")

@@ -181,3 +181,28 @@ def test_iloc_array_selection(spark):
     df = MDF({"a": [10, 20, 30, 40]}, spark=spark)
     out = df.iloc[np.array([3, 0, 2])]
     assert_array_equal(out["a"], [40, 10, 30])
+
+
+# -- Grouper reduceat protocol (tests/test_groupby.py:43-57) -----------------
+
+
+def test_grouper_reduceat_protocol(spark):
+    df = MDF({"a": [3, 3, 3, 2, 2, 1, 1], "b": [9, 10, 7, 8, 4, 5, 6]}, spark=spark)
+    g = df.groupby("a")
+    agg = np.add.reduceat(df["b"][g.order], g.reduceat_indexes())
+    assert_array_equal(agg, [11, 12, 26])
+    assert_array_equal(g.counts, [2, 2, 3])
+
+
+def test_grouper_external_order_counts(spark):
+    df = MDF({"a": [1, 1, 2, 2, 3, 3, 3], "b": [4, 5, 6, 7, 8, 9, 10]}, spark=spark)
+    g = df.groupby([0, 1, 0, 1, 0, 1, 0])
+    assert_array_equal(g.counts, [4, 3])
+    assert_array_equal(g.order, [0, 2, 4, 6, 1, 3, 5])
+
+
+def test_grouper_group_indexes(spark):
+    df = MDF({"a": [3, 3, 1, 2]}, spark=spark)
+    g = df.groupby("a")
+    # first row position of each sorted group: 1 -> row 2, 2 -> row 3, 3 -> row 0
+    assert_array_equal(g.group_indexes(), [2, 3, 0])
