@@ -85,3 +85,27 @@ def test_simhash_identical_docs_hamming_zero(spark):
     out = llm.simhash_pairs(docs, "id", "body", max_hamming=0)
     rows = out.collect()
     assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_map_numpy_arrow_batches(spark):
+    from medvedi_spark.operators.arrow_ops import map_numpy
+
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v")
+    out = map_numpy(
+        df, lambda cols: {"id": cols["id"], "v3": cols["v"] * 3.0}, schema="id long, v3 double"
+    )
+    rows = {r.id: r.v3 for r in out.collect()}
+    assert len(rows) == 1000 and rows[7] == 42.0
+
+
+def test_l2_normalize_embeddings(spark, sf_dir):
+    import numpy as np
+
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators.arrow_ops import l2_normalize
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = l2_normalize(emb, "vec_id", "embedding").collect()
+    assert len(out) == emb.count()
+    for r in out[:20]:
+        assert abs(np.linalg.norm(r.embedding) - 1.0) < 1e-12
