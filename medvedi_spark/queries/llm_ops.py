@@ -443,3 +443,55 @@ def s2_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_filter=F.col("vec_id") < _S2_NCENT,
         k=_S2_K, nprobe=_S2_NPROBE,
     )
+
+
+# --------------------------------------------------------------------------
+# d6 — dedup clustering: near-dup pairs (d2, jaccard >= 0.95) collapse
+# into transitive clusters via distributed min-label propagation; each
+# doc maps to its cluster's smallest doc_id (the keeper). The oracle
+# computes the same components with a recursive-CTE transitive closure —
+# the one operator here whose Spark form is genuinely iterative.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d6_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok2 GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM tok2 a JOIN tok2 b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.95
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach
+    GROUP BY a
+    """,
+    tags=("dedup", "clustering", "iterative", "llm"),
+)
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ops.token_jaccard_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.95)
+    comps = ops.connected_components(pairs, "doc_a", "doc_b")
+    return comps.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))

@@ -109,3 +109,14 @@ def test_l2_normalize_embeddings(spark, sf_dir):
     assert len(out) == emb.count()
     for r in out[:20]:
         assert abs(np.linalg.norm(r.embedding) - 1.0) < 1e-12
+
+
+def test_connected_components_chain_and_islands(spark):
+    from medvedi_spark.operators.llm import connected_components
+
+    # chain 1-2-3-4 (one component), pair 10-11, isolated via self-loop 99-99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (99, 99)], "doc_a long, doc_b long"
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
