@@ -218,19 +218,31 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     return intra.select("doc_a", "doc_b", "hamming").unionAll(cross.select("doc_a", "doc_b", "hamming"))
 
 
-def connected_components(edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 25) -> DataFrame:
-    """Connected components over an undirected edge list by iterative
-    min-label propagation: every node repeatedly adopts the smallest
-    label among itself and its neighbors until a fixpoint.
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+    small_graph_edges: int = 5_000_000,
+) -> DataFrame:
+    """Connected components over an undirected edge list.
 
     This is THE dedup finisher — near-dup pairs only become a dedup
     decision once transitive groups collapse to one keeper per cluster.
-    Converges in O(component diameter) rounds (near-dup clusters are
-    shallow); each round is two shuffles (join on node, min-agg on
-    node). The convergence check is a driver-side count per round — an
-    iterative algorithm's legitimate control loop, data never leaves
-    the cluster. Caches the frontier per round and unpersists behind
-    itself so lineage doesn't grow unboundedly.
+    Adaptive plan, chosen by the materialized edge count:
+
+    - **small graph** (≤ ``small_graph_edges`` symmetrized edges, the
+      common case after LSH pruning — near-dup graphs are sparse
+      relative to the corpus): contract in ONE executor task via
+      ``mapInPandas`` — vectorized numpy min-propagation with pointer
+      jumping over the factorized node ids. One shuffle (repartition to
+      a single task), one job, no per-round scheduling. Data never
+      touches the driver.
+    - **large graph**: distributed iterative min-label propagation with
+      path-halving pointer jumping — O(log n) rounds, each a
+      join+min-agg shuffle, frontier localCheckpointed per round so
+      lineage stays flat. The convergence test scans the checkpoint
+      (prev label rides along as a column) — no extra join.
 
     Returns (node, component) with component = min node id reachable.
     """
@@ -246,6 +258,38 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a", b_col: str = "d
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_sym = sym.count()
+    if n_sym <= small_graph_edges:
+        node_t = sym.schema["src"].dataType.simpleString()
+
+        def _contract(batches):
+            import numpy as np
+            import pandas as pd
+
+            srcs, dsts = [], []
+            for pdf in batches:
+                srcs.append(pdf["src"].to_numpy())
+                dsts.append(pdf["dst"].to_numpy())
+            if not srcs:
+                return
+            src = np.concatenate(srcs)
+            dst = np.concatenate(dsts)
+            # factorize: nodes sorted ascending, so the min label INDEX
+            # is also the min node id — index-space mins are id-space mins.
+            nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+            e_src, e_dst = inv[: len(src)], inv[len(src):]
+            label = np.arange(len(nodes), dtype=np.int64)
+            while True:
+                new = label.copy()
+                np.minimum.at(new, e_src, label[e_dst])  # one-hop neighbor min
+                new = np.minimum(new, new[new])  # pointer jump (path halving)
+                if np.array_equal(new, label):
+                    break
+                label = new
+            yield pd.DataFrame({"node": nodes, "component": nodes[label]})
+
+        return sym.repartition(1).mapInPandas(_contract, f"node {node_t}, component {node_t}")
+
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
@@ -258,6 +302,7 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a", b_col: str = "d
         )
         stepped = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
             "node",
+            F.col("component").alias("prev_component"),
             F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias("component"),
         )
         # pointer jumping (path halving): adopt the component's own
@@ -268,17 +313,16 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a", b_col: str = "d
             stepped.join(lk, stepped.component == lk.jnode, "left")
             .select(
                 "node",
+                "prev_component",
                 F.least(F.col("component"), F.coalesce(F.col("jcomp"), F.col("component"))).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        # convergence test is a scan of the just-materialized checkpoint —
+        # prev label rides along as a column, so no join against the old
+        # frame and no extra shuffle.
+        changed = new_labels.filter(F.col("component") != F.col("prev_component")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels

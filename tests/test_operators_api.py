@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from medvedi_spark.operators import llm, relational
@@ -111,12 +112,16 @@ def test_l2_normalize_embeddings(spark, sf_dir):
         assert abs(np.linalg.norm(r.embedding) - 1.0) < 1e-12
 
 
-def test_connected_components_chain_and_islands(spark):
+@pytest.mark.parametrize("small_graph_edges", [5_000_000, 0])  # numpy-contract path / distributed path
+def test_connected_components_chain_and_islands(spark, small_graph_edges):
     from medvedi_spark.operators.llm import connected_components
 
     # chain 1-2-3-4 (one component), pair 10-11, isolated via self-loop 99-99
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (99, 99)], "doc_a long, doc_b long"
     )
-    out = {r.node: r.component for r in connected_components(edges).collect()}
+    out = {
+        r.node: r.component
+        for r in connected_components(edges, small_graph_edges=small_graph_edges).collect()
+    }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
