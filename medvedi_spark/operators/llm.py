@@ -82,37 +82,84 @@ def token_jaccard_pairs(
     Both are exact: identical output either way.
     """
     tok = tokenize_distinct(df, id_col, text_col)
+    return _jaccard_adaptive(tok, threshold, bitset_vocab_limit)
+
+
+def char_ngrams_distinct(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, gram) pairs: all distinct character n-grams of the text."""
+    grams = F.expr(
+        f"CASE WHEN length(__ng_text__) >= {n} THEN "
+        f"transform(sequence(1, length(__ng_text__) - {n - 1}), i -> substring(__ng_text__, i, {n})) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__ng_text__"))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("t"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    bitset_vocab_limit: int = 64,
+    wide_bitset_vocab_limit: int = 4096,
+) -> DataFrame:
+    """Exact character-n-gram-set Jaccard self-join; same adaptive plan
+    family as :func:`token_jaccard_pairs`, with the wide-bitset middle
+    tier carrying the n-gram sweet spot (n-gram vocabularies are
+    alphabet^n-bounded, usually hundreds-to-thousands)."""
+    grams = char_ngrams_distinct(df, id_col, text_col, n)
+    return _jaccard_adaptive(grams, threshold, bitset_vocab_limit, wide_bitset_vocab_limit)
+
+
+def _jaccard_adaptive(
+    tok: DataFrame,
+    threshold: float,
+    bitset_vocab_limit: int = 64,
+    wide_bitset_vocab_limit: int = 4096,
+    dense_fraction: float = 0.25,
+) -> DataFrame:
+    """Plan selection from two scalar corpus statistics (one tiny agg
+    job, the same kind of runtime statistic AQE replans on): vocabulary
+    size and set density (avg distinct grams per doc / vocab).
+
+    - vocab ≤ 64 → single-long bitset.
+    - vocab ≤ ``wide_bitset_vocab_limit`` AND dense sets → wide bitset
+      (array<bigint> masks): when most docs contain a large fraction of
+      the vocab, every blocking scheme degenerates (all pairs share a
+      gram), so comparing distinct mask vectors at codegen speed is the
+      only plan that stays fast.
+    - otherwise → prefix-filter (AllPairs/PPJoin): sparse sets block
+      well on rare prefix grams; scales to unbounded vocabularies.
+
+    All three are exact: identical output whichever plan runs.
+    """
+    stats = tok.agg(
+        F.countDistinct("t").alias("n_vocab"),
+        (F.count(F.lit(1)) / F.countDistinct("doc_id")).alias("avg_set"),
+    ).first()
+    n_vocab = stats.n_vocab
     vocab = tok.select("t").distinct()
-    if vocab.count() <= bitset_vocab_limit:
+    if n_vocab <= bitset_vocab_limit:
         return _jaccard_bitset(tok, vocab, threshold)
+    if n_vocab <= wide_bitset_vocab_limit and stats.avg_set >= dense_fraction * n_vocab:
+        return _jaccard_bitset_wide(tok, vocab, n_vocab, threshold)
     return _jaccard_prefix_filter(tok, threshold)
 
 
-def _jaccard_bitset(tok: DataFrame, vocab: DataFrame, threshold: float) -> DataFrame:
-    bits = vocab.select("t", (F.row_number().over(Window.orderBy("t")) - 1).alias("bit"))
-    masks = (
-        tok.join(F.broadcast(bits), "t")
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
-    )
-    # group identical sets: dup groups expand to jaccard=1.0 pairs for free
-    groups = masks.groupBy("mask").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+def _expand_mask_groups(groups: DataFrame, near: DataFrame) -> DataFrame:
+    """Common tail of the bitset paths: groups of docs with IDENTICAL
+    sets expand to jaccard=1.0 pairs for free; near-mask pairs expand to
+    the cross product of their doc groups."""
     intra = (
         groups.filter(F.size("ids") >= 2)
         .select(F.explode("ids").alias("doc_a"), F.col("ids").alias("ids_b"))
         .select("doc_a", F.explode("ids_b").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("jaccard", F.lit(1.0))
-    )
-    mt = groups.select("mask")
-    ma, mb = mt.alias("ma"), mt.alias("mb")
-    shared = F.bit_count(F.col("ma.mask").bitwiseAND(F.col("mb.mask")))
-    union = F.bit_count(F.col("ma.mask").bitwiseOR(F.col("mb.mask")))
-    near = (
-        ma.join(F.broadcast(mb), F.col("ma.mask") < F.col("mb.mask"))
-        .withColumn("jaccard", shared.cast("double") / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("ma.mask").alias("mask_a"), F.col("mb.mask").alias("mask_b"), "jaccard")
     )
     ga = groups.select(F.col("mask").alias("mask_a"), F.col("ids").alias("ids_a"))
     gb = groups.select(F.col("mask").alias("mask_b"), F.col("ids").alias("ids_b"))
@@ -124,6 +171,87 @@ def _jaccard_bitset(tok: DataFrame, vocab: DataFrame, threshold: float) -> DataF
         .select(F.least("ida", "idb").alias("doc_a"), F.greatest("ida", "idb").alias("doc_b"), "jaccard")
     )
     return intra.select("doc_a", "doc_b", "jaccard").unionAll(cross.select("doc_a", "doc_b", "jaccard"))
+
+
+def _jaccard_bitset(tok: DataFrame, vocab: DataFrame, threshold: float) -> DataFrame:
+    bits = vocab.select("t", (F.row_number().over(Window.orderBy("t")) - 1).alias("bit"))
+    masks = (
+        tok.join(F.broadcast(bits), "t")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
+    )
+    # group identical sets: dup groups expand to jaccard=1.0 pairs for free
+    groups = masks.groupBy("mask").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    mt = groups.select("mask")
+    ma, mb = mt.alias("ma"), mt.alias("mb")
+    shared = F.bit_count(F.col("ma.mask").bitwiseAND(F.col("mb.mask")))
+    union = F.bit_count(F.col("ma.mask").bitwiseOR(F.col("mb.mask")))
+    near = (
+        ma.join(F.broadcast(mb), F.col("ma.mask") < F.col("mb.mask"))
+        .withColumn("jaccard", shared.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("ma.mask").alias("mask_a"), F.col("mb.mask").alias("mask_b"), "jaccard")
+    )
+    return _expand_mask_groups(groups, near)
+
+
+def _jaccard_bitset_wide(tok: DataFrame, vocab: DataFrame, vocab_size: int, threshold: float) -> DataFrame:
+    """Bitset path for vocabularies past 64: masks are fixed-length
+    array<bigint> (one long per 64 grams) and the pairwise score is a
+    zip_with AND/OR + bit_count fold — all whole-stage codegen, no UDF.
+    Only DISTINCT masks compare pairwise (identical sets are grouped
+    first), which is what keeps the quadratic step small: on corpora
+    where every doc pair shares a gram (tiny vocab), NO blocking scheme
+    can prune, so comparing distinct sets at full vector speed is the
+    honest plan."""
+    nwords = (vocab_size + 63) // 64
+    bits = vocab.select("t", (F.row_number().over(Window.orderBy("t")) - 1).alias("bit"))
+    word_masks = (
+        tok.join(F.broadcast(bits), "t")
+        .groupBy("doc_id", F.expr("bit DIV 64").alias("w"))
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")).alias("m"))
+    )
+    masks = (
+        word_masks.groupBy("doc_id")
+        .agg(F.map_from_arrays(F.collect_list("w"), F.collect_list("m")).alias("wm"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nwords - 1)),
+                lambda i: F.coalesce(F.element_at("wm", i.cast("int")), F.lit(0)),
+            ).alias("mask"),
+        )
+    )
+    groups = masks.groupBy("mask").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    pc = F.aggregate(
+        F.transform(F.col("mask"), lambda x: F.bit_count(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    mt = groups.select("mask", pc.alias("pc"))
+    # repartition the probe side: the post-agg mask table is 1-2 tiny
+    # partitions, and without this the quadratic compare stage runs on
+    # one core.
+    ma = mt.repartition(tok.sparkSession.sparkContext.defaultParallelism).alias("ma")
+    mb = F.broadcast(mt).alias("mb")
+    # lossless size prefilter: jaccard >= t ⟹ |a∩b| >= t·|a∪b| ⟹
+    # min(pc) >= t·max(pc) — an integer compare (epsilon slack for the
+    # double product; false positives die in the exact fold below)
+    # prunes most mask pairs before any array work.
+    size_ok = (
+        F.least(F.col("ma.pc"), F.col("mb.pc")).cast("double")
+        >= F.lit(threshold) * F.greatest(F.col("ma.pc"), F.col("mb.pc")) - F.lit(1e-9)
+    )
+    shared = F.aggregate(
+        F.zip_with(F.col("ma.mask"), F.col("mb.mask"), lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    near = (
+        ma.join(mb, (F.col("ma.mask") < F.col("mb.mask")) & size_ok)
+        .withColumn("jaccard", shared.cast("double") / (F.col("ma.pc") + F.col("mb.pc") - shared))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("ma.mask").alias("mask_a"), F.col("mb.mask").alias("mask_b"), "jaccard")
+    )
+    return _expand_mask_groups(groups, near)
 
 
 def _jaccard_prefix_filter(tok: DataFrame, threshold: float) -> DataFrame:

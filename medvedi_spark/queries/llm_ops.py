@@ -495,3 +495,41 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ops.token_jaccard_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.95)
     comps = ops.connected_components(pairs, "doc_a", "doc_b")
     return comps.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------------
+# d7 — character-n-gram Jaccard near-dup (n=3). The trigram vocabulary
+# is alphabet^n-bounded, and on this corpus every doc pair shares a
+# trigram — token blocking provably prunes nothing — so the adaptive
+# selector picks the wide-bitset plan: fixed-length array<bigint> masks,
+# distinct-mask pairwise popcount folds in whole-stage codegen.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d7_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, substring(text, i, 3) AS t
+      FROM documents,
+      LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM grams a JOIN grams b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.9
+    """,
+    tags=("dedup", "similarity", "ngram", "llm"),
+)
+def d7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.llm.ngram_jaccard_pairs (adaptive single-long /
+    wide-bitset / prefix-filter plan selection; all exact)."""
+    return ops.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.9)

@@ -65,3 +65,21 @@ def test_s2_ivf_hits_are_true_neighbors(spark, sf_dir):
         exact = brute.get((r.query_id, r.neighbor_id))
         if exact is not None:
             assert r.cosine == exact
+
+
+def test_d7_wide_bitset_agrees_with_prefix_filter(spark, sf_dir):
+    """The wide-bitset (array<bigint> mask) path and the prefix-filter
+    path are the same exact function on character trigrams — identical
+    pair sets and bit-identical jaccard values."""
+    from medvedi_spark.operators.llm import _jaccard_bitset_wide, char_ngrams_distinct
+
+    grams = char_ngrams_distinct(load(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    vocab = grams.select("t").distinct()
+    n_vocab = vocab.count()
+    assert 64 < n_vocab <= 4096, "trigram corpus should exercise the wide path"
+    fast = _jaccard_bitset_wide(grams, vocab, n_vocab, 0.9).orderBy("doc_a", "doc_b").collect()
+    slow = _jaccard_prefix_filter(grams, 0.9).orderBy("doc_a", "doc_b").collect()
+    assert len(fast) == len(slow) > 0
+    for fr, sr in zip(fast, slow):
+        assert (fr.doc_a, fr.doc_b) == (sr.doc_a, sr.doc_b)
+        assert fr.jaccard == sr.jaccard
