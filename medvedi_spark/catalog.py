@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "load", "load_all", "register_views"]
+__all__ = ["TABLES", "load", "load_all", "register_views", "ensure_session_confs"]
 
 TABLES = (
     "region",
@@ -36,10 +36,41 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 # returned DataFrame is immutable, so one per (session, path) suffices.
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# Runtime-settable confs every query's correctness depends on. The engine
+# contract is "run on ANY SparkSession the caller hands in", so these are
+# pinned at table-load time rather than only in the private session factory:
+#  - nanosAsLong: the events table stores TIMESTAMP(NANOS), which Spark's
+#    parquet reader rejects outright; read as epoch-nanos bigint instead.
+#  - UTC timezone: deterministic timestamp rendering (matches the DuckDB
+#    oracle, which is UTC-naive).
+#  - ANSI off: reference semantics are permissive (NULL on bad cast, no
+#    overflow errors), matching medvedi/numpy behavior.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin runtime-settable confs the query contract depends on.
+
+    Idempotent and cheap (conf get is a local map lookup); called from every
+    table-load entry point so queries are portable to a vanilla session.
+    """
+    for conf_key, value in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(conf_key, None) != value:
+                spark.conf.set(conf_key, value)
+        except Exception:
+            # Unknown conf on an older/newer Spark: set unconditionally.
+            spark.conf.set(conf_key, value)
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_session_confs(spark)
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _DF_CACHE.get(key)
     if cached is not None:

@@ -282,7 +282,7 @@ def q8_semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_concat_union",
     oracle="""
-    SELECT src, COUNT(*) AS n, SUM(sz) AS total_size
+    SELECT src, COUNT(*) AS n, CAST(SUM(sz) AS BIGINT) AS total_size
     FROM (
       SELECT 'small' AS src, p_partkey, p_size AS sz FROM part WHERE p_size < 10
       UNION ALL
@@ -350,8 +350,8 @@ def q10_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(*) FILTER (WHERE big_value IS NULL) AS n_null,
-           SUM(COALESCE(big_value, 0)) AS filled_sum,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+           CAST(SUM(COALESCE(big_value, 0)) AS BIGINT) AS filled_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
     FROM (
       SELECT event_type, props,
              CASE WHEN value > 50 THEN CAST(FLOOR(value) AS BIGINT) ELSE NULL END AS big_value
@@ -1046,8 +1046,8 @@ def q29_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q30_shipmode_priority",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -148,13 +148,13 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t3_token_stats",
-    oracle="""
+    oracle=r"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
-           SUM(bpe_est) AS total_bpe_est,
-           SUM(n_subwords) AS total_subwords,
-           MAX(n_tokens) AS max_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(bpe_est) AS BIGINT) AS total_bpe_est,
+           CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
     FROM (
       SELECT source,
              len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
@@ -184,7 +184,7 @@ def t3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("bpe_est").alias("total_bpe_est"),
         F.sum("n_subwords").alias("total_subwords"),
-        F.max("n_tokens").alias("max_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
 
 

