@@ -136,18 +136,40 @@ def _jaccard_adaptive(
       well on rare prefix grams; scales to unbounded vocabularies.
 
     All three are exact: identical output whichever plan runs.
+
+    The bitset tiers compare DISTINCT masks pairwise with the smaller side
+    broadcast; distinct-mask count is bounded by distinct-doc count, so when
+    ``n_docs`` exceeds what a mask table can broadcast (`_mask_broadcast_cap`)
+    the compare is routed to the popcount-banded SHUFFLED self-join instead
+    (`_jaccard_bitset_wide_shuffled`) — same output, no broadcast of a
+    corpus-proportional table.
     """
     stats = tok.agg(
         F.countDistinct("t").alias("n_vocab"),
+        F.countDistinct("doc_id").alias("n_docs"),
         (F.count(F.lit(1)) / F.countDistinct("doc_id")).alias("avg_set"),
     ).first()
     n_vocab = stats.n_vocab
     vocab = tok.select("t").distinct()
     if n_vocab <= bitset_vocab_limit:
-        return _jaccard_bitset(tok, vocab, threshold)
+        if stats.n_docs <= _mask_broadcast_cap(1):
+            return _jaccard_bitset(tok, vocab, threshold)
+        return _jaccard_bitset_wide_shuffled(tok, vocab, n_vocab, threshold)
     if n_vocab <= wide_bitset_vocab_limit and stats.avg_set >= dense_fraction * n_vocab:
-        return _jaccard_bitset_wide(tok, vocab, n_vocab, threshold)
+        nwords = (n_vocab + 63) // 64
+        if stats.n_docs <= _mask_broadcast_cap(nwords):
+            return _jaccard_bitset_wide(tok, vocab, n_vocab, threshold)
+        return _jaccard_bitset_wide_shuffled(tok, vocab, n_vocab, threshold)
     return _jaccard_prefix_filter(tok, threshold)
+
+
+def _mask_broadcast_cap(nwords: int) -> int:
+    """Max distinct-mask rows safely broadcastable for the quadratic
+    compare: ~32 MB budget over the per-row footprint of an
+    ``array<bigint>`` mask (8 B/word + ~32 B row overhead). Distinct-doc
+    count upper-bounds distinct-mask count, so the router can apply this
+    cap without an extra mask-build job."""
+    return (32 << 20) // (8 * nwords + 32)
 
 
 def _expand_mask_groups(groups: DataFrame, near: DataFrame) -> DataFrame:
@@ -161,11 +183,14 @@ def _expand_mask_groups(groups: DataFrame, near: DataFrame) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("jaccard", F.lit(1.0))
     )
+    # NO broadcast hint on ga/gb: `groups` is corpus-proportional (one row
+    # per distinct token set). `near` (pairs above threshold) is the small
+    # side; the planner/AQE broadcasts it from runtime stats when it fits.
     ga = groups.select(F.col("mask").alias("mask_a"), F.col("ids").alias("ids_a"))
     gb = groups.select(F.col("mask").alias("mask_b"), F.col("ids").alias("ids_b"))
     cross = (
-        near.join(F.broadcast(ga), "mask_a")
-        .join(F.broadcast(gb), "mask_b")
+        near.join(ga, "mask_a")
+        .join(gb, "mask_b")
         .select("jaccard", F.explode("ids_a").alias("ida"), "ids_b")
         .select("jaccard", "ida", F.explode("ids_b").alias("idb"))
         .select(F.least("ida", "idb").alias("doc_a"), F.greatest("ida", "idb").alias("doc_b"), "jaccard")
@@ -195,15 +220,10 @@ def _jaccard_bitset(tok: DataFrame, vocab: DataFrame, threshold: float) -> DataF
     return _expand_mask_groups(groups, near)
 
 
-def _jaccard_bitset_wide(tok: DataFrame, vocab: DataFrame, vocab_size: int, threshold: float) -> DataFrame:
-    """Bitset path for vocabularies past 64: masks are fixed-length
-    array<bigint> (one long per 64 grams) and the pairwise score is a
-    zip_with AND/OR + bit_count fold — all whole-stage codegen, no UDF.
-    Only DISTINCT masks compare pairwise (identical sets are grouped
-    first), which is what keeps the quadratic step small: on corpora
-    where every doc pair shares a gram (tiny vocab), NO blocking scheme
-    can prune, so comparing distinct sets at full vector speed is the
-    honest plan."""
+def _wide_mask_groups(tok: DataFrame, vocab: DataFrame, vocab_size: int) -> DataFrame:
+    """Per-doc fixed-length ``array<bigint>`` bitmask (one long per 64
+    grams), grouped by identical mask → (mask, ids). Shared by the
+    broadcast and shuffled wide-bitset compare strategies."""
     nwords = (vocab_size + 63) // 64
     bits = vocab.select("t", (F.row_number().over(Window.orderBy("t")) - 1).alias("bit"))
     word_masks = (
@@ -225,11 +245,28 @@ def _jaccard_bitset_wide(tok: DataFrame, vocab: DataFrame, vocab_size: int, thre
     # groups has five consumers, but Spark's ReusedExchange already
     # dedups the upstream work — checkpointing here measured SLOWER
     # (12-15s vs 7s at sf0.1); keep the plan lazy.
-    groups = masks.groupBy("mask").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-    pc = F.aggregate(
+    return masks.groupBy("mask").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+
+
+def _mask_popcount() -> Column:
+    return F.aggregate(
         F.transform(F.col("mask"), lambda x: F.bit_count(x)), F.lit(0), lambda acc, x: acc + x
     )
-    mt = groups.select("mask", pc.alias("pc"))
+
+
+def _jaccard_bitset_wide(tok: DataFrame, vocab: DataFrame, vocab_size: int, threshold: float) -> DataFrame:
+    """Bitset path for vocabularies past 64: masks are fixed-length
+    array<bigint> (one long per 64 grams) and the pairwise score is a
+    zip_with AND/OR + bit_count fold — all whole-stage codegen, no UDF.
+    Only DISTINCT masks compare pairwise (identical sets are grouped
+    first), which is what keeps the quadratic step small: on corpora
+    where every doc pair shares a gram (tiny vocab), NO blocking scheme
+    can prune, so comparing distinct sets at full vector speed is the
+    honest plan. The router guarantees the distinct-mask table fits the
+    `_mask_broadcast_cap` budget before selecting this strategy; past the
+    cap, `_jaccard_bitset_wide_shuffled` runs instead."""
+    groups = _wide_mask_groups(tok, vocab, vocab_size)
+    mt = groups.select("mask", _mask_popcount().alias("pc"))
     # repartition the probe side: the post-agg mask table is 1-2 tiny
     # partitions, and without this the quadratic compare stage runs on
     # one core.
@@ -250,6 +287,65 @@ def _jaccard_bitset_wide(tok: DataFrame, vocab: DataFrame, vocab_size: int, thre
     )
     near = (
         ma.join(mb, (F.col("ma.mask") < F.col("mb.mask")) & size_ok)
+        .withColumn("jaccard", shared.cast("double") / (F.col("ma.pc") + F.col("mb.pc") - shared))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("ma.mask").alias("mask_a"), F.col("mb.mask").alias("mask_b"), "jaccard")
+    )
+    return _expand_mask_groups(groups, near)
+
+
+# Salt fan-out for the popcount-band shuffle join: popcount has a small
+# value domain (≤ vocab+1 keys), so without salting every mask with the
+# same popcount lands on one reducer. 16 deterministic salts spread each
+# band over 16 reducers at the cost of a 16× replication of the (tiny
+# per-row) probe keys.
+_BAND_SALTS = 16
+
+
+def _jaccard_bitset_wide_shuffled(tok: DataFrame, vocab: DataFrame, vocab_size: int, threshold: float) -> DataFrame:
+    """Dense-corpus bitset compare WITHOUT broadcasting the mask table.
+
+    Same inputs/outputs as `_jaccard_bitset_wide`, selected by the router
+    when distinct masks may exceed the broadcast budget. The quadratic
+    compare becomes an EQUI-join banded on popcount: jaccard ≥ t forces
+    |pc_a − pc_b| into a narrow ratio band (min ≥ t·max), so the side with
+    the smaller popcount emits one probe row per admissible partner
+    popcount in [pc, pc/t] and the join shuffles on (popcount, salt) —
+    bounded fan-out (≤ (1/t − 1)·pc + 1 keys/mask), no broadcast, no
+    cartesian node. Exactness is unchanged: the band is a lossless
+    necessary condition and the zip_with/bit_count fold re-scores every
+    surviving pair."""
+    groups = _wide_mask_groups(tok, vocab, vocab_size)
+    mt = groups.select("mask", _mask_popcount().alias("pc"))
+    hi = F.least(F.floor(F.col("pc") / F.lit(threshold)).cast("int"), F.lit(vocab_size))
+    # fan-outs ADD, not multiply: the probe side explodes only its popcount
+    # band (keyed by its own deterministic salt), the build side replicates
+    # once per salt value.
+    probe = mt.select(
+        "mask",
+        "pc",
+        F.explode(F.sequence(F.col("pc"), hi)).alias("pc_key"),
+        F.pmod(F.xxhash64("mask"), F.lit(_BAND_SALTS)).cast("int").alias("salt"),
+    ).alias("ma")
+    build = mt.select(
+        "mask", "pc", F.explode(F.sequence(F.lit(0), F.lit(_BAND_SALTS - 1))).alias("salt")
+    ).alias("mb")
+    shared = F.aggregate(
+        F.zip_with(F.col("ma.mask"), F.col("mb.mask"), lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # each unordered pair exactly once: the smaller-popcount side probes;
+    # popcount ties break on the (comparable) mask arrays.
+    once = (F.col("mb.pc") > F.col("ma.pc")) | (
+        (F.col("mb.pc") == F.col("ma.pc")) & (F.col("ma.mask") < F.col("mb.mask"))
+    )
+    near = (
+        probe.join(
+            build,
+            (F.col("ma.pc_key") == F.col("mb.pc")) & (F.col("ma.salt") == F.col("mb.salt")),
+        )
+        .filter(once)
         .withColumn("jaccard", shared.cast("double") / (F.col("ma.pc") + F.col("mb.pc") - shared))
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("ma.mask").alias("mask_a"), F.col("mb.mask").alias("mask_b"), "jaccard")

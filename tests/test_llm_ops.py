@@ -83,3 +83,45 @@ def test_d7_wide_bitset_agrees_with_prefix_filter(spark, sf_dir):
     for fr, sr in zip(fast, slow):
         assert (fr.doc_a, fr.doc_b) == (sr.doc_a, sr.doc_b)
         assert fr.jaccard == sr.jaccard
+
+
+def test_d7_shuffled_tier_agrees_with_broadcast_tier(spark, sf_dir):
+    """The popcount-banded SHUFFLED mask compare (the over-broadcast-cap
+    fallback) is the same exact function as the broadcast wide-bitset
+    tier — identical pair sets, bit-identical jaccard — and its plan
+    contains no broadcast of the mask table and no cartesian node."""
+    from medvedi_spark.operators.llm import (
+        _jaccard_bitset_wide,
+        _jaccard_bitset_wide_shuffled,
+        char_ngrams_distinct,
+    )
+
+    grams = char_ngrams_distinct(load(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    vocab = grams.select("t").distinct()
+    n_vocab = vocab.count()
+    shuf_df = _jaccard_bitset_wide_shuffled(grams, vocab, n_vocab, 0.9)
+    plan = shuf_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    shuf = shuf_df.orderBy("doc_a", "doc_b").collect()
+    bcast = _jaccard_bitset_wide(grams, vocab, n_vocab, 0.9).orderBy("doc_a", "doc_b").collect()
+    assert len(shuf) == len(bcast) > 0
+    for a, b in zip(shuf, bcast):
+        assert (a.doc_a, a.doc_b) == (b.doc_a, b.doc_b)
+        assert a.jaccard == b.jaccard
+
+
+def test_router_picks_shuffled_tier_past_broadcast_cap(spark, monkeypatch):
+    """Force a tiny broadcast cap: the adaptive router must route to the
+    shuffled tier and still produce the exact pair set."""
+    import medvedi_spark.operators.llm as llm
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab ba bb"), (2, "aa ab ba bb"), (3, "aa ab ba zz"), (4, "qq rr ss tt")],
+        ["id", "body"],
+    )
+    expect = [(1, 2, 1.0), (1, 3, 0.6), (2, 3, 0.6)]
+    normal = llm.token_jaccard_pairs(docs, "id", "body", threshold=0.5)
+    assert sorted((r.doc_a, r.doc_b, round(r.jaccard, 3)) for r in normal.collect()) == expect
+    monkeypatch.setattr(llm, "_mask_broadcast_cap", lambda nwords: 1)
+    forced = llm.token_jaccard_pairs(docs, "id", "body", threshold=0.5)
+    assert sorted((r.doc_a, r.doc_b, round(r.jaccard, 3)) for r in forced.collect()) == expect

@@ -58,3 +58,16 @@ def test_s1_probe_side_broadcast(spark, sf_dir, qmap):
 def test_d1_single_shuffle(spark, sf_dir, qmap):
     facts = plan_facts(qmap["d1_exact_dedup"](spark, sf_dir))
     assert facts["exch"] == 1, "exact dedup is one shuffle on the hash"
+
+
+def test_d3_verify_join_not_hinted_broadcast(spark, sf_dir, qmap):
+    """The MinHash verify stage joins candidate pairs back to per-doc token
+    SETS — a table proportional to the corpus. An explicit broadcast hint
+    there is a 100 TB scale-killer; the join must be left to the planner
+    (AQE may still broadcast at tiny SF from runtime stats, which is fine).
+    """
+    df = qmap["d3_minhash_lsh"](spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, (
+        "d3 must not carry explicit broadcast hints on per-doc set tables"
+    )
