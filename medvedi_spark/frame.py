@@ -83,6 +83,32 @@ def _fill_defaults(df: DataFrame, cols: Iterable[str]) -> DataFrame:
     return df.select(*exprs)
 
 
+def _renumber_by(df: DataFrame, *order_exprs: Column) -> DataFrame:
+    """Reassign ``ROW_ID`` as contiguous 0-based ids following
+    ``order_exprs`` — WITHOUT funnelling the frame through one task.
+
+    Plan: range-sort on the order expressions (distributed), then
+    id = per-partition offset + intra-partition row_number. The offsets
+    come from a per-partition count aggregate (rows = cluster partition
+    count, not data rows) whose cumulative sum is the only
+    single-partition window in the plan; the frame itself only crosses a
+    rangepartitioning exchange and a partition-id hash exchange. The
+    order expressions must be a total order (callers append a ROW_ID
+    tiebreak), so re-evaluation of the sorted branch is deterministic.
+    """
+    sdf = df.orderBy(*order_exprs).withColumn("__pid__", F.spark_partition_id())
+    counts = sdf.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("__off__", F.coalesce(F.sum("__cnt__").over(w_off), F.lit(0))).drop("__cnt__")
+    w_pos = Window.partitionBy("__pid__").orderBy(*order_exprs)
+    return (
+        sdf.join(F.broadcast(offsets), "__pid__")
+        .withColumn("__new_rid__", F.col("__off__") + F.row_number().over(w_pos) - 1)
+        .drop("__pid__", "__off__", ROW_ID)
+        .withColumnRenamed("__new_rid__", ROW_ID)
+    )
+
+
 def _numpy_to_spark_type(arr: np.ndarray) -> T.DataType:
     kind = arr.dtype.kind
     if kind == "b":
@@ -793,9 +819,7 @@ class MDF:
         # stable: ties keep original order; descending reverses ties too
         # (`dataframe.py:623-671` reverses the ascending permutation).
         exprs.append(F.col(ROW_ID).asc() if ascending else F.col(ROW_ID).desc())
-        out = self._df.orderBy(*exprs)
-        w = Window.orderBy(F.monotonically_increasing_id())
-        out = out.withColumn("__new_rid__", F.row_number().over(w) - 1).drop(ROW_ID).withColumnRenamed("__new_rid__", ROW_ID)
+        out = _renumber_by(self._df, *exprs)
         return MDF._from_spark(out, () if ignore_index else self._index)
 
     def sort_index(self, level: int | Sequence[int] | None = None, **kwargs) -> "MDF":
@@ -853,10 +877,11 @@ class MDF:
             return self.copy()
         others = [x for x in self._df.columns if x != c]
         # empty lists drop their row in the reference (0 repeats) — plain
-        # explode() does the same; NULL arrays also vanish.
-        out = self._df.select(*others, F.explode(F.col(c)).alias(c))
-        w = Window.orderBy(F.col(ROW_ID).asc(), F.monotonically_increasing_id())
-        out = out.withColumn("__new_rid__", F.row_number().over(w) - 1).drop(ROW_ID).withColumnRenamed("__new_rid__", ROW_ID)
+        # explode() does the same; NULL arrays also vanish. posexplode's
+        # position column gives the deterministic intra-row tiebreak for
+        # the new row ids (ADVICE: mono-id-after-sort is not contractual).
+        out = self._df.select(*others, F.posexplode(F.col(c)).alias("__pos_in__", c))
+        out = _renumber_by(out, F.col(ROW_ID).asc(), F.col("__pos_in__").asc()).drop("__pos_in__")
         return MDF._from_spark(out, () if ignore_index else self._index)
 
     # -- S2: arrow / parquet export ---------------------------------------------------------------
@@ -1041,9 +1066,7 @@ def join(
     if fill_defaults:
         out = _fill_defaults(out, value_out)
     # sorted-by-key output; fresh contiguous row ids in that order
-    out = out.orderBy(*[F.col(k).asc_nulls_first() for k in key_names], F.col(ROW_ID).asc_nulls_first())
-    w = Window.orderBy(F.monotonically_increasing_id())
-    out = out.drop(ROW_ID).withColumn(ROW_ID, F.row_number().over(w) - 1)
+    out = _renumber_by(out, *[F.col(k).asc_nulls_first() for k in key_names], F.col(ROW_ID).asc_nulls_first())
     # index names: first frame's names
     renames = dict(zip(key_names, dfs[0]._index))
     out = out.withColumnsRenamed(renames)
@@ -1077,7 +1100,11 @@ def concat(*dfs: MDF, ignore_index: bool = False, strict: bool = True, copy: boo
     running = 0
     parts = []
     for d in dfs:
-        df = d._df
+        # inputs built by _from_spark/read_parquet/Grouper.agg carry sparse
+        # monotonically_increasing ids and filtered frames have gaps —
+        # renumber to contiguous 0-based BEFORE the running offset, or
+        # concatenated frames could interleave/collide row ids.
+        df = _renumber_by(d._df, F.col(ROW_ID).asc())
         n = df.count()
         df = df.withColumn(ROW_ID, F.col(ROW_ID) + F.lit(running))
         running += n

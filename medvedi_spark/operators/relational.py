@@ -26,17 +26,81 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for every left row, the latest (``backward``) or
     earliest (``forward``) right row at-or-before/after its timestamp,
-    optionally within ``tolerance_seconds`` and per ``by`` keys.
+    optionally within ``tolerance_seconds`` and per ``by`` keys
+    (``pandas.merge_asof`` semantics: left rows keep nulls on no match,
+    duplicate left rows are preserved).
 
-    Plan shape: the range condition forces a non-equi join; with ``by``
-    keys Catalyst runs it as a shuffled join on the keys (pairs stay
-    co-partitioned), and ``max_by``/``min_by`` collapses candidates in
-    the same shuffle — two wide stages total, no window over the big
-    side. Small right sides broadcast automatically via AQE.
+    Plan shape (merge-asof): both sides union into one tagged stream, ONE
+    shuffle on the ``by`` keys, one window pass carries the most recent
+    right-row payload (an atomic struct — all value columns from the SAME
+    matched row) onto each left row. Every input row participates exactly
+    once: no row-multiplying range join, so the cost is sort+scan even
+    when each left row has millions of candidate right rows. With empty
+    ``by`` the window degenerates to a single partition (a global
+    merge-asof is an inherently serial scan); supply ``by`` keys at scale.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"bad direction={direction!r}")
-    lcols = [F.col(f"l.{c}") for c in left.columns]
+    values = value_cols if value_cols is not None else [c for c in right.columns if c != right_ts and c not in by]
+    payload = F.struct(*([F.col(v).alias(v) for v in values] + [F.col(right_ts).alias("__asof_ts__")]))
+    r_pay = right.select(*by, F.col(right_ts).alias("__ts__"), payload.alias("__pay__"))
+    pay_type = r_pay.schema["__pay__"].dataType
+    lcols = list(left.columns)
+    by_set = set(by)
+    l_side = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        F.lit(None).cast(pay_type).alias("__pay__"),
+    )
+    r_side = r_pay.select(
+        *[(F.col(c) if c in by_set else F.lit(None).cast(left.schema[c].dataType)).alias(c) for c in lcols],
+        "__ts__",
+        F.lit(0).alias("__side__"),
+        "__pay__",
+    )
+    unioned = l_side.unionByName(r_side)
+    # at equal timestamps the right row must precede the left row so the
+    # match is inclusive (<= / >=), hence the __side__ tiebreak.
+    if direction == "backward":
+        order = [F.col("__ts__").asc_nulls_first(), F.col("__side__").asc()]
+    else:
+        order = [F.col("__ts__").desc_nulls_first(), F.col("__side__").asc()]
+    part = [F.col(k) for k in by] if by else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    out = unioned.withColumn("__pick__", F.last("__pay__", ignorenulls=True).over(w)).filter(
+        F.col("__side__") == 1
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(F.col(left_ts).cast("long") - F.col("__pick__.__asof_ts__").cast("long"))
+        out = out.withColumn("__pick__", F.when(gap <= tolerance_seconds, F.col("__pick__")))
+    return out.select(
+        *lcols,
+        *[F.col(f"__pick__.{v}").alias(v) for v in values],
+        F.col("__pick__.__asof_ts__").alias(f"asof_{right_ts}"),
+    )
+
+
+def asof_join_rangejoin(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by: Sequence[str] = (),
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Range-join formulation of :func:`asof_join` — property-test
+    comparand. Each left row joins ALL admissible right rows before
+    ``max_by`` collapses them, so the intermediate multiplies; the
+    merge-asof plan above replaces it as the default. A surrogate id keeps
+    duplicate left rows distinct through the groupBy (matching merge_asof)
+    and makes grouping safe for non-groupable column types."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"bad direction={direction!r}")
+    left = left.withColumn("__lid__", F.monotonically_increasing_id())
+    lcols = [c for c in left.columns if c != "__lid__"]
     cond = (
         F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
         if direction == "backward"
@@ -50,13 +114,15 @@ def asof_join(
     values = value_cols if value_cols is not None else [c for c in right.columns if c != right_ts and c not in by]
     pick = F.max_by if direction == "backward" else F.min_by
     extreme = F.max if direction == "backward" else F.min
-    aggs = [pick(F.col(f"r.{v}"), F.col(f"r.{right_ts}")).alias(v) for v in values]
+    aggs = [F.first(F.col(f"l.{c}")).alias(c) for c in lcols]
+    aggs += [pick(F.col(f"r.{v}"), F.col(f"r.{right_ts}")).alias(v) for v in values]
     aggs.append(extreme(F.col(f"r.{right_ts}")).alias(f"asof_{right_ts}"))
     return (
         left.alias("l")
         .join(right.alias("r"), cond, "left_outer")
-        .groupBy(*lcols)
+        .groupBy(F.col("l.__lid__"))
         .agg(*aggs)
+        .drop("__lid__")
     )
 
 

@@ -536,8 +536,12 @@ def q16_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q17 — as-of join (beyond-reference: SURVEY §2.3 "not implemented" row).
 # For each (day checkpoint, user): the latest event value at-or-before the
-# checkpoint. Spark lacks ASOF JOIN; expressed as a range join + max_by,
-# which AQE turns into a shuffled hash join on the user dimension.
+# checkpoint. Spark lacks ASOF JOIN; expressed as the merge-asof plan
+# (operators/relational.asof_join): probe grid = users × checkpoints
+# (checkpoints are ~#days, broadcastable at any scale), unioned with the
+# events stream and resolved by ONE window pass per user partition — each
+# event row participates once, vs the range-join formulation that
+# multiplies every event by all later checkpoints before collapsing.
 # --------------------------------------------------------------------------
 
 
@@ -557,19 +561,21 @@ def q16_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("asof", "rangejoin"),
 )
 def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.operators.relational import asof_join
+
     events = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     checkpoints = (
         load(spark, sf_dir, "events")
         .select((F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")).alias("cp"))
         .distinct()
     )
+    grid = events.select("user_id").distinct().crossJoin(F.broadcast(checkpoints))
+    matched = asof_join(
+        grid, events.select("user_id", "ts", "value"), "cp", "ts", by=["user_id"], value_cols=["value"]
+    )
     return (
-        events.join(F.broadcast(checkpoints), events.ts <= checkpoints.cp)
-        .groupBy("cp", "user_id")
-        .agg(
-            F.max_by("value", "ts").alias("last_value"),
-            F.max("ts").alias("last_ts"),
-        )
+        matched.filter(F.col("asof_ts").isNotNull())
+        .select("cp", "user_id", F.col("value").alias("last_value"), F.col("asof_ts").alias("last_ts"))
     )
 
 

@@ -34,6 +34,36 @@ def test_asof_join_backward_with_keys_and_tolerance(spark):
     assert got[("B", 23)] is None   # 10:00 quote outside 4h tolerance
 
 
+def test_asof_merge_plan_agrees_with_rangejoin(spark):
+    """The merge-asof (union+window) plan and the range-join+max_by plan
+    are the same function; randomized-ish fixture with ties, duplicate
+    left rows, empty groups, and no-match rows."""
+    import random
+
+    rng = random.Random(7)
+    # unique (sym, qts) pairs: with right-side timestamp ties the picked
+    # row is nondeterministic in ANY distributed asof (no order tiebreak),
+    # so the comparand fixture stays tie-free.
+    pairs = rng.sample([(k, h) for k in range(4) for h in range(24)], 40)
+    quotes = [(f"k{k}", _ts(h), float(i)) for i, (k, h) in enumerate(pairs)]
+    trades = [(f"k{rng.randrange(5)}", _ts(rng.randrange(24))) for _ in range(30)]
+    trades += trades[:5]  # duplicate left rows must be preserved
+    q = spark.createDataFrame(quotes, "sym string, qts timestamp, px double")
+    t = spark.createDataFrame(trades, "sym string, tts timestamp")
+    for direction in ("backward", "forward"):
+        for tol in (None, 3600 * 3):
+            a = relational.asof_join(
+                t, q, "tts", "qts", by=["sym"], value_cols=["px"], direction=direction, tolerance_seconds=tol
+            )
+            b = relational.asof_join_rangejoin(
+                t, q, "tts", "qts", by=["sym"], value_cols=["px"], direction=direction, tolerance_seconds=tol
+            )
+            key = lambda r: (r.sym, r.tts, r.px if r.px is not None else -1.0, r.asof_qts or _ts(0))
+            ra, rb = sorted(a.collect(), key=key), sorted(b.collect(), key=key)
+            assert len(ra) == len(rb) == len(trades)
+            assert ra == rb, f"direction={direction} tol={tol}"
+
+
 def test_asof_join_forward(spark):
     ref = spark.createDataFrame([(1, _ts(12), "x")], "k int, rts timestamp, v string")
     probe = spark.createDataFrame([(1, _ts(10)), (1, _ts(13))], "k int, pts timestamp")

@@ -60,6 +60,49 @@ def test_d1_single_shuffle(spark, sf_dir, qmap):
     assert facts["exch"] == 1, "exact dedup is one shuffle on the hash"
 
 
+def _single_partition_feeds_only_aggregates(df) -> bool:
+    """True iff every Exchange SinglePartition in the plan consumes a
+    HashAggregate (the tiny per-partition-counts table of _renumber_by),
+    never the full frame."""
+    lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        if "HashAggregate" not in nxt and "SortAggregate" not in nxt and "ObjectHashAggregate" not in nxt:
+            return False
+    return True
+
+
+def test_mdf_row_id_reassignment_is_distributed(spark):
+    """sort_values/explode/join/concat renumber row ids via per-partition
+    offsets: the full frame must never cross an Exchange SinglePartition
+    (only the #partitions-row counts table may)."""
+    from medvedi_spark.frame import MDF, concat, join as mjoin
+
+    left = MDF({"k": [3, 1, 2, 1], "v": ["x", "y", "z", "w"]}, spark=spark)
+    right = MDF({"k": [1, 2], "r": [10, 20]}, spark=spark)
+    import numpy as np
+
+    arr = MDF({"k": [1, 2], "l": np.array([[1, 2], [3]], dtype=object)}, spark=spark)
+    assert _single_partition_feeds_only_aggregates(left.sort_values("k")._df)
+    assert _single_partition_feeds_only_aggregates(arr.explode("l")._df)
+    left_i, right_i = left.set_index("k"), right.set_index("k")
+    assert _single_partition_feeds_only_aggregates(mjoin(left_i, right_i)._df)
+    assert _single_partition_feeds_only_aggregates(concat(left, left, ignore_index=True)._df)
+
+
+def test_q17_merge_asof_no_expansion_join(spark, sf_dir, qmap):
+    """q17 must run the merge-asof plan: the only join is the tiny
+    users×checkpoints grid build (broadcast); events flow through a
+    union+window, never through a row-multiplying range join."""
+    df = qmap["q17_asof_join"](spark, sf_dir)
+    facts = plan_facts(df)
+    assert facts["smj"] + facts["shj"] == 0, "no shuffled theta/equi join of events"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, "asof must resolve via a window pass"
+
+
 def test_d3_verify_join_not_hinted_broadcast(spark, sf_dir, qmap):
     """The MinHash verify stage joins candidate pairs back to per-doc token
     SETS — a table proportional to the corpus. An explicit broadcast hint
