@@ -203,13 +203,19 @@ def st6_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
+        q10 = decimal.Decimal("1e-10")
         n, vsum = state.get if state.exists else (0, "0")
         acc = decimal.Decimal(vsum)
         for pdf in pdfs:
             n += len(pdf)
-            # exact decimal accumulation — same policy as _det.dsum
-            for v in pdf["value"]:
-                acc += decimal.Decimal(repr(float(v))).quantize(decimal.Decimal("1e-10"))
+            if len(pdf):
+                # exact decimal accumulation (same policy as _det.dsum),
+                # batched through pandas instead of a per-row python loop
+                acc += (
+                    pdf["value"]
+                    .map(lambda v: decimal.Decimal(repr(float(v))).quantize(q10))
+                    .sum()
+                )
         state.update((n, str(acc)))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum": [float(acc)]})
 
