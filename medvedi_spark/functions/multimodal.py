@@ -2,16 +2,20 @@
 
 Convention (SURVEY §2.10): media travels as a ``binary`` column plus typed
 metadata columns; all per-item work happens in Arrow-batched python
-(``mapInPandas``), never row-at-a-time UDFs. The decode step itself is
-stubbed — codec libraries (PIL/ffmpeg/torchaudio) are not in this
-environment — but the batch plumbing (schema, batching, partition
-independence) is real and oracle-tested via m1_multimodal_meta.
+(``mapInPandas``), never row-at-a-time UDFs. The codecs here are real,
+pure-python implementations of formats simple enough to decode exactly
+without external libraries (BMP, RIFF/WAVE PCM16, concatenated-BMP video);
+PIL/ffmpeg would slot into the same batch loop for compressed formats.
+Oracle-tested end-to-end via m1_multimodal_meta / m2_media_pipeline /
+m3_audio_pipeline.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 CHUNK_BYTES = 256
@@ -36,50 +40,181 @@ def binary_metadata_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         )
 
 
-def fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic stand-in for the codec stage of a media pipeline.
-
-    Real deployments swap this for PIL/ffmpeg decode; the Spark-side
-    contract stays identical: binary ``payload`` in, typed media
-    metadata out, Arrow batches both ways, no cross-row state. The fake
-    derives (height, width, n_frames) from the payload's md5 so the
-    whole downstream pipeline (resize, frame sampling) is exercised
-    end-to-end and oracle-checkable.
-    """
-    import hashlib
-
-    for pdf in batches:
-        digests = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "byte_len": pdf["payload"].map(len).astype("int64"),
-                "height": digests.map(lambda d: 1 + int(d[0:3], 16) % 512).astype("int64"),
-                "width": digests.map(lambda d: 1 + int(d[3:6], 16) % 512).astype("int64"),
-                "n_frames": digests.map(lambda d: 1 + int(d[6:8], 16) % 120).astype("int64"),
-            }
-        )
-
-
 def resize_dims(height: int, width: int, target: int = 224) -> tuple[int, int]:
     """Integer aspect-preserving resize (long side → ``target``)."""
     long_side = max(height, width)
     return height * target // long_side, width * target // long_side
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to HxWxC uint8. STUB: no codec libs here."""
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this "
-        "environment; the Spark-side plumbing is binary_metadata_batches"
+# --------------------------------------------------------------------------
+# Real pure-python codecs. No external codec libraries exist in this
+# environment, so the media formats chosen are ones a few hundred lines of
+# stdlib+numpy decode exactly: BMP (24-bit uncompressed, BITMAPINFOHEADER)
+# for images, RIFF/WAVE PCM16 mono for audio, and a concatenated-BMP
+# container for video (each frame is a self-delimiting BMP blob — the
+# header's file-size field is the frame boundary). These run for real
+# inside the Arrow batch loop; swapping in PIL/ffmpeg changes only the
+# per-payload decode call, not the Spark plumbing.
+# --------------------------------------------------------------------------
+
+_BMP_HEADER_SIZE = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a 24-bit uncompressed BMP."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 RGB, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+    row_pad = (4 - (3 * w) % 4) % 4
+    img_size = h * (3 * w + row_pad)
+    total = _BMP_HEADER_SIZE + img_size
+    head = struct.pack("<2sIHHI", b"BM", total, 0, 0, _BMP_HEADER_SIZE)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    # pixel rows are stored bottom-up, channels as BGR, rows padded to 4
+    padded = np.zeros((h, 3 * w + row_pad), dtype=np.uint8)
+    padded[:, : 3 * w] = arr[::-1, :, ::-1].reshape(h, 3 * w)
+    return head + info + padded.tobytes()
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """Decode a 24-bit uncompressed BMP to an HxWx3 uint8 RGB array."""
+    magic, total, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM" or total > len(payload):
+        raise ValueError("not a BMP payload")
+    hdr_sz, w, h, _planes, bpp, compression = struct.unpack_from("<Iii HHI".replace(" ", ""), payload, 14)
+    if hdr_sz < 40 or bpp != 24 or compression != 0 or h <= 0 or w <= 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    row_pad = (4 - (3 * w) % 4) % 4
+    stride = 3 * w + row_pad
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=offset).reshape(h, stride)
+    return rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1]
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an image payload to HxWx3 uint8 (BMP built in; other
+    formats need codec libraries absent from this environment)."""
+    return decode_bmp(payload)
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 16_000) -> bytes:
+    """Encode int16 mono PCM as a RIFF/WAVE file."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(pcm),
     )
+    return hdr + pcm
 
 
-def decode_audio(payload: bytes, sample_rate: int = 16_000) -> "object":
-    """Decode audio to mono float32 PCM. STUB: no codec libs here."""
-    raise NotImplementedError("audio decode stub — see decode_image")
+def decode_audio(payload: bytes, sample_rate: int | None = None) -> tuple["np.ndarray", int]:
+    """Decode RIFF/WAVE PCM16 mono → (int16 sample array, sample rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    fmt, channels, rate, _byte_rate, _block_align, bits = struct.unpack_from("<HHIIHH", payload, 20)
+    if fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(f"unsupported WAVE variant (fmt={fmt}, ch={channels}, bits={bits})")
+    (data_len,) = struct.unpack_from("<I", payload, 40)
+    samples = np.frombuffer(payload, dtype="<i2", count=data_len // 2, offset=44)
+    if sample_rate is not None and rate != sample_rate:
+        raise ValueError(f"expected rate {sample_rate}, file says {rate}")
+    return samples, rate
 
 
-def sample_video_frames(payload: bytes, every_n: int = 30) -> "object":
-    """Sample every Nth frame of a video payload. STUB: no codec libs."""
-    raise NotImplementedError("video decode stub — see decode_image")
+def encode_video(frames: "list[np.ndarray]") -> bytes:
+    """Concatenated-BMP video container: frames back to back, each
+    self-delimiting through its BMP file-size field."""
+    return b"".join(encode_bmp(f) for f in frames)
+
+
+def split_video_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-BMP container into per-frame BMP blobs."""
+    out, pos = [], 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"bad frame boundary at byte {pos}")
+        (total,) = struct.unpack_from("<I", payload, pos + 2)
+        out.append(payload[pos : pos + total])
+        pos += total
+    return out
+
+
+def sample_video_frames(payload: bytes, every_n: int = 30) -> "list[np.ndarray]":
+    """Decode every Nth frame of a concatenated-BMP video payload."""
+    blobs = split_video_frames(payload)
+    return [decode_bmp(b) for b in blobs[::every_n]]
+
+
+# --------------------------------------------------------------------------
+# End-to-end media pipelines over the real codecs. Geometry is seeded from
+# the payload's md5 (a deterministic synthetic-media generator the SQL
+# oracle can replay); everything downstream of encode is the honest path:
+# container split on BMP size fields, real header parse, real pixel /
+# sample extraction. A mis-parsed stride or swapped channel order changes
+# pixel_sum0/amp_sum and fails the driver's hash gate.
+# --------------------------------------------------------------------------
+
+MEDIA_MAX_DIM = 32
+MEDIA_MAX_FRAMES = 5
+VIDEO_SAMPLE_EVERY = 2
+AUDIO_RATE = 16_000
+
+
+def synth_geometry(md5_hex: str) -> tuple[int, int, int]:
+    """(height, width, n_frames) for a synthetic video payload."""
+    h = 1 + int(md5_hex[0:3], 16) % MEDIA_MAX_DIM
+    w = 1 + int(md5_hex[3:6], 16) % MEDIA_MAX_DIM
+    nf = 1 + int(md5_hex[6:8], 16) % MEDIA_MAX_FRAMES
+    return h, w, nf
+
+
+def media_pipeline_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """decode → resize → frame-sample over real encoded bytes."""
+    import hashlib
+
+    cols = ("doc_id", "byte_len", "height", "width", "n_frames", "pixel_sum0", "out_h", "out_w", "n_sampled")
+    for pdf in batches:
+        rows: dict[str, list[int]] = {c: [] for c in cols}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            h, w, nf = synth_geometry(hashlib.md5(payload).hexdigest())
+            src = np.frombuffer(payload, dtype=np.uint8) if payload else np.zeros(1, dtype=np.uint8)
+            npix = h * w * 3
+            stream = np.resize(src, nf * npix)  # cycles the payload bytes
+            video = encode_video([stream[k * npix : (k + 1) * npix].reshape(h, w, 3) for k in range(nf)])
+            # honest decode path from here on
+            frames = split_video_frames(video)
+            first = decode_bmp(frames[0])
+            fh, fw = first.shape[:2]
+            oh, ow = resize_dims(fh, fw)
+            sampled = sample_video_frames(video, every_n=VIDEO_SAMPLE_EVERY)
+            vals = (doc_id, len(video), fh, fw, len(frames), int(first.astype(np.int64).sum()), oh, ow, len(sampled))
+            for c, v in zip(cols, vals):
+                rows[c].append(v)
+        yield pd.DataFrame({c: pd.Series(rows[c], dtype="int64") for c in cols})
+
+
+def audio_pipeline_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """PCM16 WAV encode → real RIFF parse → sample statistics."""
+    cols = ("doc_id", "byte_len", "n_samples", "sample_rate", "duration_ms", "amp_sum", "peak")
+    for pdf in batches:
+        rows: dict[str, list[int]] = {c: [] for c in cols}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload) or b"\x80"
+            src = np.frombuffer(payload, dtype=np.uint8).astype(np.int32)
+            wav = encode_wav((src * 256 - 32768).astype(np.int16), AUDIO_RATE)
+            dec, rate = decode_audio(wav)
+            vals = (
+                doc_id,
+                len(wav),
+                len(dec),
+                rate,
+                len(dec) * 1000 // rate,
+                int(dec.astype(np.int64).sum()),
+                int(dec.max()),
+            )
+            for c, v in zip(cols, vals):
+                rows[c].append(v)
+        yield pd.DataFrame({c: pd.Series(rows[c], dtype="int64") for c in cols})

@@ -253,51 +253,100 @@ def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# m2 — full media pipeline shape: decode (deterministic fake) → resize →
-# frame-sample, all inside ONE mapInPandas pass (Arrow batches, zero
+# m2 — full media pipeline over a REAL codec: each payload becomes a
+# concatenated-BMP video (geometry md5-seeded, pixels the payload bytes
+# cycled), then the honest path runs inside ONE mapInPandas pass:
+# container split on BMP size fields → 24-bit BMP header parse → pixel
+# extraction → resize → every-2nd-frame sampling. Arrow batches, zero
 # cross-row state, so AQE can re-partition freely and the stage scales
-# linearly with executors). Swap fake_decode_batches for a real codec and
-# nothing else changes. The oracle replays the identical arithmetic in
-# SQL from the same md5, proving the python stage bit-for-bit.
+# linearly with executors. The oracle replays the outputs arithmetically
+# in SQL (documents.text is ASCII, so ascii(substr()) enumerates payload
+# bytes); a stride mis-parse or channel swap in the decoder breaks
+# pixel_sum0 and fails the hash gate.
 # --------------------------------------------------------------------------
 
 
 @register(
     "m2_media_pipeline",
     oracle="""
-    WITH decoded AS (
-      SELECT doc_id,
-             octet_length(CAST(text AS BLOB)) AS byte_len,
-             1 + CAST('0x' || substr(md5(text), 1, 3) AS BIGINT) % 512 AS height,
-             1 + CAST('0x' || substr(md5(text), 4, 3) AS BIGINT) % 512 AS width,
-             1 + CAST('0x' || substr(md5(text), 7, 2) AS BIGINT) % 120 AS n_frames
+    WITH g AS (
+      SELECT doc_id, text,
+             length(text) AS L,
+             1 + CAST('0x' || substr(md5(text), 1, 3) AS BIGINT) % 32 AS height,
+             1 + CAST('0x' || substr(md5(text), 4, 3) AS BIGINT) % 32 AS width,
+             1 + CAST('0x' || substr(md5(text), 7, 2) AS BIGINT) % 5 AS n_frames
       FROM documents
+    ),
+    s AS (
+      SELECT doc_id, height, width, n_frames, L,
+             3 * height * width AS npix,
+             (4 - (3 * width) % 4) % 4 AS row_pad,
+             list_transform(range(1, L + 1), i -> ascii(substr(text, CAST(i AS INT), 1))) AS bs
+      FROM g
     )
-    SELECT doc_id, byte_len, height, width, n_frames,
+    SELECT doc_id,
+           CAST(n_frames * (54 + height * (3 * width + row_pad)) AS BIGINT) AS byte_len,
+           height, width, n_frames,
+           CAST((npix // L) * list_sum(bs)
+                + COALESCE(list_sum(bs[1:(npix % L)]), 0) AS BIGINT) AS pixel_sum0,
            height * 224 // GREATEST(height, width) AS out_h,
            width * 224 // GREATEST(height, width) AS out_w,
-           (n_frames + 29) // 30 AS n_sampled_frames
-    FROM decoded
+           (n_frames + 1) // 2 AS n_sampled
+    FROM s
     """,
-    tags=("multimodal", "udf", "llm"),
+    tags=("multimodal", "udf", "codec", "llm"),
 )
 def m2_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from medvedi_spark.functions.multimodal import fake_decode_batches
+    from medvedi_spark.functions.multimodal import media_pipeline_batches
 
     docs = load(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    decoded = payloads.mapInPandas(
-        fake_decode_batches,
-        schema="doc_id bigint, byte_len bigint, height bigint, width bigint, n_frames bigint",
+    return payloads.mapInPandas(
+        media_pipeline_batches,
+        schema=(
+            "doc_id bigint, byte_len bigint, height bigint, width bigint, "
+            "n_frames bigint, pixel_sum0 bigint, out_h bigint, out_w bigint, n_sampled bigint"
+        ),
     )
-    long_side = F.greatest("height", "width")
-    return decoded.select(
-        "doc_id",
-        "byte_len",
-        "height",
-        "width",
-        "n_frames",
-        (F.col("height") * 224 / long_side).cast("bigint").alias("out_h"),
-        (F.col("width") * 224 / long_side).cast("bigint").alias("out_w"),
-        ((F.col("n_frames") + 29) / 30).cast("bigint").alias("n_sampled_frames"),
+
+
+# --------------------------------------------------------------------------
+# m3 — audio pipeline over the real RIFF/WAVE codec: payload bytes become
+# PCM16 mono samples ((b - 128) << 8), encoded as a real WAV file, then
+# decoded back through the honest header parse; the outputs are sample
+# statistics off the decoded array. Same mapInPandas scaling shape as m2.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "m3_audio_pipeline",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) AS L,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, CAST(i AS INT), 1))) AS bs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(44 + 2 * L AS BIGINT) AS byte_len,
+           CAST(L AS BIGINT) AS n_samples,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(L * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(256 * list_sum(bs) - 32768 * L AS BIGINT) AS amp_sum,
+           CAST(256 * list_max(bs) - 32768 AS BIGINT) AS peak
+    FROM b
+    """,
+    tags=("multimodal", "udf", "codec", "audio", "llm"),
+)
+def m3_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.functions.multimodal import audio_pipeline_batches
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        audio_pipeline_batches,
+        schema=(
+            "doc_id bigint, byte_len bigint, n_samples bigint, sample_rate bigint, "
+            "duration_ms bigint, amp_sum bigint, peak bigint"
+        ),
     )
