@@ -83,12 +83,12 @@ def _fill_defaults(df: DataFrame, cols: Iterable[str]) -> DataFrame:
     return df.select(*exprs)
 
 
-def _renumber_by(df: DataFrame, *order_exprs: Column) -> DataFrame:
-    """Reassign ``ROW_ID`` as contiguous 0-based ids following
-    ``order_exprs`` — WITHOUT funnelling the frame through one task.
+def _attach_positions(df: DataFrame, *order_exprs: Column, out: str = "__pos__") -> DataFrame:
+    """Attach contiguous 0-based positions following ``order_exprs`` —
+    WITHOUT funnelling the frame through one task.
 
     Plan: range-sort on the order expressions (distributed), then
-    id = per-partition offset + intra-partition row_number. The offsets
+    pos = per-partition offset + intra-partition row_number. The offsets
     come from a per-partition count aggregate (rows = cluster partition
     count, not data rows) whose cumulative sum is the only
     single-partition window in the plan; the frame itself only crosses a
@@ -103,8 +103,17 @@ def _renumber_by(df: DataFrame, *order_exprs: Column) -> DataFrame:
     w_pos = Window.partitionBy("__pid__").orderBy(*order_exprs)
     return (
         sdf.join(F.broadcast(offsets), "__pid__")
-        .withColumn("__new_rid__", F.col("__off__") + F.row_number().over(w_pos) - 1)
-        .drop("__pid__", "__off__", ROW_ID)
+        .withColumn(out, F.col("__off__") + F.row_number().over(w_pos) - 1)
+        .drop("__pid__", "__off__")
+    )
+
+
+def _renumber_by(df: DataFrame, *order_exprs: Column) -> DataFrame:
+    """Reassign ``ROW_ID`` as contiguous 0-based ids following
+    ``order_exprs`` (see ``_attach_positions`` for the plan shape)."""
+    return (
+        _attach_positions(df, *order_exprs, out="__new_rid__")
+        .drop(ROW_ID)
         .withColumnRenamed("__new_rid__", ROW_ID)
     )
 
@@ -267,14 +276,26 @@ class Index:
         return self._monotonic(ascending=False)
 
     def _monotonic(self, ascending: bool) -> bool:
+        """Adjacent-pair comparison in row order, distributed: the frame
+        range-sorts on ROW_ID, each partition lag-compares internally, and
+        only the per-partition (first, last) boundary values — #partitions
+        rows — cross a single-partition window."""
         parent = self._parent
-        keys = [F.col(k) for k in parent._index]
-        w = Window.orderBy(F.col(ROW_ID))
-        cur = F.struct(*keys)
+        cur = F.struct(*[F.col(k) for k in parent._index])
+        sdf = parent._df.orderBy(F.col(ROW_ID)).withColumn("__pid__", F.spark_partition_id())
+        w = Window.partitionBy("__pid__").orderBy(F.col(ROW_ID))
         prev = F.lag(cur).over(w)
         cmp = cur >= prev if ascending else cur <= prev
-        flags = parent._df.select((prev.isNotNull() & ~cmp).alias("bad"))
-        return flags.filter(F.col("bad")).isEmpty()
+        if not sdf.select((prev.isNotNull() & ~cmp).alias("bad")).filter(F.col("bad")).isEmpty():
+            return False
+        bounds = sdf.groupBy("__pid__").agg(
+            F.min_by(cur, F.col(ROW_ID)).alias("__first__"),
+            F.max_by(cur, F.col(ROW_ID)).alias("__last__"),
+        )
+        wb = Window.orderBy("__pid__")
+        prev_last = F.lag("__last__").over(wb)
+        cmp_b = F.col("__first__") >= prev_last if ascending else F.col("__first__") <= prev_last
+        return bounds.select((prev_last.isNotNull() & ~cmp_b).alias("bad")).filter(F.col("bad")).isEmpty()
 
 
 class Grouper:
@@ -545,9 +566,9 @@ class MDF:
     # -- P5/P6: take / iloc ----------------------------------------------------
 
     def _df_pos(self) -> DataFrame:
-        """Attach a contiguous 0-based position column (ordered by row id)."""
-        w = Window.orderBy(F.col(ROW_ID))
-        return self._df.withColumn("__pos__", F.row_number().over(w) - 1)
+        """Attach a contiguous 0-based position column (ordered by row id),
+        via the distributed partition-offset plan — not a global window."""
+        return _attach_positions(self._df, F.col(ROW_ID))
 
     def take(self, mask_or_indexes, inplace: bool = False) -> "MDF | None":
         arr = np.asarray(mask_or_indexes)

@@ -1,0 +1,182 @@
+"""Driver-gated coverage for the MDF compat surface.
+
+Most MDF operators (arrow round-trip, iloc, sort_index, Index.diff,
+duplicated masks, monotonic checks) were proven only by unit tests in
+round 1 — the driver's oracle gate never exercised them. These queries
+drive each one end-to-end under whatever SparkSession the driver
+provides and express the expected answer in ANSI SQL, so the rows flip
+from "unit-test green" to "driver-verified".
+
+Positions: MDF row order is the parquet file order (row ids ascend with
+(partition, offset)); the oracles reconstruct the same positions with
+``row_number() OVER () - 1``, which DuckDB evaluates in insertion order
+over a parquet scan.
+
+Reference parity targets: S2/S3 (`medvedi/dataframe.py:1059-1080`),
+P6 iloc (`dataframe.py:264-287`), O2 sort_index, J2 Index.diff
+(`dataframe.py:169-186`), G7/G10 duplicated, O4 monotonic accessors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medvedi_spark.frame import MDF, ROW_ID
+from medvedi_spark.queries.registry import register
+
+
+def _tbl(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# c1 — arrow round-trip (S2 to_arrow + S3 from_arrow) on a real table.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c1_arrow_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("compat", "arrow"),
+)
+def c1_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mdf = MDF.read_parquet(_tbl(sf_dir, "nation"), spark=spark)
+    back = MDF.from_arrow(mdf.to_arrow(), spark=spark)
+    return back.df.select("n_nationkey", "n_name", "n_regionkey")
+
+
+# --------------------------------------------------------------------------
+# c2 — iloc slice after a stable sort (P5 take + P6 iloc).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c2_iloc_slice",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer ORDER BY c_custkey LIMIT 50 OFFSET 100
+    """,
+    tags=("compat", "iloc"),
+)
+def c2_iloc_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mdf = MDF.read_parquet(_tbl(sf_dir, "customer"), spark=spark)
+    sliced = mdf.sort_values("c_custkey").iloc[100:150]
+    return sliced.df.select("c_custkey", "c_name", "c_acctbal")
+
+
+# --------------------------------------------------------------------------
+# c3 — sort_index emits the sorted rank through the renumbered row ids
+# (O2 + X1 set_index + X2 reset_index). The pos column pins the ORDER,
+# not just the row set.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c3_sort_index_rank",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY n_name) - 1 AS BIGINT) AS pos,
+           n_name, n_nationkey
+    FROM nation
+    """,
+    tags=("compat", "sort"),
+)
+def c3_sort_index_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mdf = MDF.read_parquet(_tbl(sf_dir, "nation"), spark=spark).set_index("n_name")
+    out = mdf.sort_index().reset_index()
+    return out.df.select(F.col(ROW_ID).alias("pos"), "n_name", "n_nationkey")
+
+
+# --------------------------------------------------------------------------
+# c4 — Index.diff anti-join positions (J2): nations with no supplier.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c4_index_diff",
+    oracle="""
+    SELECT pos FROM (
+      SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS pos, c_custkey
+      FROM customer
+    )
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    tags=("compat", "index", "antijoin"),
+)
+def c4_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = MDF.read_parquet(_tbl(sf_dir, "customer"), spark=spark).set_index("c_custkey")
+    orders = MDF._from_spark(
+        MDF.read_parquet(_tbl(sf_dir, "orders"), spark=spark).df.filter(F.col("o_orderstatus") == "F"),
+        index=("o_custkey",),
+    )
+    pos = cust.index.diff(orders.index)
+    return spark.createDataFrame([(int(p),) for p in pos], "pos bigint")
+
+
+# --------------------------------------------------------------------------
+# c5 — duplicated mask in row order (G7; Index.duplicated G10 delegates
+# to the same kernel). keep='first' ⇒ first occurrence in file order is
+# False, later ones True.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c5_duplicated_mask",
+    oracle="""
+    SELECT pos, row_number() OVER (PARTITION BY o_custkey ORDER BY pos) > 1 AS dup
+    FROM (
+      SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS pos, o_custkey
+      FROM orders
+    )
+    """,
+    tags=("compat", "dedup"),
+)
+def c5_duplicated_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mdf = MDF.read_parquet(_tbl(sf_dir, "orders"), spark=spark)
+    mask = mdf.duplicated(subset=["o_custkey"], keep="first")
+    return spark.createDataFrame(
+        [(i, bool(v)) for i, v in enumerate(mask)], "pos bigint, dup boolean"
+    )
+
+
+# --------------------------------------------------------------------------
+# c6 — index accessors: is_unique (G9) + monotonic checks (O4), computed
+# on the engine side and recomputed from scratch by the oracle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c6_index_accessors",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS pos, n_name
+      FROM nation
+    ),
+    file_order AS (
+      SELECT bool_and(inc_ok) AS inc_mono, bool_and(dec_ok) AS dec_mono FROM (
+        SELECT lag(n_name) OVER w IS NULL OR n_name >= lag(n_name) OVER w AS inc_ok,
+               lag(n_name) OVER w IS NULL OR n_name <= lag(n_name) OVER w AS dec_ok
+        FROM p WINDOW w AS (ORDER BY pos)
+      )
+    )
+    SELECT (COUNT(DISTINCT n_name) = COUNT(*)) AS is_unique,
+           (SELECT inc_mono FROM file_order) AS inc_monotonic,
+           (SELECT dec_mono FROM file_order) AS dec_monotonic
+    FROM nation
+    """,
+    tags=("compat", "index"),
+)
+def c6_index_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = MDF.read_parquet(_tbl(sf_dir, "nation"), spark=spark).set_index("n_name")
+    return spark.createDataFrame(
+        [
+            (
+                bool(nat.index.is_unique),
+                bool(nat.index.is_monotonic_increasing),
+                bool(nat.index.is_monotonic_decreasing),
+            )
+        ],
+        "is_unique boolean, inc_monotonic boolean, dec_monotonic boolean",
+    )

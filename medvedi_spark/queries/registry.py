@@ -66,6 +66,6 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from medvedi_spark.queries import relational, llm_ops, text_ops, stream_ops  # noqa: F401
+    from medvedi_spark.queries import compat_ops, llm_ops, relational, stream_ops, text_ops  # noqa: F401
 
     _LOADED = True

@@ -90,6 +90,9 @@ def test_mdf_row_id_reassignment_is_distributed(spark):
     left_i, right_i = left.set_index("k"), right.set_index("k")
     assert _single_partition_feeds_only_aggregates(mjoin(left_i, right_i)._df)
     assert _single_partition_feeds_only_aggregates(concat(left, left, ignore_index=True)._df)
+    # position attachment (take/iloc/__setitem__ path) is the same plan
+    assert _single_partition_feeds_only_aggregates(left._df_pos())
+    assert _single_partition_feeds_only_aggregates(left.take(np.array([2, 0]))._df)
 
 
 def test_q17_merge_asof_no_expansion_join(spark, sf_dir, qmap):
