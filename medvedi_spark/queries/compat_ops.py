@@ -134,11 +134,15 @@ def c4_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("compat", "dedup"),
 )
 def c5_duplicated_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     mdf = MDF.read_parquet(_tbl(sf_dir, "orders"), spark=spark)
     mask = mdf.duplicated(subset=["o_custkey"], keep="first")
-    return spark.createDataFrame(
-        [(i, bool(v)) for i, v in enumerate(mask)], "pos bigint, dup boolean"
-    )
+    # Arrow-batched transfer back (the mask itself is driver-side numpy,
+    # which is the compat contract for G7)
+    pdf = pd.DataFrame({"pos": np.arange(len(mask), dtype=np.int64), "dup": mask.astype(bool)})
+    return spark.createDataFrame(pdf)
 
 
 # --------------------------------------------------------------------------
