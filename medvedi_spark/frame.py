@@ -508,6 +508,10 @@ class MDF:
     def __contains__(self, key: Hashable) -> bool:
         return str(key) in self.columns
 
+    def __iter__(self) -> Iterator[str]:
+        """Iterate column names (`tests/test_iter.py:10-12`)."""
+        return iter(self.columns)
+
     def __repr__(self) -> str:
         return f"MDF(columns={list(self.columns)}, index={list(self._index)})"
 
@@ -539,9 +543,24 @@ class MDF:
             self._df = self._df.withColumn(name, value)
             return
         if np.isscalar(value) or value is None:
-            self._df = self._df.withColumn(name, F.lit(_normalize_cell(value)))
+            lit = F.lit(_normalize_cell(value))
+            if name in self.columns:
+                # scalar assignment keeps the existing column type
+                # (`tests/test_columns.py:56-76`): broadcasting 45 into a
+                # string column is an error, not a silent retype
+                cur = self._df.schema[name].dataType
+                if value is not None and isinstance(cur, T.StringType) and not isinstance(value, str):
+                    raise ValueError(
+                        f"cannot assign non-string scalar {value!r} to string column {name!r}"
+                    )
+                lit = lit.cast(cur)
+            self._df = self._df.withColumn(name, lit)
             return
         arr = np.asarray(value)
+        if arr.ndim > 1:
+            # multidimensional payloads are rejected, not flattened
+            # (`tests/test_columns.py:12-13`)
+            raise ValueError(f"can only assign 1-D data, got shape {arr.shape}")
         n = self._df.count()
         if len(arr) != n:
             raise ValueError(f"length mismatch: {len(arr)} != {n}")
@@ -561,7 +580,12 @@ class MDF:
             raise ValueError(f"cannot delete index column {name!r}")  # `dataframe.py:428-436`
         if name not in self.columns:
             raise KeyError(key)
-        self._df = self._df.drop(name)
+        out = self._df.drop(name)
+        if not [c for c in out.columns if c != ROW_ID]:
+            # deleting the last data column leaves a zero-length frame
+            # (`tests/test_columns.py:19-23`): length is defined by columns
+            out = out.limit(0)
+        self._df = out
 
     # -- P5/P6: take / iloc ----------------------------------------------------
 
