@@ -12,7 +12,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "load", "load_all", "register_views", "ensure_session_confs"]
+__all__ = [
+    "TABLES",
+    "load",
+    "load_all",
+    "normalize_event_ts",
+    "register_views",
+    "ensure_session_confs",
+]
 
 TABLES = (
     "region",
@@ -67,6 +74,31 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(conf_key, value)
 
 
+def normalize_event_ts(df: DataFrame, column: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to session-TZ ``timestamp``.
+
+    The on-disk physical type has changed between testdata generations
+    (TIMESTAMP(NANOS) → timestamp[us]), so the conversion branches on what
+    the reader actually produced rather than assuming one encoding:
+
+    - ``bigint`` — the legacy ``nanosAsLong`` path: TIMESTAMP(NANOS) read
+      as epoch-nanos. Integer-divide to micros (epoch-nanos exceeds double
+      precision, so a float divide would corrupt the low microseconds).
+    - ``timestamp_ntz`` — parquet ``isAdjustedToUTC=false`` micros. With
+      the session pinned to UTC, reinterpreting as ``timestamp`` is
+      value-identical and keeps one dtype across data generations.
+    - ``timestamp`` — already the target type; no-op.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(column)
+    if dtype == "bigint":
+        return df.withColumn(column, F.timestamp_micros(F.expr(f"{column} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(column, F.col(column).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -77,14 +109,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk; with nanosAsLong it arrives as a
-        # bigint of epoch nanos. The data has no sub-microsecond content,
-        # so truncating to micros is lossless (and matches DuckDB's view).
-        from pyspark.sql import functions as F
-
-        # Integer division: epoch-nanos exceeds double precision, so a
-        # float divide would corrupt the low microseconds.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     _DF_CACHE[key] = df
     return df
 
@@ -93,7 +118,21 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for the SQL API surface."""
-    for name in TABLES:
-        load(spark, sf_dir, name).createOrReplaceTempView(name)
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, Exception]:
+    """Register tables as temp views for the SQL API surface.
+
+    Registration is per-table and failure-tolerant: one unreadable table
+    must not take down SQL queries that never touch it (a view that failed
+    to register surfaces later as a TABLE_OR_VIEW_NOT_FOUND naming exactly
+    the broken table). Returns the per-table failures for callers that
+    want to surface them.
+    """
+    failures: dict[str, Exception] = {}
+    for name in tables:
+        try:
+            load(spark, sf_dir, name).createOrReplaceTempView(name)
+        except Exception as exc:  # noqa: BLE001 — isolate per-table breakage
+            failures[name] = exc
+    return failures

@@ -21,8 +21,8 @@ _SINK_IDS = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (ns→µs ts like catalog.load)."""
-    from ..catalog import ensure_session_confs
+    """File-source stream of the events table (ts normalized like catalog.load)."""
+    from ..catalog import ensure_session_confs, normalize_event_ts
 
     ensure_session_confs(spark)  # nanosAsLong etc. — portable to any session
     path = os.path.join(sf_dir, "events.parquet")
@@ -33,7 +33,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Schema-adaptive ns→µs / ntz→tz normalization shared with the batch
+    # loader — the on-disk encoding has changed between data generations.
+    return normalize_event_ts(stream)
 
 
 def run_to_memory(result: DataFrame, *, output_mode: str, state_partitions: int = 8) -> DataFrame:
