@@ -36,19 +36,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in QUERIES.items():
         if "nobench" in q.tags:
             continue
         samples = []
         for i in range(max(1, RUNS)):
             t0 = time.perf_counter()
-            q.builder(spark, sf_dir).count()
+            # Per-query isolation: one broken query must cost one ledger
+            # row, never the whole bench (round-2 lost ALL numbers to a
+            # single load error).
+            try:
+                q.builder(spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
             samples.append(time.perf_counter() - t0)
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 4)
+        if samples:
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({"metric": "bench_total_wall", "value": total, "unit": "sec", "queries": timings, "sf": sf}))
+    out = {"metric": "bench_total_wall", "value": total, "unit": "sec", "queries": timings, "sf": sf}
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
