@@ -184,3 +184,48 @@ def c6_index_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "is_unique boolean, inc_monotonic boolean, dec_monotonic boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# c7 — grouped-map (G4): `MDF.groupby(...).apply(pandas_fn, schema)` lowered
+# to `applyInPandas` (one Arrow batch per group, state sharded by key —
+# the distributed form of the reference's Grouper iteration,
+# `medvedi/dataframe.py:236-261`). The pandas body uses only exact
+# reductions (count/min/max/nunique) so the result is bitwise-stable
+# regardless of partitioning, making it hash-checkable against SQL.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c7_grouped_map",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("compat", "groupby", "grouped-map", "pandas-udf"),
+)
+def c7_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    mdf = MDF.read_parquet(_tbl(sf_dir, "orders"), spark=spark)
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
+                "n": [len(pdf)],
+                "min_price": [pdf["o_totalprice"].min()],
+                "max_price": [pdf["o_totalprice"].max()],
+                "n_cust": [pdf["o_custkey"].nunique()],
+            }
+        )
+
+    out = mdf.groupby("o_orderstatus").apply(
+        per_group,
+        schema="o_orderstatus string, n long, min_price double, max_price double, n_cust long",
+    )
+    return out.df.drop(ROW_ID)

@@ -84,6 +84,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "topk"),
+    doc="Gate duplicate: O5 limit/top-k proven in-window by q12 (sort+limit); J1 joins by q3.",
+    gate=False,
 )
 def q2_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
@@ -228,6 +230,8 @@ def q6_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) > 1
     """,
     tags=("dedup", "groupby"),
+    doc="Gate duplicate: G7/G10 duplicated-mask proven in-window by c5/c6.",
+    gate=False,
 )
 def q7_duplicated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -457,6 +461,8 @@ def q13_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     tags=("rollup", "groupby"),
+    doc="Gate duplicate: rollup kernel proven in-window by q31_grouping_multi.",
+    gate=False,
 )
 def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -487,6 +493,8 @@ def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     tags=("cube", "groupby", "distinct"),
+    doc="Gate duplicate: cube kernel proven in-window by q31_grouping_multi.",
+    gate=False,
 )
 def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
@@ -751,6 +759,8 @@ def q21_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     """,
     tags=("semijoin", "exists", "subquery"),
+    doc="Gate duplicate: semi/anti join proven in-window by q8 (isin membership).",
+    gate=False,
 )
 def q22_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").filter(
@@ -820,6 +830,8 @@ def q23_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
     tags=("groupingsets", "groupby"),
+    doc="Gate duplicate: rollup+cube+grouping-sets share the Expand kernel, proven in-window by the merged q31_grouping_multi.",
+    gate=False,
 )
 def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -836,6 +848,56 @@ def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_price")
     )
+
+
+# --------------------------------------------------------------------------
+# q31 — the merged grouping-family gate: rollup + cube + grouping sets over
+# the same dims in ONE hash-checked result (src column disambiguates).
+# All three lower to the same Expand physical operator, so one driver gate
+# verifies the whole family while q14/q15/q24 stay as per-API extras.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q31_grouping_multi",
+    oracle=f"""
+    SELECT 'rollup' AS src, l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS src, l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'sets' AS src, l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("rollup", "cube", "groupingsets", "groupby"),
+)
+def q31_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+
+    def agg(grouped, src: str) -> DataFrame:
+        return (
+            grouped.agg(
+                F.grouping_id().alias("gid"),
+                F.count(F.lit(1)).alias("n"),
+                dsum("l_quantity").alias("sum_qty"),
+            )
+            .select(
+                F.lit(src).alias("src"), "l_returnflag", "l_linestatus", "gid", "n", "sum_qty"
+            )
+        )
+
+    dims = ("l_returnflag", "l_linestatus")
+    rollup = agg(li.rollup(*dims), "rollup")
+    cube = agg(li.cube(*dims), "cube")
+    sets = agg(li.groupingSets([["l_returnflag"], ["l_linestatus"], []], *dims), "sets")
+    return rollup.unionAll(cube).unionAll(sets)
 
 
 # --------------------------------------------------------------------------
@@ -876,24 +938,48 @@ def q25_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q26 — sketch aggregates: approx_count_distinct (HyperLogLog++) and
-# percentile_approx (KLL-style). Estimates are engine-specific by design,
-# so there is NO DuckDB value oracle (rows-only check); the exact
-# counterparts are covered by q15 (countDistinct) and q27 (percentile).
-# At 100 TB these sketches are the only viable plan: fixed-size state,
-# one pass, mergeable across partitions.
+# percentile_approx (KLL-style). Raw estimates are engine-specific, so a
+# value oracle is impossible — instead the engine ALSO computes the exact
+# answers and emits per-group error-bound verdicts, which ARE
+# deterministic and hash-checkable (the oracle asserts every verdict is
+# TRUE). A sketch outside its published bound now fails the gate instead
+# of passing a rows-only check. At 100 TB the sketches are the only
+# viable plan: fixed-size state, one pass, mergeable across partitions —
+# the exact counterparts here exist solely to validate them.
 # --------------------------------------------------------------------------
 
 
 @register(
     "q26_approx_sketches",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           TRUE AS orders_ok, TRUE AS median_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("approx", "sketch", "agg"),
 )
 def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    sketched = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median_price"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
         F.count(F.lit(1)).alias("n"),
+    )
+    # HLL++ rsd=0.02 → 0.1 is a 5-sigma bound; percentile_approx at
+    # accuracy=10k has ~1e-4 rank error → 1% value tolerance is generous.
+    return sketched.select(
+        "l_returnflag",
+        "n",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.1 * F.col("exact_orders")
+        ).alias("orders_ok"),
+        (
+            F.abs(F.col("approx_median_price") - F.col("exact_median_price"))
+            <= 0.01 * F.col("exact_median_price")
+        ).alias("median_ok"),
     )
 
 
@@ -967,6 +1053,8 @@ def q27_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     tags=("join", "star", "groupby"),
+    doc="Gate duplicate: multi-join star agg proven in-window by q3/q27.",
+    gate=False,
 )
 def q28_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -1019,6 +1107,8 @@ def q28_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("join", "topk", "groupby"),
+    doc="Gate duplicate: join+agg+topk proven in-window by q3/q12.",
+    gate=False,
 )
 def q29_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
@@ -1061,6 +1151,8 @@ def q29_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l.l_linestatus
     """,
     tags=("join", "conditional-agg"),
+    doc="Gate duplicate: join + conditional agg proven in-window by q1/q3.",
+    gate=False,
 )
 def q30_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")

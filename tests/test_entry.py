@@ -39,3 +39,47 @@ def test_oracle_sql_parses_in_duckdb(sf_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, name)}.parquet')")
     for name, sql in entry_mod.oracle_sql().items():
         con.execute(sql).fetchall()
+
+
+def test_gate_window_composition():
+    """The driver verifies the FIRST GATE_WINDOW entries of queries().
+
+    Round-2 regression: registration order silently pushed 9 operator
+    families out of the gate. Pin: gated queries fill exactly the window,
+    every family keeps an in-window entry, and every gated-out extra
+    documents its in-window proxy.
+    """
+    from medvedi_spark.queries.registry import GATE_WINDOW, QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    names = list(entry_mod.queries())
+    gated = [n for n in names if QUERIES[n].gate]
+    assert len(gated) <= GATE_WINDOW
+    assert names[: len(gated)] == gated, "gated queries must sort first"
+
+    window = set(names[:GATE_WINDOW])
+    # Every operator family has at least one driver-gated representative.
+    families = ("c", "d", "s", "q", "st", "t", "m")
+    for fam in families:
+        prefix = tuple(f"{fam}{i}" for i in range(10)) if len(fam) == 1 else (fam,)
+        in_window = [
+            n
+            for n in window
+            if (n.startswith(fam) and n[len(fam) :][:1].isdigit())
+        ]
+        assert in_window, f"family {fam!r} lost its gate window slot"
+
+    # Extras must say which gated query proves their operator.
+    for n in names[GATE_WINDOW:]:
+        assert not QUERIES[n].gate
+        assert "Gate duplicate" in QUERIES[n].doc or "proven" in QUERIES[n].doc, n
+
+
+def test_gated_queries_all_have_oracles():
+    """Inside the window, only justified non-SQL ops may omit an oracle."""
+    from medvedi_spark.queries.registry import GATE_WINDOW, QUERIES
+
+    names = list(entry_mod.queries())[:GATE_WINDOW]
+    oracles = entry_mod.oracle_sql()
+    missing = [n for n in names if n not in oracles]
+    assert missing == [], f"gated queries without oracle: {missing}"
