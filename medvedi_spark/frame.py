@@ -361,9 +361,22 @@ class Grouper:
         out = self._parent._df.drop(ROW_ID).groupBy(*self._keys).applyInPandas(fn, schema=schema)
         return MDF._from_spark(out.withColumn(ROW_ID, F.monotonically_increasing_id()), index=())
 
-    def __iter__(self) -> Iterator[tuple[Any, "pd.DataFrame"]]:
-        """Driver-side per-group iteration (compat path; scale path is
-        ``apply``)."""
+    def __iter__(self) -> Iterator[np.ndarray]:
+        """Yield the row-index array of each group, in sorted-key group
+        order — the reference contract (`medvedi/dataframe.py:236-261`:
+        ``for group in df.groupby("a"): values[group]``). Driver-side by
+        definition (indexes address driver-materialized columns); the
+        scale path is ``apply``/``agg``.
+        """
+        order, counts = self._order_counts()
+        pos = 0
+        for count in counts:
+            yield order[pos : pos + count]
+            pos += count
+
+    def iter_frames(self) -> Iterator[tuple[Any, "pd.DataFrame"]]:
+        """Convenience beyond the reference: (key, pandas sub-frame)
+        pairs, pandas-style."""
         pdf = self._parent._df.orderBy(ROW_ID).drop(ROW_ID).toPandas()
         for key, sub in pdf.groupby(self._keys, sort=True):
             yield key[0] if len(self._keys) == 1 else key, sub
@@ -795,17 +808,54 @@ class MDF:
 
     # -- J3: isin ---------------------------------------------------------------------
 
+    # Above this many literal values, membership lowers to a join instead
+    # of an in-plan literal list (a 10^6-element IN-list bloats the plan
+    # and serializes to every task).
+    _ISIN_LITERAL_MAX = 4096
+
     def isin(self, column: Hashable, haystack, assume_unique: bool = False, invert: bool = False) -> np.ndarray:  # noqa: ARG002
+        """J3 membership mask (`medvedi/dataframe.py:901-929`).
+
+        Scale ruling (SURVEY §2.3): the haystack is NEVER collected to the
+        driver. An MDF (or large literal) haystack becomes the build side
+        of a marker left join — Spark broadcasts it when small (the
+        broadcast left_semi shape) and falls back to a shuffled hash join
+        when it is corpus-sized, so a 10^8-row haystack cannot OOM the
+        driver. Only the boolean mask itself returns driver-side (that is
+        the compat contract's return type).
+        """
         c = str(column)
+        hay_df = None
         if isinstance(haystack, MDF):
-            values = [r[0] for r in haystack._df.select(haystack.columns[0]).distinct().collect()]
+            hay_df = haystack._df.select(F.col(haystack.columns[0]).alias("__hay__"))
         else:
             values = [_normalize_cell(v) for v in haystack]
-        cond = F.col(c).isin(values)
+            if len(values) > self._ISIN_LITERAL_MAX:
+                hay_df = self._df.sparkSession.createDataFrame(
+                    [(v,) for v in values], schema=T.StructType(
+                        [T.StructField("__hay__", self._df.schema[c].dataType)]
+                    )
+                )
+        if hay_df is None:
+            cond = F.col(c).isin(values)
+            if invert:
+                cond = ~cond
+            pdf = self._df.select(cond.alias("m"), ROW_ID).orderBy(ROW_ID).toPandas()
+            return pdf["m"].fillna(bool(invert)).to_numpy(dtype=bool)
+        if not assume_unique:
+            hay_df = hay_df.distinct()  # guard row multiplication in the left join
+        marked = self._df.select(ROW_ID, F.col(c).alias("__v__")).join(
+            hay_df.withColumn("__hit__", F.lit(True)),
+            F.col("__v__") == F.col("__hay__"),
+            "left",
+        )
+        # No-match → __hit__ null → False (True when inverted) — same
+        # null policy as the literal path's fillna(invert).
+        mask = F.coalesce(F.col("__hit__"), F.lit(False))
         if invert:
-            cond = ~cond
-        pdf = self._df.select(cond.alias("m"), ROW_ID).orderBy(ROW_ID).toPandas()
-        return pdf["m"].fillna(bool(invert)).to_numpy(dtype=bool)
+            mask = ~mask
+        pdf = marked.select(mask.alias("m"), ROW_ID).orderBy(ROW_ID).toPandas()
+        return pdf["m"].to_numpy(dtype=bool)
 
     # -- G1: groupby --------------------------------------------------------------------
 
@@ -1026,7 +1076,7 @@ def join(
     - ``right`` = reversed ``left`` (`dataframe.py:1134-1135`);
     - duplicate keys allowed in the first frame only; elsewhere they raise
       (the reference's m:n guard, `dataframe.py:1196-1209`) — checked
-      distributed via count-vs-distinct when ``check_unique``;
+      distributed in ONE early-exit job when ``check_unique``;
     - missing matches fill with type defaults, not NULL (δ-1);
     - same-name non-key columns: LAST frame wins, or ``suffixes`` renames;
     - output sorted by key (np.unique sorting, `dataframe.py:1194`).
@@ -1070,9 +1120,17 @@ def join(
             value_cols = [renames.get(c, c) for c in value_cols]
         df = df.select(*key_names, *value_cols, *( [ROW_ID] if fi == 0 else [] ))
         if fi > 0 and check_unique:
-            total = df.count()
-            distinct = df.select(*key_names).distinct().count()
-            if distinct != total:
+            # ONE job with an early-exit take(1) instead of the former two
+            # full counts — at 100× scale two extra passes over the right
+            # side would cost more than the join itself. groupBy treats
+            # null keys as ordinary grouping values, so null-keyed
+            # duplicates are caught exactly like the old distinct() check.
+            dup = (
+                df.groupBy(*key_names)
+                .agg(F.count(F.lit(1)).alias("__n__"))
+                .filter(F.col("__n__") > 1)
+            )
+            if not dup.isEmpty():
                 raise NotImplementedError(
                     f"duplicate index values in joined frame #{fi} — the reference "
                     "forbids many-to-many joins (medvedi/dataframe.py:1196-1209)"

@@ -198,3 +198,47 @@ def test_timestamps_and_nat(spark):
     m = MDF({"t": ts}, spark=spark)
     np.testing.assert_array_equal(m.isnull("t"), [False, True, False])
     assert m.nonemin("t") == ts[2].item()
+
+
+def test_isin_mdf_haystack_joins_not_collects(basic, spark):
+    """J3 scale ruling: an MDF haystack lowers to a marker join — the
+    haystack must appear as a join build side in the plan, never as an
+    in-plan literal IN-list (which would mean it was collected)."""
+    hay = MDF({"v": np.array([1, 3, 99])}, spark=spark)
+    np.testing.assert_array_equal(basic.isin("a", hay), [True, True, False, True])
+    np.testing.assert_array_equal(
+        basic.isin("a", hay, invert=True), [False, False, True, False]
+    )
+    # Plan shape: build the marked frame the same way isin does and check
+    # for a join, not an IN-list.
+    from pyspark.sql import functions as F
+
+    hay_df = hay.df.select(F.col("v").alias("__hay__")).distinct()
+    marked = basic.df.join(
+        hay_df.withColumn("__hit__", F.lit(True)),
+        F.col("a") == F.col("__hay__"),
+        "left",
+    )
+    plan = marked._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+
+
+def test_isin_large_literal_haystack_joins(basic):
+    """A literal haystack past the IN-list cap routes through the join
+    path and still returns the right mask."""
+    big = list(range(1, MDF._ISIN_LITERAL_MAX + 10))
+    np.testing.assert_array_equal(basic.isin("a", big), [True, True, True, True])
+    np.testing.assert_array_equal(
+        basic.isin("a", [v + 10_000 for v in big]), [False, False, False, False]
+    )
+
+
+def test_isin_null_rows_follow_invert(spark):
+    """Null probe values: False normally, True inverted (fillna(invert)
+    semantics) — identical between literal and join paths."""
+    df = MDF({"a": np.array([1.0, np.nan, 3.0])}, spark=spark)
+    hay = MDF({"v": np.array([1.0])}, spark=spark)
+    np.testing.assert_array_equal(df.isin("a", hay), [True, False, False])
+    np.testing.assert_array_equal(df.isin("a", hay, invert=True), [False, True, True])
+    np.testing.assert_array_equal(df.isin("a", [1.0]), [True, False, False])
+    np.testing.assert_array_equal(df.isin("a", [1.0], invert=True), [False, True, True])

@@ -174,8 +174,16 @@ def test_groupby_named_aggs(spark):
 
 
 def test_groupby_iter_groups(spark):
+    """Reference contract: iteration yields per-group ROW-INDEX arrays in
+    sorted-key order (`medvedi/dataframe.py:236-261`), addressing the
+    materialized columns positionally."""
     m = MDF({"a": [1, 2, 1], "b": [10, 20, 30]}, spark=spark)
-    got = {k: sorted(sub["b"]) for k, sub in m.groupby("a")}
+    a, b = m["a"], m["b"]
+    groups = list(m.groupby("a"))
+    assert [a[g[0]] for g in groups] == [1, 2]
+    assert [sorted(b[g]) for g in groups] == [[10, 30], [20]]
+    # pandas-style sub-frames stay available under iter_frames()
+    got = {k: sorted(sub["b"]) for k, sub in m.groupby("a").iter_frames()}
     assert got == {1: [10, 30], 2: [20]}
 
 
@@ -316,3 +324,23 @@ def test_index_monotonic(spark):
     assert not inc.index.is_monotonic_decreasing
     dec = MDF({"k": [3, 2, 1], "v": [0] * 3}, index="k", spark=spark)
     assert dec.index.is_monotonic_decreasing
+
+
+def test_join_unique_guard_is_single_action(spark, monkeypatch):
+    """The m:n guard must issue ONE action (early-exit isEmpty) per
+    checked frame — it used to run two full counts, and at scale the
+    guard would out-cost the join. AQE may split one action into several
+    jobs, so count ACTIONS, not jobs."""
+    import medvedi_spark.frame as fr
+
+    a = fr.MDF({"k": [1, 2, 3], "x": [10, 20, 30]}, index="k", spark=spark)
+    b = fr.MDF({"k": [1, 2, 3], "y": [4, 5, 6]}, index="k", spark=spark)
+
+    # Patch the CONCRETE class (pyspark.sql.classic overrides the base).
+    cls = type(a.df)
+    actions: list[str] = []
+    orig_count, orig_isempty = cls.count, cls.isEmpty
+    monkeypatch.setattr(cls, "count", lambda self: (actions.append("count"), orig_count(self))[1])
+    monkeypatch.setattr(cls, "isEmpty", lambda self: (actions.append("isEmpty"), orig_isempty(self))[1])
+    fr.join(a, b, how="inner", check_unique=True)
+    assert actions == ["isEmpty"], f"guard actions: {actions}"
