@@ -666,7 +666,32 @@ class MDF:
         ignore_index: bool = False,
     ) -> "MDF":
         if weights is not None:
-            # inverse-CDF over rand(): P(keep row i) ∝ w_i (no native support)
+            if isinstance(weights, str):
+                # Distributed weighted sampling (scale path): the
+                # Efraimidis–Spirakis A-Res scheme — each row draws
+                # key = -ln(u)/w and the weighted sample without
+                # replacement is the bottom-n by key. One pass, lowers to
+                # TakeOrderedAndProject (per-partition top-n + merge), no
+                # weights on the driver. Rows with w <= 0 or null are
+                # excluded (probability-0 analog of np.random.choice).
+                if replace:
+                    raise NotImplementedError(
+                        "weighted sampling WITH replacement needs n independent "
+                        "draws; pass a numpy weights array for the driver-side "
+                        "compat path"
+                    )
+                if n is None:
+                    raise ValueError("pass n with column-name weights")
+                keyed = (
+                    self._df.filter(F.col(weights) > 0)
+                    .withColumn("__wkey__", -F.log(F.rand()) / F.col(weights))
+                )
+                out = keyed.orderBy(F.col("__wkey__").asc()).limit(n).drop("__wkey__")
+                if ignore_index:
+                    out = out.drop(ROW_ID)
+                return MDF._from_spark(out, self._index if not ignore_index else ())
+            # driver-side numpy compat path (reference semantics,
+            # `medvedi/dataframe.py:523-548` is likewise in-memory)
             w = np.asarray(weights, dtype=np.float64)
             idx = np.random.choice(len(w), size=n or len(w), replace=replace, p=w / w.sum())
             return self.take(idx)
@@ -1023,7 +1048,10 @@ class Iloc:
                 i += n
             if not 0 <= i < n:
                 raise IndexError(item)
-            row = parent._df_pos().filter(F.col("__pos__") == i).drop("__pos__", ROW_ID).collect()
+            # OFFSET/LIMIT over the row-id order instead of the full
+            # position-attachment plan: one row never justifies a
+            # range-sort + window + broadcast join.
+            row = parent._df.orderBy(ROW_ID).offset(i).limit(1).drop(ROW_ID).collect()
             return row[0].asDict()
         if isinstance(item, slice):
             idx = np.arange(len(parent))[item]

@@ -242,3 +242,39 @@ def test_isin_null_rows_follow_invert(spark):
     np.testing.assert_array_equal(df.isin("a", hay, invert=True), [False, True, True])
     np.testing.assert_array_equal(df.isin("a", [1.0]), [True, False, False])
     np.testing.assert_array_equal(df.isin("a", [1.0], invert=True), [False, True, True])
+
+
+def test_sample_weighted_column_distributed(spark):
+    """Column-name weights take the distributed Efraimidis–Spirakis path:
+    no weights array on the driver, sample size honored, zero/negative
+    weights excluded."""
+    n_rows = 1000
+    m = MDF(
+        {
+            "id": np.arange(n_rows),
+            "w": np.where(np.arange(n_rows) < 10, 1000.0, np.where(np.arange(n_rows) < 500, 1.0, 0.0)),
+        },
+        spark=spark,
+    )
+    out = m.sample(n=50, weights="w")
+    ids = out["id"]
+    assert len(ids) == 50
+    assert len(set(ids)) == 50  # without replacement
+    assert all(i < 500 for i in ids)  # zero-weight rows never sampled
+    # heavy rows (1000x weight) should essentially always be in a 50-sample
+    assert sum(1 for i in ids if i < 10) >= 8
+
+
+def test_sample_weighted_column_replace_raises(spark):
+    m = MDF({"id": [1, 2], "w": [1.0, 2.0]}, spark=spark)
+    with pytest.raises(NotImplementedError):
+        m.sample(n=2, weights="w", replace=True)
+
+
+def test_iloc_scalar_matches_positions(spark):
+    m = MDF({"a": np.array([10, 20, 30, 40])}, spark=spark)
+    assert m.iloc[0]["a"] == 10
+    assert m.iloc[2]["a"] == 30
+    assert m.iloc[-1]["a"] == 40
+    with pytest.raises(IndexError):
+        m.iloc[4]
