@@ -1090,12 +1090,32 @@ def _to_numpy(series: pd.Series, dtype: T.DataType) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _dtype_family(dt: T.DataType) -> str:
+    """Coercibility family for join-key compatibility (the reference
+    raises ValueError when key dtypes cannot merge, e.g. int vs bytes —
+    `tests/test_join.py:208-215`). Checked eagerly so the error surfaces
+    at join build, not at first materialization."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType, T.DecimalType)):
+        return "numeric"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "temporal"
+    return type(dt).__name__
+
+
 def join(
     *dfs: MDF,
     how: str = "left",
     suffixes: Sequence[str | None] | None = None,
     fill_defaults: bool = True,
     check_unique: bool = True,
+    copy: bool = False,
 ) -> MDF:
     """n-ary index-equi join with medvedi semantics (SURVEY §2.3 J1):
 
@@ -1109,10 +1129,24 @@ def join(
     - same-name non-key columns: LAST frame wins, or ``suffixes`` renames;
     - output sorted by key (np.unique sorting, `dataframe.py:1194`).
     """
-    if not 2 <= len(dfs) <= 255:
-        raise ValueError("join takes 2..255 frames")
+    for d in dfs:
+        if not isinstance(d, MDF):
+            raise TypeError(f"join arguments must be frames, got {type(d).__name__}")
+    if suffixes is not None and (isinstance(suffixes, str) or not isinstance(suffixes, Sequence)):
+        raise TypeError("suffixes must be a sequence of str/None")
     if how not in ("left", "right", "inner", "outer"):
         raise ValueError(f"bad how={how!r}")
+    # Degenerate arities (`tests/test_join.py:10-19` in the reference):
+    # zero frames → empty frame; one frame → itself (or a copy).
+    if len(dfs) == 0:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("join of zero frames needs an active SparkSession")
+        return MDF({}, spark=spark)
+    if len(dfs) == 1:
+        return dfs[0].copy() if copy else dfs[0]
+    if len(dfs) > 255:
+        raise ValueError("join takes at most 255 frames")
     if how == "right":
         return join(*reversed(dfs), how="left", suffixes=None if suffixes is None else list(reversed(list(suffixes))),
                     fill_defaults=fill_defaults, check_unique=check_unique)
@@ -1122,6 +1156,18 @@ def join(
     for d in dfs:
         if len(d._index) != nlevels:
             raise ValueError("all frames must have the same number of index levels")
+    if suffixes is not None and len(suffixes) != len(dfs):
+        raise ValueError(f"suffixes must have one entry per frame ({len(dfs)})")
+    # eager key-dtype compatibility per level (reference: ValueError on
+    # unmergeable index dtypes, e.g. int vs bytes)
+    for lvl in range(nlevels):
+        fams = {
+            _dtype_family(d._df.schema[d._index[lvl]].dataType) for d in dfs
+        }
+        if len(fams) > 1:
+            raise ValueError(
+                f"incompatible index dtypes at level {lvl}: {sorted(fams)}"
+            )
     key_names = [f"__k{i}__" for i in range(nlevels)]
     # suffixes apply only to colliding non-key columns (reference
     # `tests/test_join.py:160-178`); without suffixes, last frame wins.
@@ -1205,12 +1251,27 @@ def join(
     return MDF._from_spark(out, dfs[0]._index)
 
 
-def concat(*dfs: MDF, ignore_index: bool = False, strict: bool = True, copy: bool = False) -> MDF:  # noqa: ARG001
+def concat(*dfs: MDF, ignore_index: bool = False, strict: bool = True, copy: bool = False) -> MDF:
     """U1 vertical concat (`medvedi/pure_static.py:13-30`, impl
     `dataframe.py:1068-1124`): strict requires identical column sets;
-    non-strict unions by name and fills absent cells with type defaults."""
-    if not dfs:
-        raise ValueError("concat of nothing")
+    non-strict unions by name and fills absent cells with type defaults.
+
+    Fully lazy: row order across frames is re-established by ONE
+    distributed renumber over the union keyed by (frame ordinal, local
+    row id) — no per-frame count/renumber actions, so concatenating N
+    corpus-sized frames costs one range-sort pass, not N driver jobs.
+    """
+    for d in dfs:
+        if not isinstance(d, MDF):
+            raise TypeError(f"concat arguments must be frames, got {type(d).__name__}")
+    # Degenerate arities (`tests/test_concat.py:9-16` in the reference):
+    if len(dfs) == 0:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("concat of zero frames needs an active SparkSession")
+        return MDF({}, spark=spark)
+    if len(dfs) == 1:
+        return dfs[0].copy() if copy else dfs[0]
     first = dfs[0]
     if not ignore_index:
         for d in dfs[1:]:
@@ -1221,28 +1282,33 @@ def concat(*dfs: MDF, ignore_index: bool = False, strict: bool = True, copy: boo
         for d in dfs[1:]:
             if set(d.columns) != cols:
                 raise ValueError("strict concat requires identical column sets")
-    out: DataFrame | None = None
-    offset = F.lit(0)
     all_cols: list[str] = []
     for d in dfs:
         for c in d.columns:
             if c not in all_cols:
                 all_cols.append(c)
-    running = 0
-    parts = []
-    for d in dfs:
-        # inputs built by _from_spark/read_parquet/Grouper.agg carry sparse
-        # monotonically_increasing ids and filtered frames have gaps —
-        # renumber to contiguous 0-based BEFORE the running offset, or
-        # concatenated frames could interleave/collide row ids.
-        df = _renumber_by(d._df, F.col(ROW_ID).asc())
-        n = df.count()
-        df = df.withColumn(ROW_ID, F.col(ROW_ID) + F.lit(running))
-        running += n
-        parts.append(df)
+    parts = [d._df.withColumn("__fi__", F.lit(fi)) for fi, d in enumerate(dfs)]
+    # Same-name columns with different dtypes: a ROWLESS frame adopts the
+    # dtype of the first non-empty frame (`tests/test_concat.py:84-90` —
+    # an empty object column must not stringify a populated int column).
+    # The emptiness probe is an isEmpty action, taken only on conflict.
+    col_types: dict[str, dict[int, T.DataType]] = {}
+    for fi, d in enumerate(dfs):
+        for f in d._df.schema.fields:
+            if f.name != ROW_ID:
+                col_types.setdefault(f.name, {})[fi] = f.dataType
+    for cname, owners in col_types.items():
+        if len({str(t) for t in owners.values()}) > 1:
+            empties = [fi for fi in owners if dfs[fi]._df.isEmpty()]
+            non_empty = [fi for fi in owners if fi not in empties]
+            if non_empty:
+                target = owners[non_empty[0]]
+                for fi in empties:
+                    parts[fi] = parts[fi].withColumn(cname, F.col(cname).cast(target))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=not strict)
+    out = _renumber_by(out, F.col("__fi__").asc(), F.col(ROW_ID).asc()).drop("__fi__")
     if not strict:
         out = _fill_defaults(out, all_cols)
     index = () if ignore_index else first._index

@@ -344,3 +344,127 @@ def test_join_unique_guard_is_single_action(spark, monkeypatch):
     monkeypatch.setattr(cls, "isEmpty", lambda self: (actions.append("isEmpty"), orig_isempty(self))[1])
     fr.join(a, b, how="inner", check_unique=True)
     assert actions == ["isEmpty"], f"guard actions: {actions}"
+
+
+# -- join protocol edges (reference tests/test_join.py:10-50,208-290) --------
+
+
+def test_join_zero_and_one_frame(spark):
+    m = MDF({"a": [1, 2]}, index="a", spark=spark)
+    assert join().empty
+    assert join(m) is m
+    cp = join(m, copy=True)
+    assert cp is not m
+    np.testing.assert_array_equal(cp["a"], m["a"])
+
+
+def test_join_rejects_non_frames_and_bad_suffixes(spark):
+    m = MDF({"a": [1]}, index="a", spark=spark)
+    with pytest.raises(TypeError):
+        join(m, "b")
+    with pytest.raises(TypeError):
+        join(m, m, suffixes="ab")
+    with pytest.raises(ValueError):
+        join(m, m, suffixes=("_x",))  # one entry per frame
+    with pytest.raises(ValueError):
+        join(m, m, how="xxx")
+
+
+def test_join_incompatible_index_dtypes_raise_eagerly(spark):
+    a = MDF({"k": [1, 2], "v": [1, 2]}, index="k", spark=spark)
+    b = MDF({"k": np.array([b"1", b"2"], dtype="S"), "w": [3, 4]}, index="k", spark=spark)
+    with pytest.raises(ValueError, match="incompatible index dtypes"):
+        join(a, b)
+
+
+def test_join_empty_left_is_empty(spark):
+    for how in ("left", "inner"):
+        a = MDF({"k": np.array([], dtype=np.int64)}, index="k", spark=spark)
+        b = MDF({"k": [0, 1, 2], "v": [4, 5, 6]}, index="k", spark=spark)
+        assert join(a, b, how=how).empty
+
+
+def test_join_outer_left_empty_keeps_right(spark):
+    a = MDF({"k": np.array([], dtype=np.int64)}, index="k", spark=spark)
+    b = MDF({"k": [0, 1], "v": [4, 5]}, index="k", spark=spark)
+    out = join(a, b, how="outer")
+    np.testing.assert_array_equal(out["k"], [0, 1])
+    np.testing.assert_array_equal(out["v"], [4, 5])
+
+
+def test_join_inner_dupes_in_first_frame(spark):
+    # dup keys legal in frame #1 only; inner keeps both matched copies
+    a = MDF({"a": [2, 1, 1], "c": [0, 1, 2]}, index="a", spark=spark)
+    b = MDF({"A": [1, 0], "b": ["x", "y"]}, index="A", spark=spark)
+    out = join(a, b, how="inner")
+    np.testing.assert_array_equal(out["a"], [1, 1])
+    np.testing.assert_array_equal(out["b"], ["x", "x"])
+    np.testing.assert_array_equal(sorted(out["c"]), [1, 2])
+
+
+def test_join_string_object_index(spark):
+    a = MDF({"i": [0, 1, 2], "a": np.array(["0", "1", "2"], dtype=object)}, index=("i", "a"), spark=spark)
+    b = MDF({"i": [2, 1, 0], "a": np.array(["2", "1", "0"], dtype=object), "z": [20, 10, 0]}, index=("i", "a"), spark=spark)
+    out = join(a, b)
+    assert out.index.names == ("i", "a")
+    np.testing.assert_array_equal(out["i"], [0, 1, 2])
+    np.testing.assert_array_equal(out["z"], [0, 10, 20])
+
+
+# -- concat protocol edges (reference tests/test_concat.py) ------------------
+
+
+def test_concat_zero_one_copy(spark):
+    m = MDF({"a": [1, 2, 3]}, spark=spark)
+    assert concat().empty
+    assert concat(m) is m
+    assert concat(m, copy=True) is not m
+    with pytest.raises(TypeError):
+        concat(m, "b")
+
+
+def test_concat_index_mismatch_rules(spark):
+    a = MDF({"a": [3, 4, 5]}, spark=spark)
+    b = MDF({"a": [0, 1, 2]}, index="a", spark=spark)
+    with pytest.raises(ValueError):
+        concat(a, b)
+    out = concat(a, b, ignore_index=True)
+    np.testing.assert_array_equal(out["a"], [3, 4, 5, 0, 1, 2])
+    assert out.index.names == ()
+
+
+def test_concat_keeps_index_names(spark):
+    a = MDF({"a": [1, 2, 3]}, index="a", spark=spark)
+    out = concat(a, a.take(np.array([1, 2])))
+    assert len(out) == 5
+    np.testing.assert_array_equal(out["a"], [1, 2, 3, 2, 3])
+    assert out.index.names == ("a",)
+
+
+def test_concat_empty_frame_adopts_dtype(spark):
+    """An empty object column must not stringify a populated int column
+    (`tests/test_concat.py:84-90` in the reference)."""
+    a = MDF({"a": [1, 2, 3]}, spark=spark)
+    b = MDF({"a": np.array([], dtype=object)}, spark=spark)
+    out = concat(a, b)
+    assert len(out) == 3
+    arr = out["a"]
+    np.testing.assert_array_equal(arr, [1, 2, 3])
+    assert arr.dtype.kind == "i"
+
+
+def test_concat_is_lazy_no_actions(spark, monkeypatch):
+    """Concat must not run per-frame driver actions (counts/renumbers) —
+    order is re-established in one lazy distributed renumber."""
+    a = MDF({"a": [1, 2]}, spark=spark)
+    b = MDF({"a": [3, 4]}, spark=spark)
+    cls = type(a.df)
+    actions = []
+    for name in ("count", "collect", "isEmpty", "toPandas"):
+        orig = getattr(cls, name)
+        def wrap(self, *args, _n=name, _o=orig, **kw):
+            actions.append(_n)
+            return _o(self, *args, **kw)
+        monkeypatch.setattr(cls, name, wrap)
+    concat(a, b)
+    assert actions == [], f"concat ran driver actions: {actions}"
