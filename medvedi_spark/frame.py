@@ -791,8 +791,30 @@ class MDF:
         pdf = df.toPandas()
         return _to_numpy(pdf[c], self._df.schema[c].dataType)
 
+    def _norm_subset(self, subset) -> list[str]:
+        """Normalize/validate a dedup key spec (reference
+        `tests/test_duplicates.py:48-58`): scalar or sequence of column
+        names; KeyError on unknown column, TypeError on non-name objects,
+        ValueError on an explicitly empty list."""
+        if subset is None:
+            return list(self.columns)
+        if isinstance(subset, (str, int)):
+            subset = [subset]
+        elif not isinstance(subset, (list, tuple)):
+            raise TypeError(f"subset must be a column name or list/tuple, got {type(subset).__name__}")
+        if len(subset) == 0:
+            raise ValueError("subset must not be empty")
+        cols = []
+        for c in subset:
+            if not isinstance(c, (str, int)):
+                raise TypeError(f"column names must be str/int, got {type(c).__name__}")
+            if str(c) not in self.columns:
+                raise KeyError(c)
+            cols.append(str(c))
+        return cols
+
     def duplicated(self, subset: Sequence[Hashable] | None = None, keep: str = "first") -> np.ndarray:
-        cols = [str(c) for c in subset] if subset else list(self.columns)
+        cols = self._norm_subset(subset)
         order = F.col(ROW_ID).asc() if keep == "first" else F.col(ROW_ID).desc()
         w = Window.partitionBy(*cols).orderBy(order)
         if keep in ("first", "last"):
@@ -804,8 +826,14 @@ class MDF:
         pdf = self._df.select(mask.alias("m"), ROW_ID).orderBy(ROW_ID).toPandas()
         return pdf["m"].to_numpy(dtype=bool)
 
-    def drop_duplicates(self, subset: Sequence[Hashable] | None = None, keep: str = "first", ignore_index: bool = False) -> "MDF":
-        cols = [str(c) for c in subset] if subset else list(self.columns)
+    def drop_duplicates(
+        self,
+        subset: Sequence[Hashable] | None = None,
+        keep: str = "first",
+        ignore_index: bool = False,
+        inplace: bool = False,
+    ) -> "MDF":
+        cols = self._norm_subset(subset)
         if keep in ("first", "last"):
             order = F.col(ROW_ID).asc() if keep == "first" else F.col(ROW_ID).desc()
             w = Window.partitionBy(*cols).orderBy(order)
@@ -813,9 +841,14 @@ class MDF:
         else:
             w = Window.partitionBy(*cols)
             out = self._df.withColumn("__cnt__", F.count(F.lit(1)).over(w)).filter(F.col("__cnt__") == 1).drop("__cnt__")
-        if ignore_index:
-            out = out.drop(ROW_ID)
-        return MDF._from_spark(out, self._index)
+        # ignore_index resets the index NAMES; the hidden row ids must
+        # survive (they carry the original row order through the
+        # partitionBy shuffle — re-minting them here would scramble it).
+        index = () if ignore_index else self._index
+        if inplace:
+            self._df, self._index = out, index
+            return self
+        return MDF._from_spark(out, index)
 
     def nonemin(self, column: Hashable):
         return self._none_reduce(column, F.min)
@@ -918,12 +951,15 @@ class MDF:
         self,
         by: Hashable | Sequence[Hashable],
         ascending: bool = True,
+        inplace: bool = False,
         kind: str = "stable",  # noqa: ARG002 - row-id tiebreak makes every sort stable
         na_position: str = "last",
         ignore_index: bool = False,
         non_negative_hint: bool = False,  # noqa: ARG002 - radix-sort hint is a numpy detail
     ) -> "MDF":
         keys = [by] if isinstance(by, (str, int)) else list(by)
+        if not keys:
+            raise ValueError("sort_values needs at least one key")
         exprs = []
         for k in keys:
             c = str(k)
@@ -940,9 +976,19 @@ class MDF:
         # (`dataframe.py:623-671` reverses the ascending permutation).
         exprs.append(F.col(ROW_ID).asc() if ascending else F.col(ROW_ID).desc())
         out = _renumber_by(self._df, *exprs)
-        return MDF._from_spark(out, () if ignore_index else self._index)
+        index = () if ignore_index else self._index
+        if inplace:
+            # lazy mutation: rebind the wrapped plan (reference
+            # `dataframe.py:623-671` sorts in place and returns self)
+            self._df, self._index = out, index
+            return self
+        return MDF._from_spark(out, index)
 
     def sort_index(self, level: int | Sequence[int] | None = None, **kwargs) -> "MDF":
+        if level is not None and not isinstance(level, int) and (
+            isinstance(level, str) or not isinstance(level, Sequence)
+        ):
+            raise TypeError(f"level must be int or sequence of ints, got {type(level).__name__}")
         levels = range(len(self._index)) if level is None else ([level] if isinstance(level, int) else level)
         return self.sort_values([self._index[i] for i in levels], **kwargs)
 

@@ -206,3 +206,61 @@ def test_grouper_group_indexes(spark):
     g = df.groupby("a")
     # first row position of each sorted group: 1 -> row 2, 2 -> row 3, 3 -> row 0
     assert_array_equal(g.group_indexes(), [2, 3, 0])
+
+
+# -- sort_values protocol (reference tests/test_sort_values.py) --------------
+
+
+def test_sort_values_inplace_and_empty_by(spark):
+    m = MDF({"a": [3, 2, 1]}, spark=spark)
+    ret = m.sort_values("a", inplace=True, ignore_index=True)
+    assert ret is m
+    assert_array_equal(m["a"], [1, 2, 3])
+    assert m.index.names == ()
+    with pytest.raises(ValueError):
+        m.sort_values([])
+
+
+def test_sort_index_bad_level_type(spark):
+    m = MDF({"a": [3, 2, 1]}, index="a", spark=spark)
+    with pytest.raises(TypeError):
+        m.sort_index("a")
+
+
+def test_sort_values_keeps_index_when_not_ignored(spark):
+    m = MDF({"a": [3, 2, 1], "i": [0, 1, 2]}, index="i", spark=spark)
+    out = m.sort_values("a")
+    assert out.index.names == ("i",)
+    assert_array_equal(out["a"], [1, 2, 3])
+    assert_array_equal(out["i"], [2, 1, 0])
+
+
+# -- dedup key validation (reference tests/test_duplicates.py:48-58) ---------
+
+
+def test_drop_duplicates_bad_keys(spark):
+    m = MDF({"a": [1, 2, 2, 3], "b": [0, 1, 2, 3]}, spark=spark)
+    with pytest.raises(KeyError):
+        m.drop_duplicates("c")
+    with pytest.raises(KeyError):
+        m.duplicated("c")
+    with pytest.raises(TypeError):
+        m.drop_duplicates(object())
+    with pytest.raises(ValueError):
+        m.duplicated([])
+
+
+def test_drop_duplicates_multichar_column_name(spark):
+    """A scalar subset must not be iterated character-wise."""
+    m = MDF({"ab": [1, 1, 2], "v": [1, 2, 3]}, spark=spark)
+    out = m.drop_duplicates("ab")
+    assert_array_equal(out["v"], [1, 3])
+
+
+def test_drop_duplicates_inplace_ignore_index(spark):
+    m = MDF({"a": [1, 2, 2, 3], "b": [0, 1, 2, 3]}, index="b", spark=spark)
+    ret = m.drop_duplicates("a", inplace=True, ignore_index=True)
+    assert ret is m
+    assert_array_equal(m["a"], [1, 2, 3])
+    assert_array_equal(m["b"], [0, 1, 3])
+    assert m.index.names == ()
