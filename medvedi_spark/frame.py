@@ -607,7 +607,7 @@ class MDF:
         via the distributed partition-offset plan — not a global window."""
         return _attach_positions(self._df, F.col(ROW_ID))
 
-    def take(self, mask_or_indexes, inplace: bool = False) -> "MDF | None":
+    def take(self, mask_or_indexes, inplace: bool = False) -> "MDF":
         arr = np.asarray(mask_or_indexes)
         pos = self._df_pos()
         if arr.dtype.kind == "b":
@@ -630,15 +630,15 @@ class MDF:
         )
         if inplace:
             self._df = out
-            return None
+            return self
         return MDF._from_spark(out, self._index)
 
-    def take_where(self, cond: Column, inplace: bool = False) -> "MDF | None":
+    def take_where(self, cond: Column, inplace: bool = False) -> "MDF":
         """Scale-path filter (the P5 mask case without materializing a mask)."""
         out = self._df.filter(cond)
         if inplace:
             self._df = out
-            return None
+            return self
         return MDF._from_spark(out, self._index)
 
     @property
@@ -735,20 +735,27 @@ class MDF:
                 raise ValueError(f"astype failed for columns {failed}")
         return MDF._from_spark(df, self._index)
 
-    def rename(self, columns: Mapping[Hashable, Hashable], inplace: bool = False, errors: str = "ignore") -> "MDF | None":
+    def rename(self, columns: Mapping[Hashable, Hashable], inplace: bool = False, errors: str = "ignore") -> "MDF":
+        if not isinstance(columns, Mapping):
+            raise TypeError(f"columns must be a mapping, got {type(columns).__name__}")
         mapping = {str(k): str(v) for k, v in columns.items()}
         if errors == "raise":
             missing = set(mapping) - set(self.columns)
             if missing:
                 raise KeyError(f"columns not found: {sorted(missing)}")
-        df = self._df.withColumnsRenamed(mapping)
+        # atomic rename via aliases: withColumnsRenamed chains entries
+        # sequentially, so {a->b, b->c} would cascade a all the way to c
+        mapping = {k: v for k, v in mapping.items() if k in self.columns}
+        df = self._df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in self._df.columns]
+        )
         index = tuple(mapping.get(c, c) for c in self._index)
         if inplace:
             self._df, self._index = df, index
-            return None
+            return self
         return MDF._from_spark(df, index)
 
-    def fillna(self, value, column: Hashable | None = None, inplace: bool = False) -> "MDF | None":
+    def fillna(self, value, column: Hashable | None = None, inplace: bool = False) -> "MDF":
         cols = [str(column)] if column is not None else list(self.columns)
         df = self._df
         for c in cols:
@@ -761,7 +768,7 @@ class MDF:
             df = df.withColumn(c, expr)
         if inplace:
             self._df = df
-            return None
+            return self
         return MDF._from_spark(df, self._index)
 
     # -- P13: isnull / notnull ------------------------------------------------------
@@ -871,6 +878,33 @@ class MDF:
     # and serializes to every task).
     _ISIN_LITERAL_MAX = 4096
 
+    @staticmethod
+    def _coerce_isin_value(v, column: str, fam: str, ftype: T.DataType):
+        """Reference haystack-dtype protocol (`tests/test_isin.py`):
+        values coerce to the column dtype with numpy 'unsafe' casting
+        (float 2.1 matches int 2), un-coercible dtypes raise ValueError."""
+        if v is None:
+            return None
+        if fam == "numeric":
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise ValueError(f"haystack value {v!r} incompatible with numeric column {column!r}")
+            if isinstance(v, float) and isinstance(
+                ftype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                return int(v)  # numpy unsafe-cast truncation
+            return v
+        if fam == "string":
+            if not isinstance(v, str):
+                raise ValueError(f"haystack value {v!r} incompatible with string column {column!r}")
+            return v
+        if fam == "binary":
+            if isinstance(v, str):
+                return v.encode()  # fixed-width S vs U interop
+            if not isinstance(v, (bytes, bytearray)):
+                raise ValueError(f"haystack value {v!r} incompatible with binary column {column!r}")
+            return bytes(v)
+        return v
+
     def isin(self, column: Hashable, haystack, assume_unique: bool = False, invert: bool = False) -> np.ndarray:  # noqa: ARG002
         """J3 membership mask (`medvedi/dataframe.py:901-929`).
 
@@ -883,11 +917,19 @@ class MDF:
         the compat contract's return type).
         """
         c = str(column)
+        if c not in self.columns:
+            raise KeyError(column)
+        ftype = self._df.schema[c].dataType
+        fam = _dtype_family(ftype)
         hay_df = None
         if isinstance(haystack, MDF):
-            hay_df = haystack._df.select(F.col(haystack.columns[0]).alias("__hay__"))
+            hay_col = haystack.columns[0]
+            hay_fam = _dtype_family(haystack._df.schema[hay_col].dataType)
+            if hay_fam != fam:
+                raise ValueError(f"haystack dtype {hay_fam} incompatible with column {c!r} ({fam})")
+            hay_df = haystack._df.select(F.col(hay_col).alias("__hay__"))
         else:
-            values = [_normalize_cell(v) for v in haystack]
+            values = [self._coerce_isin_value(_normalize_cell(v), c, fam, ftype) for v in haystack]
             if len(values) > self._ISIN_LITERAL_MAX:
                 hay_df = self._df.sparkSession.createDataFrame(
                     [(v,) for v in values], schema=T.StructType(
@@ -994,7 +1036,7 @@ class MDF:
 
     # -- X1/X2: index management -----------------------------------------------------------
 
-    def set_index(self, index: Hashable | Sequence[Hashable], inplace: bool = False, drop: bool = False) -> "MDF | None":
+    def set_index(self, index: Hashable | Sequence[Hashable], inplace: bool = False, drop: bool = False) -> "MDF":
         if isinstance(index, (str, int)):
             names: list[Any] = [index]
         elif isinstance(index, np.ndarray) and index.dtype.kind != "O":
@@ -1020,17 +1062,17 @@ class MDF:
                     df = df.drop(c)
         if inplace:
             self._df, self._index = df, tuple(cols)
-            return None
+            return self
         return MDF._from_spark(df, tuple(cols))
 
-    def reset_index(self, inplace: bool = False, drop: bool = False) -> "MDF | None":
+    def reset_index(self, inplace: bool = False, drop: bool = False) -> "MDF":
         df = self._df
         if drop:
             for c in self._index:
                 df = df.drop(c)
         if inplace:
             self._df, self._index = df, ()
-            return None
+            return self
         return MDF._from_spark(df, ())
 
     # -- U3: explode -------------------------------------------------------------------------
@@ -1102,6 +1144,10 @@ class Iloc:
         if isinstance(item, slice):
             idx = np.arange(len(parent))[item]
             return parent.take(idx)
+        if isinstance(item, str) or (
+            isinstance(item, np.ndarray) and item.dtype.kind in ("U", "S", "O")
+        ):
+            raise TypeError(f"iloc accepts int, slice, or integer/boolean arrays, got {item!r}")
         return parent.take(np.asarray(item))
 
 

@@ -278,3 +278,84 @@ def test_iloc_scalar_matches_positions(spark):
     assert m.iloc[-1]["a"] == 40
     with pytest.raises(IndexError):
         m.iloc[4]
+
+
+def test_isin_reference_dtype_protocol(spark):
+    """Reference tests/test_isin.py: bad column KeyError, un-coercible
+    haystack ValueError, numpy unsafe-cast coercion (float 2.1 matches
+    int 2), set/dict/keys haystacks accepted."""
+    m = MDF({"a": [1, 2, 3]}, spark=spark)
+    with pytest.raises(KeyError):
+        m.isin("b", [1, 2])
+    with pytest.raises(ValueError):
+        m.isin("a", ["x", "y"])
+    np.testing.assert_array_equal(m.isin("a", [2, 3, 4]), [False, True, True])
+    np.testing.assert_array_equal(m.isin("a", [2.1, 3.2, 4.3]), [False, True, True])
+    np.testing.assert_array_equal(m.isin("a", {2, 3, 4}), [False, True, True])
+    np.testing.assert_array_equal(m.isin("a", {2: 1, 3: 1, 4: 1}), [False, True, True])
+    np.testing.assert_array_equal(m.isin("a", frozenset({2, 3, 4})), [False, True, True])
+    np.testing.assert_array_equal(m.isin("a", {2: 1, 3: 1}.keys()), [False, True, True])
+    s = MDF({"a": np.array(["1", "2", "3"], dtype="S1")}, spark=spark)
+    np.testing.assert_array_equal(s.isin("a", [b"2", b"3", b"4"]), [False, True, True])
+    np.testing.assert_array_equal(s.isin("a", ["2", "3"]), [False, True, True])
+
+
+def test_isin_mdf_haystack_dtype_mismatch_raises(spark):
+    m = MDF({"a": [1, 2, 3]}, spark=spark)
+    hay = MDF({"v": ["x", "y"]}, spark=spark)
+    with pytest.raises(ValueError):
+        m.isin("a", hay)
+
+
+def test_iloc_garbage_raises(spark):
+    m = MDF({"a": [1, 2]}, spark=spark)
+    with pytest.raises(TypeError):
+        m.iloc["test"]
+
+
+def test_take_empty_is_empty(spark):
+    m = MDF({"a": [0, 1]}, spark=spark)
+    assert m.take(np.array([], dtype=np.int64)).empty
+
+
+def test_unique_unordered(spark):
+    m = MDF({"a": [3, 2, 2, 1]}, spark=spark)
+    np.testing.assert_array_equal(m.unique("a"), [1, 2, 3])
+    assert sorted(m.unique("a", unordered=True).tolist()) == [1, 2, 3]
+
+
+def test_inplace_mutators_return_self(spark):
+    """Reference convention: inplace mutators return the frame itself
+    (`medvedi/dataframe.py` returns self 13 times), so calls chain."""
+    m = MDF({"a": [2.0, np.nan, 1.0], "b": [1, 2, 3]}, index="b", spark=spark)
+    assert m.fillna(5.0, "a", inplace=True) is m
+    assert m.rename({"a": "x"}, inplace=True) is m
+    assert "x" in m.columns
+    assert m.take(np.array([0, 1]), inplace=True) is m
+    assert m.set_index("x", inplace=True) is m
+    assert m.reset_index(inplace=True) is m
+
+
+def test_rename_errors_and_mapping_type(spark):
+    m = MDF({"a": [0, 1, 2]}, spark=spark)
+    with pytest.raises(KeyError):
+        m.rename({"a": "b", "b": "c"}, errors="raise")
+    out = m.rename({"a": "b", "b": "c"}, errors="ignore")
+    assert out.columns == ("b",)
+    with pytest.raises(TypeError):
+        m.rename([("a", "b")])
+
+
+def test_rename_renames_index_levels(spark):
+    m = MDF({"a": [0, 1, 2]}, index="a", spark=spark)
+    out = m.rename({"a": "b"})
+    assert out.columns == ("b",)
+    assert out.index.names == ("b",)
+    np.testing.assert_array_equal(out["b"], [0, 1, 2])
+
+
+def test_fillna_object_column_accepts_numeric_fill(spark):
+    m = MDF({"b": np.array([None, "test", None], dtype=object)}, spark=spark)
+    out = m.fillna(5)
+    assert out["b"][0] == "5"  # StringType column: fill renders as string
+    assert out["b"][1] == "test"
