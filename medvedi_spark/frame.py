@@ -167,6 +167,29 @@ def _infer_object_type(arr: np.ndarray) -> T.DataType:
     return elem or T.StringType()
 
 
+def _spark_to_numpy_dtype(dt: T.DataType) -> np.dtype:
+    """Inverse of ``_numpy_to_spark_type`` for the ``dtype`` accessor;
+    strings/arrays/JSON report as object (the reference's fixed-width
+    U/S dtypes normalize to variable-width at the boundary, SURVEY §1.2)."""
+    if isinstance(dt, T.BooleanType):
+        return np.dtype(bool)
+    if isinstance(dt, T.LongType):
+        return np.dtype(np.int64)
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return np.dtype(np.int32)
+    if isinstance(dt, T.DoubleType):
+        return np.dtype(np.float64)
+    if isinstance(dt, T.FloatType):
+        return np.dtype(np.float32)
+    if isinstance(dt, T.TimestampType):
+        return np.dtype("datetime64[us]")
+    if isinstance(dt, T.DayTimeIntervalType):
+        return np.dtype("timedelta64[us]")
+    if isinstance(dt, T.BinaryType):
+        return np.dtype("S")
+    return np.dtype(object)
+
+
 def _scalar_spark_type(v: Any) -> T.DataType:
     if isinstance(v, str):
         return T.StringType()
@@ -710,29 +733,49 @@ class MDF:
 
     # -- P10-P12: astype / rename / fillna ----------------------------------------
 
-    def astype(self, dtype, copy: bool = True, errors: str = "raise") -> "MDF":  # noqa: ARG002
+    @property
+    def dtype(self) -> dict[str, np.dtype]:
+        """Column → numpy dtype map (`tests/test_astype.py:13-16`)."""
+        out: dict[str, np.dtype] = {}
+        for f in self._df.schema.fields:
+            if f.name != ROW_ID:
+                out[f.name] = _spark_to_numpy_dtype(f.dataType)
+        return out
+
+    def astype(self, dtype, copy: bool = True, errors: str = "raise") -> "MDF":
         mapping = dtype if isinstance(dtype, Mapping) else {c: dtype for c in self.columns}
-        df = self._df
-        checks = []
-        for col, target in mapping.items():
-            name = str(col)
-            spark_t = _numpy_to_spark_type(np.empty(0, dtype=np.dtype(target)))
-            df = df.withColumn(name, F.col(name).try_cast(spark_t))
-            if errors == "raise":
-                # ANSI mode is off (casts NULL silently); reproduce the
-                # reference's eager raise (`dataframe.py:550-579`) by
-                # counting values the cast lost (checked on the original
-                # frame so every expression binds to one plan).
-                checks.append(
-                    F.sum(
-                        (F.col(name).isNotNull() & F.col(name).try_cast(spark_t).isNull()).cast("int")
-                    ).alias(name)
-                )
+        targets = {
+            str(col): _numpy_to_spark_type(np.empty(0, dtype=np.dtype(target)))
+            for col, target in mapping.items()
+        }
+        # ANSI mode is off (casts NULL silently); reproduce the reference's
+        # eager semantics (`dataframe.py:550-579`) by counting values each
+        # cast would lose — ONE aggregate for all columns. errors='raise'
+        # raises; errors='ignore' keeps the failing column unchanged.
+        checks = [
+            F.sum(
+                (F.col(name).isNotNull() & F.col(name).try_cast(t).isNull()).cast("int")
+            ).alias(name)
+            for name, t in targets.items()
+        ]
+        failed: set[str] = set()
         if checks:
             bad = self._df.select(*checks).first()
-            failed = [c for c in bad.asDict() if bad[c]]
-            if failed:
-                raise ValueError(f"astype failed for columns {failed}")
+            failed = {c for c in targets if bad[c]}
+            if failed and errors == "raise":
+                raise ValueError(f"astype failed for columns {sorted(failed)}")
+        df = self._df.select(
+            *[
+                F.col(c).try_cast(targets[c]).alias(c)
+                if c in targets and c not in failed
+                else F.col(c)
+                for c in self._df.columns
+            ]
+        )
+        if not copy:
+            # reference: copy=False converts in place (`tests/test_astype.py:20-24`)
+            self._df = df
+            return self
         return MDF._from_spark(df, self._index)
 
     def rename(self, columns: Mapping[Hashable, Hashable], inplace: bool = False, errors: str = "ignore") -> "MDF":

@@ -359,3 +359,20 @@ def test_fillna_object_column_accepts_numeric_fill(spark):
     out = m.fillna(5)
     assert out["b"][0] == "5"  # StringType column: fill renders as string
     assert out["b"][1] == "test"
+
+
+def test_astype_scalar_copy_false_and_dtype_accessor(spark):
+    m = MDF({"a": [1, 2], "b": [3, 4]}, spark=spark)
+    ret = m.astype(float, copy=False)
+    assert ret is m
+    assert m.dtype == {"a": np.dtype(np.float64), "b": np.dtype(np.float64)}
+
+
+def test_astype_errors_ignore_keeps_failed_column(spark):
+    m = MDF({"a": np.array(["a", "b"]), "b": [3, 4]}, spark=spark)
+    with pytest.raises(ValueError):
+        m.astype({"a": int}, copy=False)
+    m.astype({"a": int, "b": float}, copy=False, errors="ignore")
+    assert m.dtype["a"] == np.dtype(object)  # unchanged string column
+    assert m.dtype["b"] == np.dtype(np.float64)
+    np.testing.assert_array_equal(m["a"], ["a", "b"])

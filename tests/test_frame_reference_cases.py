@@ -127,12 +127,14 @@ def test_sample_weights_bias(spark):
 # -- astype errors='ignore' (dataframe.py:550-579) --------------------------
 
 
-def test_astype_ignore_keeps_bad_values_null(spark):
+def test_astype_ignore_keeps_failed_column_unchanged(spark):
+    """Reference `tests/test_astype.py:27-34`: when a conversion fails
+    under errors='ignore', the COLUMN stays at its original dtype and
+    values — no partial per-value nulling."""
     df = MDF({"a": np.array(["1", "x", "3"], dtype=object)}, spark=spark)
     out = df.astype({"a": np.int64}, errors="ignore")
-    vals = out.to_pandas()["a"]
-    assert vals[0] == 1 and vals[2] == 3
-    assert vals.isna()[1]  # Spark try_cast → NULL (reference keeps "x"; δ)
+    np.testing.assert_array_equal(out["a"], ["1", "x", "3"])
+    assert out.dtype["a"] == np.dtype(object)
 
 
 def test_astype_raise_on_bad_value(spark):
