@@ -242,8 +242,17 @@ class Index:
     def name(self) -> Hashable:
         names = self._parent._index
         if len(names) != 1:
-            raise AttributeError(f"index has {len(names)} levels, use .names")
+            raise ValueError(f"index has {len(names)} levels, use .names")
         return names[0]
+
+    def __str__(self) -> str:
+        """`medvedi/dataframe.py:45-49` format: "(a, b), [not ]unique"."""
+        return (
+            "(" + ", ".join(map(str, self.names)) + f"), {'' if self.is_unique else 'not '}unique"
+        )
+
+    def __sentry_repr__(self) -> str:
+        return str(self)
 
     @property
     def nlevels(self) -> int:
@@ -268,9 +277,16 @@ class Index:
 
     @property
     def is_unique(self) -> bool:
+        # one early-exit job, not two full counts (same reasoning as the
+        # join m:n guard): any group of size >1 disproves uniqueness
         df = self._parent._df
         keys = list(self._parent._index)
-        return df.select(*keys).distinct().count() == df.count()
+        dup = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") > 1)
+        )
+        return dup.isEmpty()
 
     def duplicated(self, keep: str = "first") -> np.ndarray:
         return self._parent.duplicated(subset=list(self._parent._index), keep=keep)
@@ -278,6 +294,8 @@ class Index:
     def diff(self, other: "Index") -> np.ndarray:
         """Anti-join of unique index values → positions in self
         (`medvedi/dataframe.py:169-186`)."""
+        if not isinstance(other, Index):
+            raise TypeError(f"diff expects an Index, got {type(other).__name__}")
         left = self._parent._df_pos()
         rnames = [f"__r{i}__" for i in range(len(other.names))]
         right = other._parent._df.select(
@@ -688,6 +706,8 @@ class MDF:
         weights=None,
         ignore_index: bool = False,
     ) -> "MDF":
+        if n is not None and frac is not None:
+            raise ValueError("pass n or frac, not both")
         if weights is not None:
             if isinstance(weights, str):
                 # Distributed weighted sampling (scale path): the
@@ -818,6 +838,8 @@ class MDF:
 
     def _null_cond(self, column: Hashable) -> Column:
         c = str(column)
+        if c not in self.columns:
+            raise KeyError(column)
         dt = self._df.schema[c].dataType
         cond = F.col(c).isNull()
         if isinstance(dt, (T.DoubleType, T.FloatType)):
@@ -1089,11 +1111,23 @@ class MDF:
         cols = []
         df = self._df
         for i, item in enumerate(names):
-            if isinstance(item, (str, int)) and str(item) in self.columns:
+            if isinstance(item, (str, int)):
+                # a scalar is a column NAME — unknown names raise, they do
+                # not silently become a broadcast value level
+                # (`tests/test_index.py:29-45` in the reference)
+                if str(item) not in self.columns:
+                    raise KeyError(item)
                 cols.append(str(item))
             else:
                 arr = np.asarray(item)
+                if arr.ndim != 1:
+                    raise KeyError(f"index level {i} must be a column name or 1-D array")
                 synth = f"_index{i}"
+                if synth in self.columns and not drop:
+                    raise ValueError(
+                        f"synthesized index name {synth!r} clashes with an existing "
+                        "column; pass drop=True"
+                    )
                 tmp = MDF._from_spark(df, self._index)
                 tmp[synth] = arr
                 df = tmp._df

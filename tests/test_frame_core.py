@@ -376,3 +376,40 @@ def test_astype_errors_ignore_keeps_failed_column(spark):
     assert m.dtype["a"] == np.dtype(object)  # unchanged string column
     assert m.dtype["b"] == np.dtype(np.float64)
     np.testing.assert_array_equal(m["a"], ["a", "b"])
+
+
+def test_index_protocol_edges(spark):
+    """Reference tests/test_index.py: repr format, multi-level .name
+    raises ValueError, diff type check, unknown set_index name KeyError."""
+    m = MDF({"a": [0, 1, 2]}, spark=spark).set_index("a")
+    assert str(m.index) == "(a), unique"
+    assert m.index.__sentry_repr__() == str(m.index)
+    dup = MDF({"a": [1, 1, 2]}, index="a", spark=spark)
+    assert str(dup.index) == "(a), not unique"
+    two = MDF({"a": [1], "b": [2]}, index=("a", "b"), spark=spark)
+    with pytest.raises(ValueError):
+        two.index.name
+    with pytest.raises(TypeError):
+        m.index.diff(m)  # frame, not Index
+    with pytest.raises(KeyError):
+        m.set_index("zzz")
+    with pytest.raises(KeyError):
+        m.set_index([5, 6, 7])  # list elements are NAMES, not values
+    out = m.set_index(np.array([5, 6, 7]))  # ndarray IS a value level
+    np.testing.assert_array_equal(out.index.get_level_values(0), [5, 6, 7])
+
+
+def test_sample_n_and_frac_raises(spark):
+    m = MDF({"a": [0, 1, 2, 3]}, spark=spark)
+    with pytest.raises(ValueError):
+        m.sample(n=1, frac=0.5)
+    with pytest.raises(ValueError):
+        m.sample()
+
+
+def test_isnull_bad_column_raises(spark):
+    m = MDF({"a": [1, 2, 3]}, spark=spark)
+    with pytest.raises(KeyError):
+        m.isnull("b")
+    with pytest.raises(KeyError):
+        m.notnull("b")
