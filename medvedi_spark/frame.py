@@ -486,6 +486,10 @@ class MDF:
             data = dict(zip(columns, data))
         arrays: dict[str, np.ndarray] = {}
         for k, v in data.items():
+            if isinstance(v, (str, bytes)) or np.isscalar(v):
+                # the reference types this as TypeError, not a shape error
+                # (`tests/test_init.py:142-149`)
+                raise TypeError(f"column {k!r} must be an array-like, got {type(v).__name__}")
             arr = np.asarray(v)
             if dtype and k in dtype:
                 arr = arr.astype(dtype[k])
@@ -494,13 +498,17 @@ class MDF:
             arrays[str(k)] = arr
         if check and len({len(a) for a in arrays.values()}) > 1:
             raise ValueError("all columns must have equal length")
-        n = len(next(iter(arrays.values()))) if arrays else 0
+        # check=False tolerates ragged inputs (`tests/test_init.py:85-100`);
+        # shorter columns pad with NULL to the longest
+        n = max((len(a) for a in arrays.values()), default=0)
         fields = [T.StructField(k, _numpy_to_spark_type(a)) for k, a in arrays.items()]
         fields.append(T.StructField(ROW_ID, T.LongType(), False))
         ftypes = {k: f.dataType for k, f in zip(arrays, fields)}
         rows = [
             tuple(
-                _normalize_cell(arrays[k][i], ftypes[k]) if not _is_null_cell(arrays[k][i]) else None
+                _normalize_cell(arrays[k][i], ftypes[k])
+                if i < len(arrays[k]) and not _is_null_cell(arrays[k][i])
+                else None
                 for k in arrays
             )
             + (i,)
@@ -1102,7 +1110,11 @@ class MDF:
     # -- X1/X2: index management -----------------------------------------------------------
 
     def set_index(self, index: Hashable | Sequence[Hashable], inplace: bool = False, drop: bool = False) -> "MDF":
-        if isinstance(index, (str, int)):
+        if isinstance(index, Index):
+            # an Index object contributes its VALUES as synthesized levels
+            # (`tests/test_init.py:110-129`: index=other.index → "_index0")
+            names = [index.get_level_values(i) for i in range(index.nlevels)]
+        elif isinstance(index, (str, int)):
             names: list[Any] = [index]
         elif isinstance(index, np.ndarray) and index.dtype.kind != "O":
             names = [index]  # one value-array level, not a list of names

@@ -413,3 +413,29 @@ def test_isnull_bad_column_raises(spark):
         m.isnull("b")
     with pytest.raises(KeyError):
         m.notnull("b")
+
+
+def test_init_scalar_column_raises_typeerror(spark):
+    with pytest.raises(TypeError):
+        MDF({"a": "xxx"}, spark=spark)
+
+
+def test_init_check_false_pads_ragged(spark):
+    with pytest.raises(ValueError):
+        MDF({"a": [1, 2, 3], "b": ["1", "2"]}, spark=spark)
+    m = MDF({"a": [1, 2, 3], "b": ["1", "2"]}, check=False, spark=spark)
+    assert len(m) == 3
+
+
+def test_init_index_object_becomes_value_level(spark):
+    a = MDF({"a": [1, 2, 3], "b": ["1", "2", "3"]}, index="b", spark=spark)
+    m = MDF({"a": [1, 2, 3], "c": ["1", "2", "3"]}, index=a.index, spark=spark)
+    assert "b" not in m
+    assert m.index.names == ("_index0",)
+    np.testing.assert_array_equal(m.index.get_level_values(0), ["1", "2", "3"])
+
+
+def test_init_dtype_mapping(spark):
+    m = MDF({"a": [1, 2, 3], "b": ["1", "2", "3"]}, dtype={"b": "S1"}, spark=spark)
+    assert m.dtype["b"] == np.dtype("S")
+    assert m["b"][0] == b"1"
