@@ -221,6 +221,66 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t5 — rolling-hash document fingerprinting (winnowing, Schleimer et al.
+# SIGMOD'03): k-gram rolling hashes over the raw character stream, then
+# the min hash of each sliding window of w consecutive grams; the
+# distinct window-mins are the document's fingerprint set. Guarantees
+# any shared substring of length >= w + k - 1 produces a shared
+# fingerprint — the substring-level dedup complement to t4's token-SET
+# hash. All JVM-side: sequence/transform/slice/array_min inside
+# whole-stage codegen, no explode (the gram arrays never leave the row),
+# one row out per document. The md5-derived gram hash is the same
+# function in Spark and DuckDB by construction (functions/hashing.py).
+# --------------------------------------------------------------------------
+
+_WINNOW_K = 5  # k-gram length (chars)
+_WINNOW_W = 4  # window size (grams)
+_WINNOW_P = 2_147_483_647  # same Mersenne prime as functions.hashing
+
+
+@register(
+    "t5_winnow_fingerprint",
+    oracle=f"""
+    SELECT doc_id, n_fp, fp_min, fp_sum FROM (SELECT doc_id, text FROM documents),
+    LATERAL (
+      SELECT list_distinct(
+               list_transform(generate_series(1, greatest(len(grams) - {_WINNOW_W} + 1, 1)),
+                              s -> list_min(list_slice(grams, s, s + {_WINNOW_W} - 1)))
+             ) AS mins
+      FROM (SELECT list_transform(generate_series(1, greatest(length(text) - {_WINNOW_K} + 1, 1)),
+                   p -> CAST('0x' || substr(md5(substr(text, p, {_WINNOW_K})), 1, 15) AS BIGINT) % {_WINNOW_P}) AS grams)
+    ) w,
+    LATERAL (SELECT len(mins) AS n_fp, list_min(mins) AS fp_min, CAST(list_sum(mins) AS BIGINT) % {_WINNOW_P} AS fp_sum) agg
+    """,
+    tags=("text", "fingerprint", "rolling-hash", "winnowing", "llm"),
+    doc="Gate duplicate: t-family driver-gated by t1-t4; t5 is the rolling-hash "
+        "(winnowing) variant of t4's token-set fingerprint, proven by the same "
+        "oracle harness locally.",
+    gate=False,
+)
+def t5_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {_WINNOW_K} + 1, 1)), "
+        f"p -> cast(conv(substr(md5(substr(text, p, {_WINNOW_K})), 1, 15), 16, 10) as bigint) % {_WINNOW_P})"
+    )
+    mins = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(grams) - {_WINNOW_W} + 1, 1)), "
+        f"s -> array_min(slice(grams, s, {_WINNOW_W}))))"
+    )
+    return (
+        docs.select("doc_id", grams.alias("grams"))
+        .select("doc_id", mins.alias("mins"))
+        .select(
+            "doc_id",
+            F.size("mins").alias("n_fp"),
+            F.array_min("mins").alias("fp_min"),
+            F.expr(f"aggregate(mins, 0L, (acc, x) -> (acc + x) % {_WINNOW_P})").alias("fp_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # m1 — multimodal-column plumbing: binary payloads through an Arrow-batched
 # mapInPandas operator. The per-batch python computes byte-level metadata;
 # real image/audio decode would slot into the same batch loop (stubbed in

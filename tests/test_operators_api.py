@@ -155,3 +155,58 @@ def test_connected_components_chain_and_islands(spark, small_graph_edges):
         for r in connected_components(edges, small_graph_edges=small_graph_edges).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_t5_winnowing_shared_substring_guarantee(spark, tmp_path):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= w + k - 1 share at least one fingerprint; disjoint documents
+    (over a disjoint alphabet) share none."""
+    import os
+
+    import pandas as pd
+
+    from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    shared = "THE-COMMON-RUN-OF-CHARACTERS"  # length 28 >= 4 + 5 - 1
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "aaaa " + shared + " bbbb",
+                "cccc " + shared + " dddd",
+                "zzzzzzzzzzzzzzzzzzzzzzzzzzzz",
+            ],
+        }
+    )
+    sf_dir = str(tmp_path)
+    docs.to_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    # fingerprint SETS per doc (rebuild the query's mins column directly)
+    from pyspark.sql import functions as F
+
+    from medvedi_spark.catalog import load
+
+    K, W, P = 5, 4, 2_147_483_647
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {K} + 1, 1)), "
+        f"p -> cast(conv(substr(md5(substr(text, p, {K})), 1, 15), 16, 10) as bigint) % {P})"
+    )
+    mins = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(grams) - {W} + 1, 1)), "
+        f"s -> array_min(slice(grams, {'s'}, {W}))))"
+    )
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", mins.alias("mins"))
+        .collect()
+    )
+    fps = {r.doc_id: set(r.mins) for r in rows}
+    assert fps[1] & fps[2], "docs sharing a long substring must share a fingerprint"
+    assert not fps[1] & fps[3]
+    assert not fps[2] & fps[3]
+
+    # and the registered query runs end-to-end on the synthetic dir
+    out = QUERIES["t5_winnow_fingerprint"].builder(spark, sf_dir)
+    assert out.count() == 3
