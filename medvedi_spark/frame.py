@@ -1231,6 +1231,16 @@ class Iloc:
             row = parent._df.orderBy(ROW_ID).offset(i).limit(1).drop(ROW_ID).collect()
             return row[0].asDict()
         if isinstance(item, slice):
+            start, stop, step = item.indices(len(parent))
+            if step == 1:
+                # contiguous slice → OFFSET/LIMIT over the row-id order
+                # (TakeOrderedAndProject: per-partition top-(stop), merge,
+                # drop the first start rows) — no position-attachment
+                # plan, no driver-side index list, no join. The surviving
+                # row ids stay an ascending subset, which is all any
+                # downstream operator relies on.
+                out = parent._df.orderBy(ROW_ID).offset(start).limit(max(stop - start, 0))
+                return MDF._from_spark(out, parent._index)
             idx = np.arange(len(parent))[item]
             return parent.take(idx)
         if isinstance(item, str) or (
