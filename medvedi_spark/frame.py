@@ -182,9 +182,10 @@ def _spark_to_numpy_dtype(dt: T.DataType) -> np.dtype:
     if isinstance(dt, T.FloatType):
         return np.dtype(np.float32)
     if isinstance(dt, T.TimestampType):
-        return np.dtype("datetime64[us]")
+        # __getitem__ materializes through pandas, which is ns-based
+        return np.dtype("datetime64[ns]")
     if isinstance(dt, T.DayTimeIntervalType):
-        return np.dtype("timedelta64[us]")
+        return np.dtype("timedelta64[ns]")
     if isinstance(dt, T.BinaryType):
         return np.dtype("S")
     return np.dtype(object)
@@ -535,6 +536,10 @@ class MDF:
     @classmethod
     def from_arrow(cls, table, *, spark: SparkSession | None = None, index: Sequence[str] = ()) -> "MDF":
         """S3 (`dataframe.py:1059-1066`)."""
+        import pyarrow as pa
+
+        if not isinstance(table, (pa.Table, pa.RecordBatch)):
+            raise TypeError(f"from_arrow expects a pyarrow Table, got {type(table).__name__}")
         spark = spark or SparkSession.getActiveSession()
         df = spark.createDataFrame(table.to_pandas())
         return cls._from_spark(df, tuple(index))

@@ -439,3 +439,34 @@ def test_init_dtype_mapping(spark):
     m = MDF({"a": [1, 2, 3], "b": ["1", "2", "3"]}, dtype={"b": "S1"}, spark=spark)
     assert m.dtype["b"] == np.dtype("S")
     assert m["b"][0] == b"1"
+
+
+def test_arrow_roundtrip_full_dtype_matrix(spark):
+    """Reference tests/test_arrow.py: every SURVEY §1.2 dtype survives
+    the to_arrow/from_arrow round trip; non-tables raise TypeError."""
+    m = MDF(
+        {
+            "a": [1, 2, 3],
+            "b": [1.5, 2.3, 3.1],
+            "c": np.array(["a", "b", "c"], dtype="S1"),
+            "d": np.array(["a", "b", "c"], dtype="U1"),
+            "e": np.array([10000000, 20000000, 30000000], dtype="datetime64[s]"),
+            "f": np.array([1, 2, -3], dtype="timedelta64[s]"),
+            "g": [False, True, False],
+        },
+        spark=spark,
+    )
+    back = MDF.from_arrow(m.to_arrow(), spark=spark)
+    np.testing.assert_array_equal(back["a"], [1, 2, 3])
+    np.testing.assert_array_equal(back["b"], [1.5, 2.3, 3.1])
+    np.testing.assert_array_equal(back["c"], [b"a", b"b", b"c"])
+    np.testing.assert_array_equal(back["d"], ["a", "b", "c"])
+    np.testing.assert_array_equal(
+        back["e"], np.array([10000000, 20000000, 30000000], dtype="datetime64[s]")
+    )
+    np.testing.assert_array_equal(
+        back["f"], np.array([1, 2, -3], dtype="timedelta64[s]")
+    )
+    np.testing.assert_array_equal(back["g"], [False, True, False])
+    with pytest.raises(TypeError):
+        MDF.from_arrow(777, spark=spark)
