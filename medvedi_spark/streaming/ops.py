@@ -67,3 +67,49 @@ def run_to_memory(result: DataFrame, *, output_mode: str, state_partitions: int 
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
+
+
+def run_to_parquet(
+    result: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = (),
+    checkpoint: str | None = None,
+    state_partitions: int = 8,
+) -> None:
+    """Drain a streaming DataFrame into append-mode partitioned parquet —
+    the production sink shape for a 100 TB/day stream.
+
+    Append mode means only FINALIZED (watermark-expired) windows are ever
+    written, so every parquet partition is immutable once created:
+    downstream batch jobs can consume partitions without read-write
+    races, and re-running the stream from its checkpoint never rewrites
+    history. ``partition_by`` should be a coarse time bucket (e.g. a
+    window date) so each micro-batch appends whole files to a few
+    directories instead of touching thousands.
+
+    The file sink REQUIRES a checkpoint (exactly-once via the sink's
+    write-ahead manifest); one is derived next to ``path`` if not given.
+    """
+    spark = result.sparkSession
+    if checkpoint is None:
+        checkpoint = os.path.join(path, "_checkpoint")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        writer = (
+            result.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        query = writer.start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -1,0 +1,59 @@
+"""Streaming sink shapes: append-mode partitioned parquet emission.
+
+The memory sink (run_to_memory) exists so the st* queries can be
+oracle-checked; run_to_parquet is the production shape — immutable
+partitioned files, exactly-once via the sink manifest. The test drains
+a watermarked windowed aggregate and checks the parquet output equals
+the batch equivalent, restricted to finalized windows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from medvedi_spark.catalog import load
+from medvedi_spark.streaming.ops import read_events_stream, run_to_parquet
+
+
+def test_run_to_parquet_append_partitioned(spark, sf_dir, tmp_path):
+    out_dir = str(tmp_path / "stream_out")
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.to_date("window.start").alias("day"),
+            "n",
+        )
+    )
+    run_to_parquet(agg, out_dir, partition_by=("day",))
+
+    written = spark.read.parquet(out_dir)
+    # partition column materialized as directories
+    assert "day" in written.columns
+    day_dirs = [d for d in os.listdir(out_dir) if d.startswith("day=")]
+    assert day_dirs, "expected day=... partition directories"
+
+    # batch equivalent, restricted to watermark-finalized windows
+    events = load(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0].m
+    batch = (
+        events.groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+        .filter(
+            F.col("window_start") + F.expr("INTERVAL 6 HOURS")
+            <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+        )
+    )
+    got = {(r.window_start, r.n) for r in written.select("window_start", "n").collect()}
+    want = {(r.window_start, r.n) for r in batch.collect()}
+    assert got == want
+
+    # re-draining from the same checkpoint appends NOTHING (exactly-once)
+    run_to_parquet(agg, out_dir, partition_by=("day",))
+    assert spark.read.parquet(out_dir).count() == len(want)
