@@ -117,3 +117,14 @@ def test_d3_verify_join_not_hinted_broadcast(spark, sf_dir, qmap):
     assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, (
         "d3 must not carry explicit broadcast hints on per-doc set tables"
     )
+
+
+def test_iloc_contiguous_slice_avoids_position_plan(spark):
+    """A step-1 slice must lower to offset/limit over the row-id order —
+    no window-function position attachment, no join."""
+    from medvedi_spark.frame import MDF
+
+    m = MDF({"a": list(range(100))}, spark=spark)
+    plan = m.iloc[10:20].df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert "Limit" in plan or "TakeOrdered" in plan, plan
