@@ -470,3 +470,27 @@ def test_arrow_roundtrip_full_dtype_matrix(spark):
     np.testing.assert_array_equal(back["g"], [False, True, False])
     with pytest.raises(TypeError):
         MDF.from_arrow(777, spark=spark)
+
+
+def test_shape_and_index_levels(spark):
+    m = MDF({"k": [1, 2], "v": [10, 20], "w": [5, 6]}, index="k", spark=spark)
+    assert m.shape == (2, 3)
+    lv = m.index.levels
+    assert len(lv) == 1
+    np.testing.assert_array_equal(lv[0], [1, 2])
+
+
+def test_serialize_deserialize_unsafe_roundtrip(spark):
+    """S4/S5 functional replacement: Arrow IPC bytes, index preserved."""
+    m = MDF(
+        {"k": [3, 1, 2], "v": [1.5, np.nan, 2.5], "s": ["a", "b", "c"]},
+        index="k",
+        spark=spark,
+    )
+    blob = m.serialize_unsafe()
+    assert isinstance(blob, bytes) and len(blob) > 0
+    back = MDF.deserialize_unsafe(blob, spark=spark)
+    assert back.index.names == ("k",)
+    np.testing.assert_array_equal(back["k"], [3, 1, 2])  # row order preserved
+    np.testing.assert_array_equal(back["s"], ["a", "b", "c"])
+    np.testing.assert_array_equal(back.isnull("v"), [False, True, False])
