@@ -580,7 +580,14 @@ class MDF:
         return len(self), len(self.columns)
 
     def __len__(self) -> int:
-        return self._df.count()
+        # Memoized per wrapped plan: every mutation rebinds self._df to a
+        # NEW DataFrame object, so keying on its identity is safe and
+        # repeated len() (iloc bounds, masks, sampling) costs one job.
+        df = self._df
+        if self.__dict__.get("_len_of") is not df:
+            self.__dict__["_len"] = df.count()
+            self.__dict__["_len_of"] = df
+        return self.__dict__["_len"]
 
     def __contains__(self, key: Hashable) -> bool:
         return str(key) in self.columns

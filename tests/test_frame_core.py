@@ -494,3 +494,17 @@ def test_serialize_deserialize_unsafe_roundtrip(spark):
     np.testing.assert_array_equal(back["k"], [3, 1, 2])  # row order preserved
     np.testing.assert_array_equal(back["s"], ["a", "b", "c"])
     np.testing.assert_array_equal(back.isnull("v"), [False, True, False])
+
+
+def test_len_memoized_per_plan(spark, monkeypatch):
+    m = MDF({"a": [1, 2, 3]}, spark=spark)
+    cls = type(m.df)
+    calls = []
+    orig = cls.count
+    monkeypatch.setattr(cls, "count", lambda self: (calls.append(1), orig(self))[1])
+    assert len(m) == 3
+    assert len(m) == 3
+    assert len(calls) == 1, "second len() must hit the cache"
+    m.take(np.array([0, 1]), inplace=True)  # rebinds the plan
+    assert len(m) == 2
+    assert len(calls) >= 2
