@@ -266,3 +266,27 @@ def test_drop_duplicates_inplace_ignore_index(spark):
     assert_array_equal(m["a"], [1, 2, 3])
     assert_array_equal(m["b"], [0, 1, 3])
     assert m.index.names == ()
+
+
+def test_groupby_mixed_dtype_keys_order_counts(spark):
+    """Reference tests/test_groupby.py:24-34: two-key grouping over
+    mixed int+string dtypes; order is the stable sorted permutation and
+    counts follow sorted-key group order (note '10' < '4' as a string)."""
+    m = MDF(
+        {
+            "a": [1, 1, 2, 2, 3, 3, 3],
+            "b": np.array(["4", "4", "6", "7", "10", "8", "8"]),
+        },
+        spark=spark,
+    )
+    g = m.groupby("a", "b")
+    assert g.order.tolist() == [0, 1, 2, 3, 4, 5, 6]
+    assert g.counts.tolist() == [2, 1, 1, 1, 2]
+
+
+def test_groupby_empty_frame(spark):
+    m = MDF({"a": np.array([], dtype=np.int64)}, spark=spark)
+    g = m.groupby("a")
+    assert len(g.reduceat_indexes()) == 0
+    assert len(g.group_indexes()) == 0
+    assert list(g) == []
