@@ -71,3 +71,31 @@ def test_groupby_sum_matches_pandas(spark, k, v):
     exp = pd.DataFrame({"k": k, "v": v}).groupby("k", sort=True)["v"].sum()
     np.testing.assert_array_equal(out["total"].to_numpy(), exp.to_numpy())
     np.testing.assert_array_equal(out["k"].to_numpy(), exp.index.to_numpy())
+
+
+@given(col=vals, hay=st.lists(st.integers(min_value=-5, max_value=5), min_size=0, max_size=6))
+@settings(**SETTINGS)
+def test_isin_literal_and_join_paths_agree(spark, col, hay, monkeypatch):
+    """The IN-list path and the marker-join path are the same function:
+    force the join path by dropping the literal cap to 0 and compare
+    against both pandas and the literal path."""
+    mdf = MDF({"k": col}, spark=spark)
+    expected = pd.Series(col).isin(hay).to_numpy()
+    lit = mdf.isin("k", hay)
+    monkeypatch.setattr(MDF, "_ISIN_LITERAL_MAX", 0)
+    joined = mdf.isin("k", hay)
+    np.testing.assert_array_equal(lit, expected)
+    np.testing.assert_array_equal(joined, expected)
+    np.testing.assert_array_equal(
+        mdf.isin("k", hay, invert=True), ~expected
+    )
+
+
+@given(k=keys, start=st.integers(min_value=-10, max_value=10), stop=st.integers(min_value=-10, max_value=10))
+@settings(**SETTINGS)
+def test_iloc_slice_matches_numpy(spark, k, start, stop):
+    """The OFFSET/LIMIT fast path agrees with numpy slicing for every
+    (start, stop) combination including negatives and empty results."""
+    mdf = MDF({"k": k}, spark=spark)
+    out = mdf.iloc[start:stop]
+    np.testing.assert_array_equal(out["k"], np.asarray(k)[start:stop])
