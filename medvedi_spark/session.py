@@ -57,8 +57,10 @@ def get_spark(app_name: str = "medvedi-spark", *, shuffle_partitions: int | None
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
-        # The driver's events table stores TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects; read as long and convert in the catalog.
+        # Earlier testdata generations stored events.ts as TIMESTAMP(NANOS),
+        # which Spark's parquet reader rejects; keep the long fallback so the
+        # schema-adaptive catalog load (catalog.normalize_event_ts) handles
+        # either on-disk encoding.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
