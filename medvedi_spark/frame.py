@@ -645,7 +645,7 @@ class MDF:
             # multidimensional payloads are rejected, not flattened
             # (`tests/test_columns.py:12-13`)
             raise ValueError(f"can only assign 1-D data, got shape {arr.shape}")
-        n = self._df.count()
+        n = len(self)
         if len(arr) != n:
             raise ValueError(f"length mismatch: {len(arr)} != {n}")
         spark = self._df.sparkSession
@@ -682,7 +682,7 @@ class MDF:
         arr = np.asarray(mask_or_indexes)
         pos = self._df_pos()
         if arr.dtype.kind == "b":
-            if len(arr) != self._df.count():
+            if len(arr) != len(self):
                 raise ValueError("boolean mask length mismatch")
             wanted = np.nonzero(arr)[0]
         else:
@@ -771,7 +771,7 @@ class MDF:
         if frac is not None:
             out = self._df.sample(withReplacement=replace, fraction=frac)
         else:
-            count = self._df.count()
+            count = len(self)
             if n is None:
                 raise ValueError("pass n or frac")
             if n > count and not replace:
