@@ -410,3 +410,93 @@ def m3_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_ms bigint, amp_sum bigint, peak bigint"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# p1 — composite corpus-cleaning pipeline: the operators above composed the
+# way a training-data pipeline would chain them — score (t1 langid + t2
+# quality) → threshold filter → exact dedup keep-lowest-id (d1 kernel) →
+# per-language corpus stats. One declarative plan end-to-end, so Catalyst
+# fuses the scoring projections into the scan and the only shuffles are
+# the dedup groupBy and the final per-language aggregate. Aggregates are
+# exact (counts, bigint sums, min/max) — no order-dependent float sums.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p1_corpus_clean",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE {_T1_CASES_SQL} ELSE 'unknown' END AS pred_lang,
+             n_tokens,
+             0.25 * (CAST(LEAST(n_tokens, 200) AS DOUBLE) / 200)
+               + 0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+               + 0.25 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality
+      FROM (
+        SELECT doc_id, text,
+               {_T1_COUNTS_SQL},
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+               len(list_filter(string_split(text, ' '), t -> t IN ({_STOPS_SQL}))) AS n_stop,
+               len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_distinct
+        FROM documents
+      )
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.45),
+    dedup AS (
+      SELECT fp,
+             MIN(doc_id) AS keeper_id,
+             arg_min(pred_lang, doc_id) AS pred_lang,
+             arg_min(n_tokens, doc_id) AS n_tokens,
+             arg_min(quality, doc_id) AS quality
+      FROM kept GROUP BY fp
+    )
+    SELECT pred_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(quality) AS min_quality,
+           MAX(quality) AS max_quality
+    FROM dedup GROUP BY pred_lang
+    """,
+    tags=("text", "pipeline", "dedup", "llm"),
+    doc="Gate duplicate: composes t1+t2+d1 kernels, each individually "
+        "driver-gated; proven end-to-end by the same oracle harness locally.",
+    gate=False,
+)
+def p1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(_tok(), lambda t: t != "")
+    scored = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        *[
+            F.size(F.filter(_tok(), lambda t: t.isin(*words))).alias(f"n_{lang}")
+            for lang, words in _STOPWORDS.items()
+        ],
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(_tok(), lambda t: t.isin(*_ALL_STOPS))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    pred = F.lit("unknown")
+    for lang in reversed(("en", "es", "fr", "de")):
+        pred = F.when(F.col(f"n_{lang}") >= 2, F.lit(lang)).otherwise(pred)
+    quality = (
+        F.lit(0.25) * (F.least(F.col("n_tokens"), F.lit(200)).cast("double") / F.lit(200))
+        + F.lit(0.5) * (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+        + F.lit(0.25) * (F.lit(1.0) - F.col("n_stop").cast("double") / F.col("n_tokens"))
+    )
+    kept = scored.select(
+        "doc_id", "fp", pred.alias("pred_lang"), "n_tokens", quality.alias("quality")
+    ).filter(quality >= 0.45)
+    dedup = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.min_by("pred_lang", "doc_id").alias("pred_lang"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        F.min_by("quality", "doc_id").alias("quality"),
+    )
+    return dedup.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
