@@ -1250,14 +1250,19 @@ class MDF:
         *others: "MDF",
         how: str = "left",
         suffixes: Sequence[str | None] | None = None,
-        copy: bool = False,  # noqa: ARG002
+        copy: bool = False,
         fill_defaults: bool = True,
         check_unique: bool = True,
     ) -> "MDF":
-        return join(self, *others, how=how, suffixes=suffixes, fill_defaults=fill_defaults, check_unique=check_unique)
+        return join(
+            self, *others, how=how, suffixes=suffixes,
+            fill_defaults=fill_defaults, check_unique=check_unique, copy=copy,
+        )
 
-    def concat(self, *others: "MDF", ignore_index: bool = False, strict: bool = True) -> "MDF":
-        return concat(self, *others, ignore_index=ignore_index, strict=strict)
+    def concat(
+        self, *others: "MDF", ignore_index: bool = False, strict: bool = True, copy: bool = False
+    ) -> "MDF":
+        return concat(self, *others, ignore_index=ignore_index, strict=strict, copy=copy)
 
 
 class Iloc:

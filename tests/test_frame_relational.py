@@ -468,3 +468,19 @@ def test_concat_is_lazy_no_actions(spark, monkeypatch):
         monkeypatch.setattr(cls, name, wrap)
     concat(a, b)
     assert actions == [], f"concat ran driver actions: {actions}"
+
+
+def test_class_call_static_style(spark):
+    """Reference `pure_static.py`: users call DataFrame.join(a, b) /
+    DataFrame.concat(a, b) class-style; the bound forms accept the same
+    arguments including the single-frame copy= case."""
+    a = MDF({"k": [1, 2], "x": [1, 2]}, index="k", spark=spark)
+    b = MDF({"k": [1, 2], "y": [3, 4]}, index="k", spark=spark)
+    out = MDF.join(a, b, how="inner")
+    np.testing.assert_array_equal(out["y"], [3, 4])
+    assert MDF.join(a) is a
+    assert MDF.join(a, copy=True) is not a
+    cat = MDF.concat(a, b.rename({"y": "x"}), ignore_index=True, strict=False)
+    assert len(cat) == 4
+    assert MDF.concat(a) is a
+    assert MDF.concat(a, copy=True) is not a
