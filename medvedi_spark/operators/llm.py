@@ -742,3 +742,40 @@ def ivf_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 5,
+    prefix_block: int = 64,
+) -> DataFrame:
+    """Character-level near-dup pairs by bounded Levenshtein distance.
+
+    Scale shape: candidates are generated by an EQUI-join on a
+    deterministic blocking key (the first ``prefix_block`` characters),
+    so the pair space shuffles by block instead of going all-pairs —
+    the same candidate-then-verify discipline as the LSH operators, with
+    the same explicitly-documented recall bound (an edit inside the
+    prefix moves a document to another block). Within a block, a length
+    band |len(a)-len(b)| <= max_dist prunes before any DP work, and the
+    verify uses Spark's thresholded ``levenshtein(l, r, k)`` which
+    early-exits the O(len^2) DP as soon as the bound is exceeded —
+    JVM-side, whole-stage codegen, no UDF.
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.substring(F.col(text_col), 1, prefix_block).alias("__blk__"),
+        F.length(text_col).alias("__len__"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    band = F.abs(F.col("a.__len__") - F.col("b.__len__")) <= max_dist
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), max_dist)
+    return (
+        a.join(b, (F.col("a.__blk__") == F.col("b.__blk__")) & (F.col("a.doc_id") < F.col("b.doc_id")) & band)
+        .withColumn("dist", dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "dist")
+    )

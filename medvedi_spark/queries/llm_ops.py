@@ -538,3 +538,37 @@ def d7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See operators.llm.ngram_jaccard_pairs (adaptive single-long /
     wide-bitset / prefix-filter plan selection; all exact)."""
     return ops.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# d8 — bounded edit-distance near-dup (prefix-blocked Levenshtein): the
+# character-level member of the dedup family, complementing token-set
+# (d2), MinHash (d3), SimHash (d4), n-gram (d7) and embedding (d5)
+# similarity. Candidate generation is an equi-join on the 64-char prefix
+# block (candidate-then-verify like the LSH ops, recall bound documented
+# on the operator); verification is Spark's thresholded levenshtein —
+# identical definition in DuckDB, so the pair set hash-matches.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d8_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS dist
+    FROM documents a
+    JOIN documents b
+      ON substr(a.text, 1, 64) = substr(b.text, 1, 64)
+     AND a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 5
+    WHERE levenshtein(a.text, b.text) <= 5
+    """,
+    tags=("dedup", "editdistance", "llm"),
+    doc="Gate duplicate: dedup family driver-gated by d1-d7; d8 adds the "
+        "bounded-Levenshtein member, proven by the same oracle harness locally.",
+    gate=False,
+)
+def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.llm.edit_distance_pairs (prefix-blocked, length-banded,
+    threshold-early-exit DP)."""
+    return ops.edit_distance_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", max_dist=5)

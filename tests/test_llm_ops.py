@@ -125,3 +125,33 @@ def test_router_picks_shuffled_tier_past_broadcast_cap(spark, monkeypatch):
     monkeypatch.setattr(llm, "_mask_broadcast_cap", lambda nwords: 1)
     forced = llm.token_jaccard_pairs(docs, "id", "body", threshold=0.5)
     assert sorted((r.doc_a, r.doc_b, round(r.jaccard, 3)) for r in forced.collect()) == expect
+
+
+def test_edit_distance_pairs_semantics(spark, tmp_path):
+    """Bounded-Levenshtein pairs: exact dups at dist 0, near edits
+    counted, above-threshold and cross-block pairs excluded."""
+    import os
+
+    import pandas as pd
+
+    from medvedi_spark.operators.llm import edit_distance_pairs
+
+    base = "x" * 70  # shared 64-char prefix block
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                base + "alpha",
+                base + "alpha",          # exact dup of 1 → dist 0
+                base + "alphq",          # one substitution → dist 1 vs 1/2
+                base + "zzzzzzzzzzzzz",  # same block, far → excluded
+                "Y" + base + "alpha",    # prefix edit → different block
+            ],
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.to_parquet(path)
+    df = spark.read.parquet(path)
+    out = edit_distance_pairs(df, "doc_id", "text", max_dist=2)
+    got = {(r.doc_a, r.doc_b): r.dist for r in out.collect()}
+    assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
