@@ -1169,3 +1169,41 @@ def q30_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q32 — nested array surface: collect_list → sort_array → slice →
+# posexplode round trip (the array half of U3's explode, plus positional
+# generation). One shuffle (the groupBy); the generator runs inside the
+# same stage.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q32_array_roundtrip",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list_slice(list_sort(list(l_partkey)), 1, 3) AS top_parts
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, t.s.pos AS pos, t.s.partkey AS partkey,
+           len(top_parts) AS n_parts
+    FROM per_order,
+    UNNEST(list_transform(generate_series(1, len(top_parts)),
+                          i -> {'pos': i - 1, 'partkey': top_parts[i]})) t(s)
+    """,
+    tags=("arrays", "nested", "explode"),
+    doc="Gate duplicate: array/generator kernels proven in-window by q10 "
+        "(explode) and q31 (grouping family); q32 adds the positional "
+        "collect/sort/slice/posexplode surface, oracle-checked locally.",
+    gate=False,
+)
+def q32_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.slice(F.sort_array(F.collect_list("l_partkey")), 1, 3).alias("top_parts")
+    )
+    return per.select(
+        "l_orderkey", F.size("top_parts").alias("n_parts"), "top_parts"
+    ).selectExpr("l_orderkey", "n_parts", "posexplode(top_parts) as (pos, partkey)")
