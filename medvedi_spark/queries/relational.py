@@ -1207,3 +1207,50 @@ def q32_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "l_orderkey", F.size("top_parts").alias("n_parts"), "top_parts"
     ).selectExpr("l_orderkey", "n_parts", "posexplode(top_parts) as (pos, partkey)")
+
+
+# --------------------------------------------------------------------------
+# q33 — datetime function surface: truncation, field extraction, date
+# arithmetic, epoch round trip. All scan-stage expressions (no shuffle
+# except the final aggregate); engine-portable fields only (no locale-
+# dependent week rules beyond ISO).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q33_datetime_surface",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_ts,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+    tags=("datetime", "scalar-functions"),
+    doc="Gate duplicate: timestamp kernels proven in-window by q17/q19/st*; "
+        "q33 adds the truncation/extraction/arithmetic surface, "
+        "oracle-checked locally.",
+    gate=False,
+)
+def q33_datetime_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        orders.select(
+            F.date_trunc("month", d).alias("month_start"),
+            F.year(d).alias("yr"),
+            F.quarter(d).alias("qtr"),
+            F.dayofmonth(d).alias("dom"),
+            # Spark dayofweek: Sunday=1; DuckDB dayofweek: Sunday=0.
+            F.dayofweek(d).alias("dow"),
+            (d + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
+            F.unix_timestamp(d).alias("epoch_s"),
+        )
+        .groupBy("month_start", "yr", "qtr", "dom", "dow", "due_ts", "epoch_s")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
