@@ -1254,3 +1254,49 @@ def q33_datetime_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month_start", "yr", "qtr", "dom", "dow", "due_ts", "epoch_s")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# q34 — string function surface: case/trim/pad/replace/position/regex
+# extraction (regex kept to class+quantifier syntax that Java and RE2
+# interpret identically). Scan-stage expressions, one aggregate shuffle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q34_string_surface",
+    oracle="""
+    SELECT upper(p_brand) AS brand_u,
+           CAST(length(p_name) AS INT) AS name_len,
+           replace(p_type, ' ', '_') AS type_key,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           CAST(strpos(p_type, 'BRUSHED') AS INT) AS brushed_at,
+           regexp_extract(p_brand, '[0-9]+') AS brand_num,
+           split_part(p_name, ' ', 1) AS first_word,
+           COUNT(*) AS n
+    FROM part
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+    tags=("strings", "scalar-functions"),
+    doc="Gate duplicate: string kernels appear throughout the gated t*/d* "
+        "queries; q34 adds the case/pad/replace/position/regex surface, "
+        "oracle-checked locally.",
+    gate=False,
+)
+def q34_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.upper("p_brand").alias("brand_u"),
+            F.length("p_name").alias("name_len"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_key"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+            F.instr(F.col("p_type"), "BRUSHED").alias("brushed_at"),
+            F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        )
+        .groupBy(
+            "brand_u", "name_len", "type_key", "size_pad", "brushed_at", "brand_num", "first_word"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
