@@ -764,18 +764,56 @@ def edit_distance_pairs(
     early-exits the O(len^2) DP as soon as the bound is exceeded —
     JVM-side, whole-stage codegen, no UDF.
     """
-    d = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        F.substring(F.col(text_col), 1, prefix_block).alias("__blk__"),
-        F.length(text_col).alias("__len__"),
+    # Distinct-text discipline (same as the n-gram compare): the DP runs
+    # once per distinct TEXT pair, never per doc pair — a 500-copy dup
+    # cluster costs one group row, not 125k DP invocations. Identical
+    # texts expand to within-group pairs at dist 0; distinct-text matches
+    # expand to the id cross product, ordered doc_a < doc_b.
+    groups = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .groupBy("text")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .select(
+            "text",
+            "ids",
+            F.substring("text", 1, prefix_block).alias("__blk__"),
+            F.length("text").alias("__len__"),
+        )
     )
-    a, b = d.alias("a"), d.alias("b")
+    a, b = groups.alias("a"), groups.alias("b")
     band = F.abs(F.col("a.__len__") - F.col("b.__len__")) <= max_dist
-    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), max_dist)
-    return (
-        a.join(b, (F.col("a.__blk__") == F.col("b.__blk__")) & (F.col("a.doc_id") < F.col("b.doc_id")) & band)
-        .withColumn("dist", dist)
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "dist")
+    # The candidate join carries ONLY the cheap conditions; the DP runs
+    # after a localCheckpoint lineage barrier. Without the barrier,
+    # Catalyst pushes the dist filter into the join condition, where the
+    # levenshtein expression lands ahead of the cheap guards and drops
+    # the stage out of codegen — measured 16x slower at sf0.1. The
+    # checkpointed set is the post-blocking candidates, i.e. exactly the
+    # verify workload, so its size is bounded by design (same ruling as
+    # the connected-components rounds in d6).
+    cand = (
+        a.join(b, (F.col("a.__blk__") == F.col("b.__blk__")) & (F.col("a.text") < F.col("b.text")) & band)
+        .select(
+            F.col("a.text").alias("ta"),
+            F.col("b.text").alias("tb"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("b.ids").alias("ids_b"),
+        )
+        .localCheckpoint(eager=False)
     )
+    cross = (
+        cand.withColumn("dist", F.levenshtein("ta", "tb", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "dist")
+        .select("ia", F.explode("ids_b").alias("ib"), "dist")
+        .select(
+            F.least("ia", "ib").alias("doc_a"), F.greatest("ia", "ib").alias("doc_b"), "dist"
+        )
+    )
+    within = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), F.col("ids").alias("ids2"))
+        .select("doc_a", F.explode("ids2").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.lit(0))
+    )
+    return cross.unionByName(within)
