@@ -744,6 +744,57 @@ def ivf_ann(
     )
 
 
+def word_ngrams(text_col: str, n: int) -> Column:
+    """In-row array of word ``n``-grams (space-joined): whitespace-split,
+    empty tokens dropped; documents shorter than ``n`` tokens yield an
+    empty array. All inside whole-stage codegen — the gram arrays are
+    built per row, so nothing explodes until the caller decides to."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # sequence(1, k) DESCENDS when k < 1 — guard short docs explicitly.
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Eval-set decontamination: flag corpus documents sharing at least one
+    contiguous ``n``-token span with any held-out evaluation document —
+    the published guard against test-set contamination in a training
+    corpus (GPT-3 appendix C / The Pile use 13-gram overlap; ``n`` is the
+    knob). Returns one row per contaminated corpus doc:
+    ``(doc_id, n_shared_grams, n_eval_docs)``.
+
+    Scale shape: an eval set is KBs against a 100 TB corpus, so its
+    distinct ``(gram, eval_id)`` pairs BROADCAST; the corpus side is one
+    map-side pipeline (in-row gram build → explode → broadcast hash join)
+    and the only shuffle is the final per-doc aggregate, which carries
+    matched docs only — a vanishing fraction of the corpus.
+    """
+    eg = (
+        eval_df.select(F.col(id_col).alias("eval_id"), F.explode(word_ngrams(text_col, n)).alias("g"))
+        .distinct()
+    )
+    cg = corpus.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g")
+    )
+    return (
+        cg.join(F.broadcast(eg), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

@@ -572,3 +572,52 @@ def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See operators.llm.edit_distance_pairs (prefix-blocked, length-banded,
     threshold-early-exit DP)."""
     return ops.edit_distance_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", max_dist=5)
+
+
+# --------------------------------------------------------------------------
+# d9 — eval-set decontamination: the published guard against test-set
+# leakage into a training corpus (GPT-3 appendix C / The Pile use 13-gram
+# overlap; 4 here because the synthetic vocabulary is ~40 words, so longer
+# spans only ever match exact copies). The eval set is a
+# deterministic held-out slice (doc_id % 50 == 0); a corpus doc is
+# contaminated when it shares any contiguous 8-token span with any eval
+# doc. Scale shape: eval (gram, id) pairs broadcast — the corpus side is
+# one map-side pipeline with a single aggregate shuffle carrying only
+# matched docs.
+# --------------------------------------------------------------------------
+
+_D9_N = 4
+
+
+@register(
+    "d9_decontamination",
+    oracle=f"""
+    WITH ctoks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_D9_N - 1}], ' ') AS g
+      FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(toks) - {_D9_N - 1})) AS i)
+    ),
+    eg AS (SELECT DISTINCT doc_id AS eval_id, g FROM cg WHERE doc_id % 50 = 0)
+    SELECT c.doc_id,
+           COUNT(DISTINCT c.g) AS n_shared_grams,
+           COUNT(DISTINCT e.eval_id) AS n_eval_docs
+    FROM cg c JOIN eg e ON c.g = e.g
+    WHERE c.doc_id % 50 <> 0
+    GROUP BY c.doc_id
+    """,
+    tags=("dedup", "decontamination", "llm"),
+    doc="Gate duplicate: dedup family driver-gated by d1-d7; d9 adds eval-set "
+        "decontamination (n-gram overlap vs a held-out slice), proven by the "
+        "same oracle harness locally.",
+    gate=False,
+)
+def d9_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.llm.decontaminate (broadcast eval grams, map-side
+    corpus pipeline, one matched-docs-only aggregate shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    return ops.decontaminate(corpus, eval_df, "doc_id", "text", n=_D9_N)
