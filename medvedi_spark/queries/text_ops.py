@@ -281,6 +281,95 @@ def t5_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t6 — repetition signals (the Gopher quality rules, Rae et al. 2021
+# table A1): fraction of duplicated word bigrams and the most-frequent
+# word's share of the document. Real corpora drop documents above such
+# thresholds before training (boilerplate, keyword stuffing, generation
+# loops). All in-row array arithmetic inside whole-stage codegen — the
+# bigram/count arrays never leave the row, one output row per document,
+# no shuffle at all. Fractions are single int/int divides (IEEE-exact,
+# engine-portable bits); thresholds sit at the corpus's 75th percentile
+# so the flag discriminates on the synthetic table.
+# --------------------------------------------------------------------------
+
+_T6_DUP_BG = 0.045  # duplicate-bigram fraction threshold
+_T6_TOP_W = 0.11  # top-word share threshold
+
+
+@register(
+    "t6_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS bg,
+             list_max(list_transform(list_distinct(toks),
+                                     w -> len(list_filter(toks, t -> t = w)))) AS topcnt
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN len(bg) > 0
+                THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                ELSE 0.0 END AS dup_bigram_frac,
+           CASE WHEN n_tokens > 0
+                THEN CAST(topcnt AS DOUBLE) / n_tokens ELSE 0.0 END AS top_word_frac,
+           CASE WHEN (CASE WHEN len(bg) > 0
+                           THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                           ELSE 0.0 END) > {_T6_DUP_BG}
+                  OR (CASE WHEN n_tokens > 0
+                           THEN CAST(topcnt AS DOUBLE) / n_tokens ELSE 0.0 END) > {_T6_TOP_W}
+                THEN 1 ELSE 0 END AS repetitive
+    FROM m
+    """,
+    tags=("text", "quality", "repetition", "llm"),
+    doc="Gate duplicate: text family driver-gated by t1-t4; t6 adds the "
+        "Gopher-style repetition signals, proven by the same oracle harness "
+        "locally.",
+    gate=False,
+)
+def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(_tok(), lambda t: t != "")
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    topcnt = F.array_max(
+        F.transform(F.array_distinct(toks), lambda w: F.size(F.filter(toks, lambda t: t == w)))
+    )
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        bg.alias("bg"),
+        topcnt.alias("topcnt"),
+    )
+    dup_frac = F.when(
+        F.size("bg") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("bg")).cast("double") / F.size("bg"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.col("n_tokens") > 0, F.col("topcnt").cast("double") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_word_frac"),
+        F.when((dup_frac > _T6_DUP_BG) | (top_frac > _T6_TOP_W), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
 # m1 — multimodal-column plumbing: binary payloads through an Arrow-batched
 # mapInPandas operator. The per-batch python computes byte-level metadata;
 # real image/audio decode would slot into the same batch loop (stubbed in
