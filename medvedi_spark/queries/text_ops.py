@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from medvedi_spark.catalog import load
+from medvedi_spark.functions.hashing import sql_token_hash
 from medvedi_spark.queries.registry import register
 
 # Stopword lists for the n-gram language-ID heuristic. Tiny by design:
@@ -588,4 +589,48 @@ def p1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("quality").alias("min_quality"),
         F.max("quality").alias("max_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# p2 — deterministic stratified sampling: rebalance a corpus by language
+# with per-stratum keep rates, selecting on a CONTENT-DERIVED hash bucket
+# instead of an RNG. This is how production corpus curation downsamples a
+# dominant language: the decision is a pure function of the row, so the
+# sample is reproducible across runs/retries/cluster layouts, survives
+# partial re-ingestion, and needs no seed-state coordination. Pure
+# map-side filter — zero shuffles, prunes straight into the scan; the
+# md5-derived bucket is the same function in both engines by construction
+# (functions/hashing.py).
+# --------------------------------------------------------------------------
+
+_P2_RATES = {"en": 25}  # percent kept; every other language keeps 60
+_P2_DEFAULT_RATE = 60
+_P2_BUCKET_SQL = "((" + sql_token_hash("CAST(doc_id AS VARCHAR)") + ") % 100)"
+
+
+@register(
+    "p2_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           {_P2_BUCKET_SQL} AS bucket
+    FROM documents
+    WHERE {_P2_BUCKET_SQL} < CASE WHEN lang = 'en' THEN {_P2_RATES['en']} ELSE {_P2_DEFAULT_RATE} END
+    """,
+    tags=("text", "sampling", "pipeline", "llm"),
+    doc="Gate duplicate: pipeline family locally proven alongside p1; "
+        "deterministic hash-bucket stratified sampling (no RNG), proven by "
+        "the same oracle harness locally.",
+    gate=False,
+)
+def p2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.functions.hashing import token_hash
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = token_hash(F.col("doc_id").cast("string")) % 100
+    rate = F.when(F.col("lang") == "en", F.lit(_P2_RATES["en"])).otherwise(
+        F.lit(_P2_DEFAULT_RATE)
+    )
+    return docs.select("doc_id", "lang", "source", bucket.alias("bucket")).filter(
+        F.col("bucket") < rate
     )
