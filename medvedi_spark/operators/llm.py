@@ -868,3 +868,61 @@ def edit_distance_pairs(
         .withColumn("dist", F.lit(0))
     )
     return cross.unionByName(within)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    capacity: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Next-fit sequence packing: assign documents to fixed-token-budget
+    bins, the preprocessing step that turns a cleaned corpus into
+    training examples (documents concatenated up to the model's context
+    length). Within each group, documents are taken in ``id_col`` order;
+    a document joins the current bin when it fits, else opens the next
+    bin (a document larger than ``capacity`` gets a bin of its own).
+    Returns the input group/id/size columns plus ``bin`` (0-based per
+    group) and ``fill`` (bin occupancy after placement).
+
+    Scale shape: packing is inherently sequential *within* a bin stream,
+    so the parallel unit is the group — callers shard the corpus
+    (e.g. ``group_cols=("lang", "shard")`` with a hash-derived shard) and
+    each group packs independently inside one Arrow batch via
+    ``applyInPandas``; the loop is per-group python over int64 arrays,
+    bounded by the shard size the caller controls. This is the standard
+    industrial shape: global next-fit across 100 TB would serialize the
+    corpus, per-shard next-fit preserves the capacity invariant and
+    parallelizes embarrassingly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if not group_cols:
+        raise ValueError("pack_sequences needs >= 1 group column (the parallel unit)")
+    cols = [*group_cols, id_col, size_col]
+    schema = StructType(
+        [df.schema[c] for c in cols]
+        + [StructField("bin", LongType()), StructField("fill", LongType())]
+    )
+    cap = int(capacity)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols].sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        sizes = pdf[size_col].to_numpy()
+        bins = np.empty(len(sizes), dtype=np.int64)
+        fills = np.empty(len(sizes), dtype=np.int64)
+        b, fill = 0, 0
+        for i in range(len(sizes)):
+            n = int(sizes[i])
+            if i > 0 and fill + n <= cap:
+                fill += n
+            else:
+                b += 1 if i > 0 else 0
+                fill = n
+            bins[i], fills[i] = b, fill
+        return pdf.assign(bin=bins, fill=fills)
+
+    return df.select(*cols).groupBy(*group_cols).applyInPandas(_pack, schema)

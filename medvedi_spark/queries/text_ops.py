@@ -634,3 +634,61 @@ def p2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", "source", bucket.alias("bucket")).filter(
         F.col("bucket") < rate
     )
+
+
+# --------------------------------------------------------------------------
+# p3 — sequence packing: documents → fixed-token-budget bins (next-fit),
+# the step that turns a cleaned corpus into context-length training
+# examples. The parallel unit is the (lang, shard) group — packing is
+# sequential within a bin stream by definition, so the corpus shards by
+# a deterministic key and each shard packs independently inside one
+# Arrow batch (operators.llm.pack_sequences / applyInPandas). The oracle
+# replays the same next-fit recurrence as a recursive CTE, proving the
+# custom stateful operator row-for-row.
+# --------------------------------------------------------------------------
+
+_P3_CAPACITY = 512
+_P3_SHARDS = 4
+
+
+@register(
+    "p3_pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT lang, doc_id % {_P3_SHARDS} AS shard, doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang, doc_id % {_P3_SHARDS} ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, shard, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.shard, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN p.fill + t.n_tokens <= {_P3_CAPACITY} THEN p.bin ELSE p.bin + 1 END,
+             CASE WHEN p.fill + t.n_tokens <= {_P3_CAPACITY} THEN p.fill + t.n_tokens ELSE t.n_tokens END
+      FROM t JOIN packed p ON t.lang = p.lang AND t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT lang, shard, doc_id, n_tokens, bin, fill FROM packed
+    """,
+    tags=("text", "packing", "pipeline", "udf", "llm"),
+    doc="Gate duplicate: pipeline family locally proven alongside p1/p2; "
+        "next-fit sequence packing via applyInPandas, proven row-for-row "
+        "against a recursive-CTE oracle locally.",
+    gate=False,
+)
+def p3_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.operators.llm import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(_tok(), lambda t: t != "")
+    sized = docs.select(
+        "lang",
+        (F.col("doc_id") % _P3_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(
+        sized, "doc_id", "n_tokens", _P3_CAPACITY, group_cols=("lang", "shard")
+    )

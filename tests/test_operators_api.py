@@ -210,3 +210,52 @@ def test_t5_winnowing_shared_substring_guarantee(spark, tmp_path):
     # and the registered query runs end-to-end on the synthetic dir
     out = QUERIES["t5_winnow_fingerprint"].builder(spark, sf_dir)
     assert out.count() == 3
+
+
+def test_pack_sequences_next_fit_invariants(spark):
+    rows = [
+        # group g: 300+200 fit in bin0 (cap 512), 100 overflows -> bin1,
+        # 600 oversized -> own bin2, 500 -> bin3
+        ("g", 1, 300), ("g", 2, 200), ("g", 3, 100), ("g", 4, 600), ("g", 5, 500),
+        # group h: single doc
+        ("h", 1, 512),
+    ]
+    df = spark.createDataFrame(rows, "grp string, doc_id bigint, n bigint")
+    out = llm.pack_sequences(df, "doc_id", "n", 512, group_cols=("grp",))
+    got = {(r.grp, r.doc_id): (r.bin, r.fill) for r in out.collect()}
+    assert got[("g", 1)] == (0, 300)
+    assert got[("g", 2)] == (0, 500)
+    assert got[("g", 3)] == (1, 100)
+    assert got[("g", 4)] == (2, 600)  # oversized doc: bin of its own
+    assert got[("g", 5)] == (3, 500)
+    assert got[("h", 1)] == (0, 512)  # exactly-full first bin
+    # invariants: bins contiguous from 0 per group; fill <= cap unless
+    # the bin holds a single oversized doc
+    import collections
+    per_bin = collections.defaultdict(list)
+    for (grp, doc), (b, _) in got.items():
+        per_bin[(grp, b)].append(doc)
+    for (grp, b), docs in per_bin.items():
+        total = sum(n for (g2, d, n) in rows if g2 == grp and d in docs)
+        assert total <= 512 or len(docs) == 1
+
+
+def test_pack_sequences_requires_group(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id bigint, n bigint")
+    with pytest.raises(ValueError):
+        llm.pack_sequences(df, "doc_id", "n", 512, group_cols=())
+
+
+def test_decontaminate_span_semantics(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v"), (3, "c d e f g")],
+        "doc_id bigint, text string",
+    )
+    eval_df = spark.createDataFrame([(100, "b c d e f")], "doc_id bigint, text string")
+    out = llm.decontaminate(corpus, eval_df, "doc_id", "text", n=3)
+    got = {r.doc_id: (r.n_shared_grams, r.n_eval_docs) for r in out.collect()}
+    # doc 1 shares "b c d"/"c d e"; doc 3 shares "c d e"/"d e f"; doc 2 clean
+    assert got[1] == (2, 1) and got[3] == (2, 1) and 2 not in got
+    # docs shorter than n produce no grams -> never flagged
+    short = spark.createDataFrame([(9, "b c")], "doc_id bigint, text string")
+    assert llm.decontaminate(short, eval_df, "doc_id", "text", n=3).count() == 0
