@@ -926,3 +926,91 @@ def pack_sequences(
         return pdf.assign(bin=bins, fill=fills)
 
     return df.select(*cols).groupBy(*group_cols).applyInPandas(_pack, schema)
+
+
+def sqdist_dec(a: Column | str, b: Column | str) -> Column:
+    """Exact-decimal squared-L2 distance of two double arrays (order-free
+    fold, engine-independent bits — same policy as dot_dec)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(
+        a, b,
+        lambda x, y: ((x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))).cast(DEC),
+    )
+    return (
+        F.aggregate(diffs, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC))
+        .cast("string").cast("double")
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "c_emb",
+) -> DataFrame:
+    """Nearest-centroid assignment: each vector → argmin squared-L2 cell
+    (ties break on centroid id). The centroid table is model state
+    (k × dim doubles), so it BROADCASTS at any corpus scale; the scan
+    side streams map-side — the only shuffle is the caller's.
+    Returns ``(vec_id, cell, d2)``.
+    """
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    c = centroids.select(F.col(cent_id_col).alias("cent_id"), F.col(cent_vec_col).alias("c_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    return (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("d2", sqdist_dec(F.col("embedding"), F.col("c_emb")))
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "d2")
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 3,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic Lloyd iterations: init = vectors of the ``k``
+    smallest ids, then ``n_iter`` rounds of (assign → recompute means).
+    Returns ``(assignment DataFrame, final centroids)``.
+
+    Scale shape (the same as Spark MLlib's KMeans): centroids are MODEL
+    state — k × dim doubles — collected to the driver each round and
+    re-broadcast; the data side never moves. The mean update aggregates
+    per (cell, dimension) with exact-decimal sums (posexplode → one
+    shuffle per round keyed on k × dim groups), so results are
+    independent of partitioning/merge order — reruns and different
+    cluster layouts produce identical centroids.
+    """
+    spark = emb.sparkSession
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    cents = [[float(x) for x in r.embedding] for r in e.orderBy("vec_id").limit(k).collect()]
+    assign = None
+    for _ in range(n_iter):
+        cent_df = spark.createDataFrame(
+            list(enumerate(cents)), "cent_id int, c_emb array<double>"
+        )
+        assign = kmeans_assign(e, cent_df, "vec_id", "embedding")
+        dims = (
+            assign.join(e, "vec_id")
+            .select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("double").cast(DEC)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("cell", "pos", (F.col("s").cast("string").cast("double") / F.col("n")).alias("m"))
+        )
+        rows = dims.groupBy("cell").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        ).collect()
+        new = {int(r.cell): [float(p.m) for p in r.pm] for r in rows}
+        # empty cells keep their previous centroid (standard Lloyd choice)
+        cents = [new.get(i, v) for i, v in enumerate(cents)]
+    return assign, cents

@@ -621,3 +621,54 @@ def d9_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
     return ops.decontaminate(corpus, eval_df, "doc_id", "text", n=_D9_N)
+
+
+# --------------------------------------------------------------------------
+# s3 — nearest-centroid cluster assignment (the k-means E-step, and the
+# IVF cell-assignment kernel): every vector → argmin squared-L2 over a
+# broadcast centroid table (model state, k × dim doubles — broadcastable
+# at any corpus scale; the scan side streams map-side). Centroids here
+# are the 8 smallest vec_ids, so the oracle can replay the identical
+# assignment in SQL; the full iterative Lloyd loop is
+# operators.llm.kmeans_lloyd (driver-collected model state per round,
+# exact-decimal mean updates — unit-tested against numpy).
+# --------------------------------------------------------------------------
+
+_S3_K = 8
+
+
+@register(
+    "s3_kmeans_assign",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < {_S3_K}
+    ),
+    pairs AS (
+      SELECT e.vec_id, c.cent_id, unnest(e.embedding) AS xa, unnest(c.c) AS xb
+      FROM embeddings e JOIN cent c ON true
+    ),
+    dists AS (
+      SELECT vec_id, cent_id,
+             CAST(CAST(SUM(CAST((CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE))
+                                * (CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS d2
+      FROM pairs GROUP BY vec_id, cent_id
+    ),
+    r AS (
+      SELECT vec_id, cent_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+      FROM dists
+    )
+    SELECT vec_id, cent_id AS cell, d2 FROM r WHERE rn = 1
+    """,
+    tags=("similarity", "clustering", "llm"),
+    doc="Gate duplicate: similarity family driver-gated by s1/s2; s3 adds "
+        "the nearest-centroid assignment kernel (k-means E-step), proven by "
+        "the same oracle harness locally.",
+    gate=False,
+)
+def s3_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _S3_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    return ops.kmeans_assign(emb, cent, "vec_id", "embedding")

@@ -259,3 +259,26 @@ def test_decontaminate_span_semantics(spark):
     # docs shorter than n produce no grams -> never flagged
     short = spark.createDataFrame([(9, "b c")], "doc_id bigint, text string")
     assert llm.decontaminate(short, eval_df, "doc_id", "text", n=3).count() == 0
+
+
+def test_kmeans_lloyd_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from medvedi_spark.catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign, cents = llm.kmeans_lloyd(emb, "vec_id", "embedding", k=4, n_iter=2)
+
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    C = X[:4].copy()
+    for _ in range(2):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)  # ties: argmin takes lowest index = lowest cent_id
+        for j in range(4):
+            if (lab == j).any():
+                C[j] = X[lab == j].mean(axis=0)
+    got = {r.vec_id: r.cell for r in assign.collect()}
+    exp = dict(zip(ids.tolist(), lab.tolist()))
+    assert got == exp
+    assert np.allclose(np.array(cents), C, atol=1e-9)
