@@ -692,3 +692,70 @@ def p3_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         sized, "doc_id", "n_tokens", _P3_CAPACITY, group_cols=("lang", "shard")
     )
+
+
+# --------------------------------------------------------------------------
+# t7 — TF-IDF top terms per document (keyword extraction / relevance
+# weighting over the corpus). IDF is the RATIONAL variant N/df — not
+# log(N/df) — because log is a libm transcendental whose last bits
+# differ between the JVM and DuckDB; the ranking is identical (log is
+# monotone) and the weights stay engine-portable integer ratios.
+# Scale shape: one shuffle builds (doc, term, tf); document frequency is
+# a vocabulary-sized aggregate that BROADCASTS back onto the term stream
+# (vocab << corpus at any scale); the corpus size N is a scalar
+# statistic (one tiny count job, the same kind AQE replans on). Top-3
+# per doc via one window over the doc partition.
+# --------------------------------------------------------------------------
+
+_T7_TOPK = 3
+
+
+@register(
+    "t7_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term, tf.c, df.df,
+             CAST(tf.c * n.n_docs AS DOUBLE) / df.df AS weight
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, term, c, df, weight,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rank
+      FROM w
+    )
+    SELECT doc_id, term, c, df, weight, rank FROM r WHERE rank <= {_T7_TOPK}
+    """,
+    tags=("text", "tfidf", "llm"),
+    doc="Gate duplicate: text family driver-gated by t1-t4; t7 adds TF-IDF "
+        "term weighting (rational IDF), proven by the same oracle harness "
+        "locally.",
+    gate=False,
+)
+def t7_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar corpus statistic, one tiny job
+    tok = docs.select(
+        "doc_id", F.explode(F.filter(_tok(), lambda t: t != "")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = tf.join(F.broadcast(df), "term").withColumn(
+        "weight", (F.col("c") * F.lit(n_docs)).cast("double") / F.col("df")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    )
+    return (
+        w.withColumn("rank", rank)
+        .filter(F.col("rank") <= _T7_TOPK)
+        .select("doc_id", "term", "c", "df", "weight", "rank")
+    )
