@@ -101,3 +101,43 @@ def write_bucketed(
 
 def read_table(table: str, *, spark: SparkSession | None = None, index=()) -> MDF:
     return MDF.from_spark(_spark(spark).table(table), index=index)
+
+
+def read_orc(path: str, *, spark: SparkSession | None = None, index=()) -> MDF:
+    """ORC: the other columnar format with native predicate pushdown and
+    column pruning in Spark's DataSource V2 — same scale properties as
+    parquet (splittable stripes, footer statistics)."""
+    return MDF.from_spark(_spark(spark).read.orc(path), index=index)
+
+
+def write_orc(df: MDF, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.df.drop(ROW_ID).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_text(
+    path: str,
+    *,
+    whole_text: bool = False,
+    line_sep: str | None = None,
+    spark: SparkSession | None = None,
+    index=(),
+) -> MDF:
+    """Raw text corpus reader: one row per line (splittable — a 100 TB
+    text dump reads in parallel), or one row per FILE with
+    ``whole_text=True`` (document-per-file corpora; not splittable, so
+    parallelism = file count). Column name: ``value`` (Spark contract).
+    """
+    reader = _spark(spark).read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    # NB: must go through the kwarg — .option("wholetext", True) stringifies
+    # to "True", which the text source silently fails to parse as a boolean.
+    return MDF.from_spark(reader.text(path, wholetext=whole_text), index=index)
+
+
+def write_text(df: MDF, path: str, *, mode: str = "overwrite", column: str = "value") -> None:
+    """Single-string-column sink (one line per row)."""
+    df.df.drop(ROW_ID).select(column).write.mode(mode).text(path)

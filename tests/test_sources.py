@@ -58,3 +58,29 @@ def test_arrow_roundtrip(spark):
     assert_array_equal(back["a"], [1, 2])
     out = back.to_arrow()
     assert out.column("b").to_pylist() == ["x", "y"]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = _frame(spark)
+    p = str(tmp_path / "t.orc")
+    src.write_orc(df, p)
+    back = src.read_orc(p, spark=spark).sort_values("k")
+    assert_array_equal(back["k"], [1, 2, 3])
+    assert_array_equal(back["v"], [2.5, 3.5, 1.5])
+
+
+def test_text_roundtrip_lines(spark, tmp_path):
+    from medvedi_spark.frame import MDF
+
+    df = MDF({"value": ["alpha", "beta", "gamma"]}, spark=spark)
+    p = str(tmp_path / "t.txt")
+    src.write_text(df, p)
+    back = src.read_text(p, spark=spark).sort_values("value")
+    assert_array_equal(back["value"], ["alpha", "beta", "gamma"])
+
+
+def test_text_whole_file(spark, tmp_path):
+    (tmp_path / "docs").mkdir()
+    (tmp_path / "docs" / "a.txt").write_text("line1\nline2")
+    back = src.read_text(str(tmp_path / "docs"), whole_text=True, spark=spark)
+    assert back["value"].tolist() == ["line1\nline2"]
