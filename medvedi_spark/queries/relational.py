@@ -1300,3 +1300,55 @@ def q34_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# q36 — unpivot/melt: wide metric columns → long (key, metric, value)
+# rows, the inverse of q18's pivot and a reshape the reference cannot
+# express at all (its frames are strictly columnar-wide). Spark 4's
+# native `unpivot` lowers to a generate/expand node — map-side only,
+# zero shuffle, linear in rows×metrics; the oracle states the same
+# reshape as a portable UNION ALL.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q36_unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value
+      FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', CAST(l_extendedprice AS DOUBLE)
+      FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE)
+      FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE)
+      FROM lineitem WHERE l_orderkey < 1000
+    )
+    """,
+    tags=("relational", "reshape"),
+    doc="Gate duplicate: reshape family driver-gated by q18 (pivot); q36 adds "
+        "the inverse melt/unpivot, proven by the same oracle harness locally.",
+    gate=False,
+)
+def q36_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    metrics = {
+        "quantity": "l_quantity",
+        "extendedprice": "l_extendedprice",
+        "discount": "l_discount",
+        "tax": "l_tax",
+    }
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.col(c).cast("double").alias(m) for m, c in metrics.items()],
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        list(metrics),
+        "metric",
+        "value",
+    )
