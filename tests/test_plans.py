@@ -128,3 +128,36 @@ def test_iloc_contiguous_slice_avoids_position_plan(spark):
     plan = m.iloc[10:20].df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Join" not in plan, plan
     assert "Limit" in plan or "TakeOrdered" in plan, plan
+
+
+def test_d9_eval_side_broadcasts(spark, sf_dir, qmap):
+    """Decontamination joins the corpus gram stream against the eval set:
+    the eval side must broadcast (it is KBs vs the corpus), and nothing
+    may fall back to a shuffle join of the corpus grams."""
+    facts = plan_facts(qmap["d9_decontamination"](spark, sf_dir))
+    assert facts["bhj"] >= 1, "eval gram set must broadcast"
+    assert facts["smj"] + facts["shj"] == 0, "corpus grams must not shuffle-join"
+
+
+def test_t6_p2_are_shuffle_free(spark, sf_dir, qmap):
+    """Repetition signals and hash-bucket sampling are pure map-side
+    pipelines: one row in, <=1 row out, zero exchanges."""
+    for name in ("t6_repetition", "p2_stratified_sample"):
+        facts = plan_facts(qmap[name](spark, sf_dir))
+        assert facts["exch"] == 0, f"{name} must not shuffle"
+
+
+def test_p3_packing_single_group_shuffle(spark, sf_dir, qmap):
+    """Sequence packing shuffles ONCE on the (lang, shard) group key and
+    runs the next-fit loop inside an Arrow batch."""
+    facts = plan_facts(qmap["p3_pack_sequences"](spark, sf_dir))
+    assert facts["exch"] == 1
+    assert facts["arrow"] == 1 and facts["pyudf"] == 0
+
+
+def test_s3_centroids_broadcast(spark, sf_dir, qmap):
+    """K-means assignment: the centroid (model-state) side broadcasts;
+    the single exchange is the per-vector argmin window."""
+    facts = plan_facts(qmap["s3_kmeans_assign"](spark, sf_dir))
+    assert facts["bnlj"] + facts["bhj"] >= 1, "centroid table must broadcast"
+    assert facts["exch"] == 1

@@ -99,3 +99,27 @@ def test_iloc_slice_matches_numpy(spark, k, start, stop):
     mdf = MDF({"k": k}, spark=spark)
     out = mdf.iloc[start:stop]
     np.testing.assert_array_equal(out["k"], np.asarray(k)[start:stop])
+
+
+sizes = st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12)
+
+
+@given(n=sizes, cap=st.integers(min_value=8, max_value=64))
+@settings(**SETTINGS)
+def test_pack_sequences_matches_reference_next_fit(spark, n, cap):
+    """Distributed next-fit (applyInPandas) vs the sequential definition."""
+    from medvedi_spark.operators.llm import pack_sequences
+
+    df = spark.createDataFrame(
+        [("g", i, int(s)) for i, s in enumerate(n)], "grp string, doc_id bigint, n bigint"
+    )
+    out = pack_sequences(df, "doc_id", "n", cap, group_cols=("grp",))
+    got = {r.doc_id: (r.bin, r.fill) for r in out.collect()}
+    b, fill = 0, 0
+    for i, s in enumerate(n):
+        if i > 0 and fill + s <= cap:
+            fill += s
+        else:
+            b += 1 if i > 0 else 0
+            fill = s
+        assert got[i] == (b, fill), (i, n, cap, got)
