@@ -1352,3 +1352,46 @@ def q36_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+# --------------------------------------------------------------------------
+# q37 — ranking-window surface beyond q13: ntile bucketing,
+# percent_rank, cume_dist. All three are rational functions of (rank, n)
+# — no transcendentals — and the window's ORDER BY carries a unique
+# tiebreak (o_orderkey), so both engines compute identical bits. One
+# exchange on the partition key; ranking evaluates inside the sort, no
+# extra pass.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q37_ranking_windows",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS price_quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           ROW_NUMBER() OVER w AS rn
+    FROM orders
+    WHERE o_orderkey < 5000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("relational", "window"),
+    doc="Gate duplicate: window family driver-gated by q13; q37 adds the "
+        "ntile/percent_rank/cume_dist ranking surface, proven by the same "
+        "oracle harness locally.",
+    gate=False,
+)
+def q37_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.row_number().over(w).alias("rn"),
+    )
