@@ -1203,6 +1203,49 @@ class MDF:
         out = _renumber_by(out, F.col(ROW_ID).asc(), F.col("__pos_in__").asc()).drop("__pos_in__")
         return MDF._from_spark(out, () if ignore_index else self._index)
 
+    def unpivot(
+        self,
+        ids: Sequence[Hashable],
+        values: Sequence[Hashable],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "MDF":
+        """Wide → long reshape (pandas ``melt``; a capability the strictly
+        columnar-wide reference cannot express). Lowers to Spark's native
+        ``unpivot`` — a map-side expand, zero shuffle, linear in
+        rows × len(values). Output rows are ordered source-row-major then
+        by the ``values`` order, like pandas with ``ignore_index=True``
+        per source row."""
+        id_cols = [str(c) for c in ids]
+        val_cols = [str(c) for c in values]
+        pos = F.array_position(F.array(*[F.lit(c) for c in val_cols]), F.col(var_name))
+        out = (
+            self._df.select(*id_cols, *val_cols, ROW_ID)
+            .unpivot([*id_cols, ROW_ID], val_cols, var_name, value_name)
+        )
+        out = _renumber_by(out, F.col(ROW_ID).asc(), pos.asc())
+        return MDF._from_spark(out, ())
+
+    def pivot_table(
+        self,
+        index: Hashable | Sequence[Hashable],
+        columns: Hashable,
+        values: Hashable,
+        aggfunc: str = "sum",
+        pivot_values: Sequence | None = None,
+    ) -> "MDF":
+        """Long → wide reshape over an aggregate (pandas ``pivot_table``).
+        One shuffle on the index keys; at scale, pass ``pivot_values``
+        (the distinct pivot labels) to skip Spark's distinct-value
+        discovery job — on 100 TB the label set is catalog knowledge, not
+        something to recompute. Rows are ordered by the index keys."""
+        idx = [str(c) for c in (index if isinstance(index, (list, tuple)) else [index])]
+        grouped = self._df.drop(ROW_ID).groupBy(*idx)
+        piv = grouped.pivot(str(columns), list(pivot_values) if pivot_values is not None else None)
+        out = piv.count() if aggfunc == "count" else getattr(piv, aggfunc)(str(values))
+        out = _renumber_by(out, *[F.col(c).asc() for c in idx])
+        return MDF._from_spark(out, tuple(idx))
+
     # -- S2: arrow / parquet export ---------------------------------------------------------------
 
     def to_arrow(self):

@@ -508,3 +508,36 @@ def test_len_memoized_per_plan(spark, monkeypatch):
     m.take(np.array([0, 1]), inplace=True)  # rebinds the plan
     assert len(m) == 2
     assert len(calls) >= 2
+
+
+def test_unpivot_matches_pandas_melt(spark):
+    import pandas as pd
+
+    data = {"k": [1, 2], "a": [10, 20], "b": [30, 40]}
+    df = MDF(data, spark=spark)
+    out = df.unpivot(["k"], ["a", "b"], var_name="var", value_name="val")
+    exp = (
+        pd.DataFrame(data)
+        .melt(id_vars=["k"], value_vars=["a", "b"], var_name="var", value_name="val")
+        .sort_values(["k", "var"])  # row-major source order then values order
+        .reset_index(drop=True)
+    )
+    got = out.to_pandas().reset_index(drop=True)
+    # engine order: source-row-major then values order = k asc, var asc here
+    assert got["k"].tolist() == [1, 1, 2, 2]
+    assert got["var"].tolist() == ["a", "b", "a", "b"]
+    assert sorted(map(tuple, got[["k", "var", "val"]].values.tolist())) == sorted(
+        map(tuple, exp[["k", "var", "val"]].values.tolist())
+    )
+
+
+def test_pivot_table_sum_and_count(spark):
+    df = MDF(
+        {"k": [1, 1, 2, 2, 2], "c": ["x", "y", "x", "x", "y"], "v": [1, 2, 3, 4, 5]},
+        spark=spark,
+    )
+    out = df.pivot_table("k", "c", "v", aggfunc="sum").to_pandas()
+    assert out["k"].tolist() == [1, 2]
+    assert out["x"].tolist() == [1, 7] and out["y"].tolist() == [2, 5]
+    cnt = df.pivot_table("k", "c", "v", aggfunc="count", pivot_values=["x", "y"]).to_pandas()
+    assert cnt["x"].tolist() == [1, 2] and cnt["y"].tolist() == [1, 1]
