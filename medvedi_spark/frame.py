@@ -38,7 +38,7 @@ from pyspark.sql.window import Window
 
 ROW_ID = "__row_id__"
 
-__all__ = ["MDF", "Index", "Grouper", "join", "concat", "ROW_ID"]
+__all__ = ["MDF", "Index", "Grouper", "join", "concat", "sql", "ROW_ID"]
 
 # ---------------------------------------------------------------------------
 # dtype mapping (SURVEY §1.2) and type-default fills (§1.3 δ-1):
@@ -1246,6 +1246,31 @@ class MDF:
         out = _renumber_by(out, *[F.col(c).asc() for c in idx])
         return MDF._from_spark(out, tuple(idx))
 
+    # -- caching / SQL interop (beyond ref: Spark-native surface) ----------------------------------
+
+    def persist(self, storage_level: str = "MEMORY_AND_DISK") -> "MDF":
+        """Pin the frame's plan result across actions (the reference is
+        eager, so every frame is implicitly 'persisted'; on Spark this is
+        an explicit, spill-safe choice). Returns self for chaining."""
+        from pyspark import StorageLevel
+
+        self._df.persist(getattr(StorageLevel, storage_level))
+        return self
+
+    def cache(self) -> "MDF":
+        return self.persist()
+
+    def unpersist(self, blocking: bool = False) -> "MDF":
+        self._df.unpersist(blocking)
+        return self
+
+    def to_view(self, name: str) -> "MDF":
+        """Register this frame as a temp view (without the internal row-id
+        column) so `spark.sql` / the module-level `sql()` helper can
+        query it."""
+        self._df.drop(ROW_ID).createOrReplaceTempView(name)
+        return self
+
     # -- S2: arrow / parquet export ---------------------------------------------------------------
 
     def to_arrow(self):
@@ -1602,3 +1627,19 @@ def concat(*dfs: MDF, ignore_index: bool = False, strict: bool = True, copy: boo
         out = _fill_defaults(out, all_cols)
     index = () if ignore_index else first._index
     return MDF._from_spark(out.select(*all_cols, ROW_ID), index)
+
+
+def sql(query: str, tables: dict[str, "MDF"] | None = None, *, spark=None, index=()) -> "MDF":
+    """Run ANSI SQL over MDFs: registers ``tables`` as temp views, runs the
+    query through Catalyst, wraps the result. The full Spark SQL surface
+    (joins, windows, CTEs, lateral views) applies to compat frames with
+    zero copying — the views are lazy plan aliases, not materializations."""
+    from pyspark.sql import SparkSession
+
+    for name, mdf in (tables or {}).items():
+        mdf.to_view(name)
+        spark = spark or mdf._df.sparkSession
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("no active SparkSession; pass spark=")
+    return MDF.from_spark(s.sql(query), index=index)

@@ -541,3 +541,22 @@ def test_pivot_table_sum_and_count(spark):
     assert out["x"].tolist() == [1, 7] and out["y"].tolist() == [2, 5]
     cnt = df.pivot_table("k", "c", "v", aggfunc="count", pivot_values=["x", "y"]).to_pandas()
     assert cnt["x"].tolist() == [1, 2] and cnt["y"].tolist() == [1, 1]
+
+
+def test_sql_over_mdfs(spark):
+    from medvedi_spark.frame import sql
+
+    left = MDF({"k": [1, 2, 3], "v": [10, 20, 30]}, spark=spark)
+    right = MDF({"k": [2, 3, 4], "w": ["b", "c", "d"]}, spark=spark)
+    out = sql(
+        "SELECT l.k, l.v, r.w FROM l JOIN r ON l.k = r.k ORDER BY l.k",
+        {"l": left, "r": right},
+    ).to_pandas()
+    assert out["k"].tolist() == [2, 3]
+    assert out["w"].tolist() == ["b", "c"]
+
+
+def test_persist_roundtrip(spark):
+    df = MDF({"a": [1, 2]}, spark=spark).cache()
+    assert df["a"].tolist() == [1, 2]
+    df.unpersist()
