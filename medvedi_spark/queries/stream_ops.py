@@ -282,3 +282,50 @@ def st7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("user_id", "view_ts", "purchase_ts")
     return run_to_memory(joined, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st8 — stream-static enrichment join: the production pattern for
+# dimension lookup on a live stream (clickstream × user table, events ×
+# device registry). The static side is an ordinary batch DataFrame that
+# Spark re-reads per micro-batch and BROADCASTS (no state store at all —
+# unlike st7's stream-stream join there is nothing to watermark; the
+# static side is simply current as-of each batch). Aggregation after the
+# join runs in complete mode so the drained result equals the batch
+# answer.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "st8_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           e.event_type,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "enrichment"),
+    doc="Gate duplicate: streaming family driver-gated by st2/st4-st7; st8 "
+        "adds the stream-static broadcast enrichment join, proven by the "
+        "same oracle harness locally.",
+    gate=False,
+)
+def st8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.catalog import load
+
+    events = read_events_stream(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = events.join(customer, "user_id")  # stream-static: broadcast, stateless
+    agg = (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("string").cast("double").alias("value_sum"),
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
