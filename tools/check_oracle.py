@@ -105,37 +105,61 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None)
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args[1:]) if len(args) > 1 else (set(args) if args and not os.path.isdir(args[0]) else None)
     _ensure_loaded()
     spark = vanilla_spark()
     con = duck_connect(sf_dir)
     failures = 0
+    report: dict[str, dict] = {}
     for name, q in QUERIES.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None, "gate": q.gate}
+        report[name] = rec
         try:
             spark_pdf = q.builder(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            rec["err"] = f"spark: {e}"[:300]
             failures += 1
             continue
+        rec["spark_rows"] = len(spark_pdf)
         if q.oracle is None:
             print(f"ok   {name}: rows={len(spark_pdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            rec["err"] = "no_oracle"
             continue
         try:
             duck_pdf = con.execute(q.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb: {e}"[:300]
             failures += 1
             continue
+        rec["oracle_rows"] = len(duck_pdf)
         problems = compare(name, spark_pdf, duck_pdf)
+        rec["rows_match"] = len(spark_pdf) == len(duck_pdf)
+        rec["schema_match"] = sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+        rec["hash_match"] = not problems
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
+            rec["err"] = "; ".join(problems)[:300]
         else:
             print(f"PASS {name}: rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as fh:
+            _json.dump(report, fh, indent=1)
     print(f"\n{'ALL PASS' if not failures else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
