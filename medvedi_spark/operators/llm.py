@@ -1034,3 +1034,43 @@ def kmeans_lloyd(
         # empty cells keep their previous centroid (standard Lloyd choice)
         cents = [new.get(i, v) for i, v in enumerate(cents)]
     return assign, cents
+
+
+def pq_encode(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int = 8,
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "c_emb",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into
+    ``n_subspaces`` contiguous subvectors and replace each with the id of
+    its nearest sub-codebook centroid — the compression step that turns a
+    100 TB float corpus into bytes-per-vector codes for ADC-style ANN
+    (Jégou et al., TPAMI 2011). Returns ``(vec_id, code0..code{S-1})``.
+
+    Scale shape: the codebook is MODEL state (k × dim doubles) and
+    broadcasts; all ``n_subspaces`` argmins share ONE broadcast
+    nested-loop pass and ONE aggregate shuffle keyed on the vector id
+    (8 × min_by in a single groupBy — not 8 joins). Ties break on
+    centroid id, and subspace distances accumulate in exact decimal, so
+    codes are bit-reproducible across partitionings and engines.
+    """
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    c = centroids.select(F.col(cent_id_col).alias("cent_id"), F.col(cent_vec_col).alias("c_emb"))
+    n_dim_col = F.size(F.col("embedding"))
+    cand = e.crossJoin(F.broadcast(c))
+    aggs = []
+    for s in range(n_subspaces):
+        start = (n_dim_col / n_subspaces).cast("int") * s + 1
+        width = (n_dim_col / n_subspaces).cast("int")
+        d2 = sqdist_dec(
+            F.slice(F.col("embedding"), start, width), F.slice(F.col("c_emb"), start, width)
+        )
+        cand = cand.withColumn(f"__d{s}__", d2)
+        aggs.append(
+            F.min_by("cent_id", F.struct(F.col(f"__d{s}__"), F.col("cent_id"))).alias(f"code{s}")
+        )
+    return cand.groupBy("vec_id").agg(*aggs)

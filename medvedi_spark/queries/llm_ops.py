@@ -672,3 +672,69 @@ def s3_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
     return ops.kmeans_assign(emb, cent, "vec_id", "embedding")
+
+
+# --------------------------------------------------------------------------
+# s4 — product-quantization encoding (Jégou et al., TPAMI 2011): the
+# vector-compression kernel behind every billion-scale ANN index. Each
+# 64-dim vector splits into 8 contiguous subvectors; each subvector is
+# replaced by the id of its nearest sub-codebook centroid (here the
+# first 16 vectors, so the oracle can replay the identical assignment).
+# The engine computes ALL 8 subspace argmins in ONE broadcast
+# nested-loop pass + ONE aggregate shuffle (8 min_bys in a single
+# groupBy) — not 8 joins; distances accumulate in exact decimal with
+# centroid-id tiebreaks, so the codes are bit-reproducible.
+# --------------------------------------------------------------------------
+
+_S4_SUBS = 8
+_S4_K = 16
+_S4_SUBDIM = 8  # 64 dims / 8 subspaces
+
+_S4_DEC_D2 = (
+    "CAST(CAST(SUM(CAST((CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE))"
+    " * (CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+)
+_S4_CODE_COLS = ",\n           ".join(
+    f"MAX(CASE WHEN s = {s} THEN cent_id END) AS code{s}" for s in range(_S4_SUBS)
+)
+
+
+@register(
+    "s4_pq_encode",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < {_S4_K}
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_S4_SUBS - 1})) AS s),
+    pairs AS (
+      SELECT e.vec_id, cent.cent_id, sub.s,
+             unnest(e.embedding[sub.s * {_S4_SUBDIM} + 1 : sub.s * {_S4_SUBDIM} + {_S4_SUBDIM}]) AS xa,
+             unnest(cent.c[sub.s * {_S4_SUBDIM} + 1 : sub.s * {_S4_SUBDIM} + {_S4_SUBDIM}]) AS xb
+      FROM embeddings e, cent, sub
+    ),
+    d AS (
+      SELECT vec_id, cent_id, s, {_S4_DEC_D2} AS d2
+      FROM pairs GROUP BY vec_id, cent_id, s
+    ),
+    r AS (
+      SELECT vec_id, s, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+      FROM d
+    )
+    SELECT vec_id,
+           {_S4_CODE_COLS}
+    FROM r WHERE rn = 1
+    GROUP BY vec_id
+    """,
+    tags=("similarity", "ann", "quantization", "llm"),
+    doc="Gate duplicate: similarity family driver-gated by s1/s2; s4 adds "
+        "product-quantization encoding, proven by the same oracle harness "
+        "locally.",
+    gate=False,
+)
+def s4_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _S4_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    return ops.pq_encode(emb, cent, "vec_id", "embedding", n_subspaces=_S4_SUBS)

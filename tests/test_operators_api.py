@@ -282,3 +282,23 @@ def test_kmeans_lloyd_matches_numpy(spark, sf_dir):
     exp = dict(zip(ids.tolist(), lab.tolist()))
     assert got == exp
     assert np.allclose(np.array(cents), C, atol=1e-9)
+
+
+def test_pq_encode_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from medvedi_spark.catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).selectExpr(
+        "vec_id AS cent_id", "embedding AS c_emb"
+    )
+    out = llm.pq_encode(emb, cent, "vec_id", "embedding", n_subspaces=8)
+
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id)
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    C = X[:16]
+    got = {r.vec_id: [r[f"code{s}"] for s in range(8)] for r in out.collect()}
+    for i, r in enumerate(rows):
+        for s in range(8):
+            d2 = ((X[i, s * 8 : s * 8 + 8] - C[:, s * 8 : s * 8 + 8]) ** 2).sum(axis=1)
+            assert got[r.vec_id][s] == int(d2.argmin()), (r.vec_id, s)
