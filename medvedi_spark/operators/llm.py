@@ -1074,3 +1074,68 @@ def pq_encode(
             F.min_by("cent_id", F.struct(F.col(f"__d{s}__"), F.col("cent_id"))).alias(f"code{s}")
         )
     return cand.groupBy("vec_id").agg(*aggs)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe,
+    k: int = 10,
+    n_subspaces: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes: queries stay
+    full-precision, the corpus is its PQ codes, and each candidate's
+    approximate distance is the sum over subspaces of a per-query lookup
+    table LUT[s][code] = d2(query_sub_s, centroid_code) — the standard
+    billion-scale ANN scoring loop (Jégou et al.).
+
+    Scale shape: the LUT is (queries × k_codebook × subspaces) — model
+    state, broadcast; corpus codes flow long-form (vec_id, s, code)
+    through ONE broadcast join and ONE exact-decimal aggregate keyed on
+    (query, vector), so the approximate sum is order-free and
+    bit-reproducible. Returns ``(query_id, neighbor_id, rank, d2_approx)``.
+    """
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    codes = pq_encode(emb, centroids, id_col, vec_col, n_subspaces=n_subspaces)
+    code_long = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"code{s}").alias("code"))
+                    for s in range(n_subspaces)
+                ]
+            )
+        ).alias("sc"),
+    ).select(F.col("vec_id").alias("neighbor_id"), F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
+    c = centroids.select(F.col("cent_id"), F.col("c_emb"))
+    n_dim_col = F.size(F.col("q_emb"))
+    queries = e.filter(probe).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    lut_rows = []
+    lut = queries.crossJoin(F.broadcast(c))
+    width = (n_dim_col / n_subspaces).cast("int")
+    for s in range(n_subspaces):
+        start = width * s + 1
+        lut_rows.append(
+            F.struct(
+                F.lit(s).alias("s"),
+                sqdist_dec(F.slice(F.col("q_emb"), start, width), F.slice(F.col("c_emb"), start, width)).alias("d2"),
+            )
+        )
+    lut = lut.select(
+        "query_id", F.col("cent_id").alias("code"), F.explode(F.array(*lut_rows)).alias("sd")
+    ).select("query_id", "code", F.col("sd.s").alias("s"), F.col("sd.d2").alias("d2"))
+    scored = (
+        code_long.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("d2").cast(DEC)).cast("string").cast("double").alias("d2_approx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2_approx"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2_approx")
+    )

@@ -738,3 +738,76 @@ def s4_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
     return ops.pq_encode(emb, cent, "vec_id", "embedding", n_subspaces=_S4_SUBS)
+
+
+# --------------------------------------------------------------------------
+# s5 — ADC top-k search over the s4 PQ codes: queries stay full
+# precision, the corpus is 8 code bytes/vector, and candidate distance
+# is the sum over subspaces of a per-query lookup table — the scoring
+# loop of billion-scale ANN serving. LUT = model state (queries ×
+# codebook × subspaces) and BROADCASTS; corpus codes flow long-form
+# through one broadcast join + one exact-decimal aggregate, so the
+# approximate distances are order-free and hash-match the oracle's
+# replay of the identical algorithm.
+# --------------------------------------------------------------------------
+
+_S5_K = 10
+_S5_PROBES = 5
+
+
+@register(
+    "s5_pq_adc_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < {_S4_K}
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_S4_SUBS - 1})) AS s),
+    pairs AS (
+      SELECT e.vec_id, cent.cent_id, sub.s,
+             unnest(e.embedding[sub.s * {_S4_SUBDIM} + 1 : sub.s * {_S4_SUBDIM} + {_S4_SUBDIM}]) AS xa,
+             unnest(cent.c[sub.s * {_S4_SUBDIM} + 1 : sub.s * {_S4_SUBDIM} + {_S4_SUBDIM}]) AS xb
+      FROM embeddings e, cent, sub
+    ),
+    d AS (
+      SELECT vec_id, cent_id, s, {_S4_DEC_D2} AS d2
+      FROM pairs GROUP BY vec_id, cent_id, s
+    ),
+    codes AS (
+      SELECT vec_id AS neighbor_id, s, cent_id AS code
+      FROM (SELECT vec_id, s, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+            FROM d)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, cent_id AS code, s, d2
+      FROM d WHERE vec_id < {_S5_PROBES}
+    ),
+    scored AS (
+      SELECT l.query_id, c.neighbor_id,
+             CAST(CAST(SUM(CAST(l.d2 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS d2_approx
+      FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+      WHERE c.neighbor_id <> l.query_id
+      GROUP BY l.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, d2_approx FROM (
+      SELECT query_id, neighbor_id, d2_approx,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2_approx, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_S5_K}
+    """,
+    tags=("similarity", "ann", "quantization", "llm"),
+    doc="Gate duplicate: similarity family driver-gated by s1/s2; s5 adds "
+        "ADC search over the s4 PQ codes, proven by the same oracle harness "
+        "locally.",
+    gate=False,
+)
+def s5_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _S4_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    return ops.pq_adc_topk(
+        emb, cent, "vec_id", "embedding",
+        probe=F.col("vec_id") < _S5_PROBES, k=_S5_K, n_subspaces=_S4_SUBS,
+    )
