@@ -759,3 +759,118 @@ def t7_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _T7_TOPK)
         .select("doc_id", "term", "c", "df", "weight", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# p4 — the full training-data preparation pipeline, end to end in one
+# declarative plan: eval-set decontamination (d9 kernel) → Gopher
+# repetition filter (t6 kernel) → deterministic stratified sampling (p2
+# kernel) → next-fit sequence packing (p3 kernel). This is the composite
+# a production corpus run executes before tokenization; every stage is
+# individually oracle-proven, and this query proves the COMPOSITION
+# (filter interactions, join directions, shard assignment) row-for-row
+# against one combined SQL replay ending in the recursive-CTE packer.
+# Scale shape: eval grams broadcast; repetition metrics in-row; sampling
+# map-side; the only wide shuffles are the contamination anti-join key
+# exchange and the (lang, shard) packing groups.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p4_training_pipeline",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(toks) - 3)) AS i)
+    ),
+    eg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 50 = 0),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id FROM cg c JOIN eg USING (g) WHERE c.doc_id % 50 <> 0
+    ),
+    metrics AS (
+      SELECT doc_id, lang, len(toks) AS n_tokens,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS bg,
+             list_max(list_transform(list_distinct(toks),
+                                     w -> len(list_filter(toks, t -> t = w)))) AS topcnt
+      FROM base WHERE doc_id % 50 <> 0
+    ),
+    clean AS (
+      SELECT doc_id, lang, n_tokens FROM metrics
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND NOT ((CASE WHEN len(bg) > 0
+                       THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                       ELSE 0.0 END) > {_T6_DUP_BG}
+                 OR (CASE WHEN n_tokens > 0
+                          THEN CAST(topcnt AS DOUBLE) / n_tokens ELSE 0.0 END) > {_T6_TOP_W})
+    ),
+    sampled AS (
+      SELECT doc_id, lang, n_tokens, doc_id % 4 AS shard,
+             ROW_NUMBER() OVER (PARTITION BY lang, doc_id % 4 ORDER BY doc_id) AS rn
+      FROM clean
+      WHERE {_P2_BUCKET_SQL} < CASE WHEN lang = 'en' THEN {_P2_RATES['en']} ELSE {_P2_DEFAULT_RATE} END
+    ),
+    packed AS (
+      SELECT lang, shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM sampled WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.shard, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN p.fill + t.n_tokens <= 512 THEN p.bin ELSE p.bin + 1 END,
+             CASE WHEN p.fill + t.n_tokens <= 512 THEN p.fill + t.n_tokens ELSE t.n_tokens END
+      FROM sampled t JOIN packed p ON t.lang = p.lang AND t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT lang, shard, doc_id, n_tokens, bin, fill FROM packed
+    """,
+    tags=("text", "pipeline", "decontamination", "packing", "llm"),
+    doc="Gate duplicate: composes the d9+t6+p2+p3 kernels, each "
+        "individually proven; this query proves the composition end-to-end "
+        "by the same oracle harness locally.",
+    gate=False,
+)
+def p4_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.functions.hashing import token_hash
+    from medvedi_spark.operators.llm import decontaminate, pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    contaminated = decontaminate(corpus, eval_df, "doc_id", "text", n=4).select("doc_id")
+
+    toks = F.filter(_tok(), lambda t: t != "")
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    topcnt = F.array_max(
+        F.transform(F.array_distinct(toks), lambda w: F.size(F.filter(toks, lambda t: t == w)))
+    )
+    metrics = corpus.select(
+        "doc_id", "lang", F.size(toks).alias("n_tokens"), bg.alias("bg"), topcnt.alias("topcnt")
+    )
+    dup_frac = F.when(
+        F.size("bg") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("bg")).cast("double") / F.size("bg"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.col("n_tokens") > 0, F.col("topcnt").cast("double") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    clean = (
+        metrics.filter(~((dup_frac > _T6_DUP_BG) | (top_frac > _T6_TOP_W)))
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens")
+    )
+    bucket = token_hash(F.col("doc_id").cast("string")) % 100
+    rate = F.when(F.col("lang") == "en", F.lit(_P2_RATES["en"])).otherwise(F.lit(_P2_DEFAULT_RATE))
+    sampled = clean.filter(bucket < rate).select(
+        "lang", (F.col("doc_id") % 4).alias("shard"), "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(sampled, "doc_id", "n_tokens", 512, group_cols=("lang", "shard"))
