@@ -218,3 +218,51 @@ def audio_pipeline_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
             for c, v in zip(cols, vals):
                 rows[c].append(v)
         yield pd.DataFrame({c: pd.Series(rows[c], dtype="int64") for c in cols})
+
+
+def ahash_64(arr: "np.ndarray") -> tuple[int, int]:
+    """64-bit average-hash (aHash) of an HxWx3 uint8 image, returned as
+    (hi, lo) 32-bit halves so both engines stay inside signed int64.
+
+    The 8x8 downsample uses integer cell assignment (r*8//H, c*8//W) and
+    the brightness compare is the cross-multiplied INTEGER inequality
+    cell_sum * total_cnt > total_sum * cell_cnt — no float means, so the
+    bits are exactly reproducible arithmetic on the pixel bytes (which is
+    what lets a SQL oracle replay the hash). Cells empty under the
+    integer grid (images narrower than 8) hash to 0 bits on both sides.
+    """
+    h, w = arr.shape[:2]
+    s = arr.astype(np.int64).sum(axis=2)
+    cell = (np.arange(h)[:, None] * 8 // h) * 8 + (np.arange(w)[None, :] * 8 // w)
+    cell_sum = np.bincount(cell.ravel(), weights=s.ravel(), minlength=64).astype(np.int64)
+    cell_cnt = np.bincount(cell.ravel(), minlength=64).astype(np.int64)
+    tot_sum, tot_cnt = int(s.sum()), h * w
+    bits = cell_sum * tot_cnt > tot_sum * cell_cnt
+    lo = int(sum(1 << i for i in range(32) if bits[i]))
+    hi = int(sum(1 << (i - 32) for i in range(32, 64) if bits[i]))
+    return hi, lo
+
+
+def ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch perceptual-hash kernel: payload bytes → synthetic BMP
+    (md5-seeded geometry, bytes cycled as pixels — same construction as
+    the m2 video pipeline) → REAL encode/decode round trip → 8x8 aHash.
+    """
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "height": [], "width": [], "ahash_hi": [], "ahash_lo": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            height, width, _ = synth_geometry(hashlib.md5(data).hexdigest())
+            npx = 3 * height * width
+            reps = -(-npx // len(data))
+            pix = np.frombuffer(data * reps, dtype=np.uint8)[:npx].reshape(height, width, 3)
+            arr = decode_image(encode_bmp(pix))  # honest codec round trip
+            hi, lo = ahash_64(arr)
+            out["doc_id"].append(doc_id)
+            out["height"].append(height)
+            out["width"].append(width)
+            out["ahash_hi"].append(hi)
+            out["ahash_lo"].append(lo)
+        yield pd.DataFrame(out)

@@ -874,3 +874,76 @@ def p4_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", (F.col("doc_id") % 4).alias("shard"), "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
     )
     return pack_sequences(sampled, "doc_id", "n_tokens", 512, group_cols=("lang", "shard"))
+
+
+# --------------------------------------------------------------------------
+# m4 — perceptual-hash image dedup: payloads become real BMPs (md5-seeded
+# geometry, bytes cycled as pixels — the m2 construction), run through
+# the honest encode→decode round trip, and fingerprint as a 64-bit
+# average-hash (8x8 integer downsample grid; brightness bits from the
+# cross-multiplied INTEGER inequality cell_sum·N > total·cell_cnt, so no
+# float means exist to drift). Dedup groups by hash — the multimodal
+# counterpart of t4's token-set fingerprint, and the standard cheap
+# near-dup pass over an image corpus. The oracle replays the identical
+# pixel arithmetic from the text bytes in SQL.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "m4_image_ahash_dedup",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, text, length(text) AS L,
+             1 + CAST('0x' || substr(md5(text), 1, 3) AS BIGINT) % 32 AS h,
+             1 + CAST('0x' || substr(md5(text), 4, 3) AS BIGINT) % 32 AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, h, w, p,
+             ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS cell,
+             ascii(substr(text, CAST((3 * p) % L AS INT) + 1, 1))
+             + ascii(substr(text, CAST((3 * p + 1) % L AS INT) + 1, 1))
+             + ascii(substr(text, CAST((3 * p + 2) % L AS INT) + 1, 1)) AS s
+      FROM g, LATERAL (SELECT unnest(generate_series(0, h * w - 1)) AS p)
+    ),
+    cells AS (
+      SELECT doc_id, cell, SUM(s) AS cell_sum, COUNT(*) AS cell_cnt
+      FROM px GROUP BY doc_id, cell
+    ),
+    tot AS (
+      SELECT doc_id, SUM(cell_sum) AS tot_sum, SUM(cell_cnt) AS tot_cnt
+      FROM cells GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT c.doc_id, c.cell
+      FROM cells c JOIN tot t USING (doc_id)
+      WHERE c.cell_sum * t.tot_cnt > t.tot_sum * c.cell_cnt
+    ),
+    hashes AS (
+      SELECT g.doc_id,
+             CAST(COALESCE(SUM(CASE WHEN b.cell >= 32 THEN CAST(1 AS BIGINT) << (b.cell - 32) END), 0) AS BIGINT) AS ahash_hi,
+             CAST(COALESCE(SUM(CASE WHEN b.cell < 32 THEN CAST(1 AS BIGINT) << b.cell END), 0) AS BIGINT) AS ahash_lo
+      FROM g LEFT JOIN bits b USING (doc_id)
+      GROUP BY g.doc_id
+    )
+    SELECT ahash_hi, ahash_lo, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM hashes GROUP BY ahash_hi, ahash_lo
+    """,
+    tags=("multimodal", "udf", "codec", "dedup", "llm"),
+    doc="Gate duplicate: multimodal family driver-gated by m1-m3; m4 adds "
+        "perceptual-hash (aHash) image dedup over the real BMP codec, proven "
+        "by the same oracle harness locally.",
+    gate=False,
+)
+def m4_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.functions.multimodal import ahash_batches
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    hashed = payloads.mapInPandas(
+        ahash_batches,
+        schema="doc_id bigint, height bigint, width bigint, ahash_hi bigint, ahash_lo bigint",
+    )
+    return hashed.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id")
+    )

@@ -118,3 +118,24 @@ def test_audio_pipeline_batches_match_direct_computation():
         assert out["peak"][i] == vals.max()
         assert out["byte_len"][i] == 44 + 2 * len(payload)
         assert out["sample_rate"][i] == 16_000
+
+
+def test_ahash_properties():
+    import numpy as np
+    from medvedi_spark.functions.multimodal import ahash_64, decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    hi, lo = ahash_64(img)
+    # codec round trip must not change the hash (lossless BMP)
+    assert ahash_64(decode_bmp(encode_bmp(img))) == (hi, lo)
+    # flat image: no cell exceeds the global mean -> all-zero hash
+    assert ahash_64(np.full((16, 16, 3), 77, dtype=np.uint8)) == (0, 0)
+    # half-bright image: bright half's cells set, dark half's clear
+    half = np.zeros((16, 16, 3), dtype=np.uint8)
+    half[:8] = 255  # top half bright -> cells 0..31 (rows 0..7 of the grid)
+    hi2, lo2 = ahash_64(half)
+    assert lo2 == 0xFFFFFFFF and hi2 == 0
+    # tiny images (narrower than the 8x8 grid) still hash deterministically
+    tiny = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    assert ahash_64(tiny) == ahash_64(tiny.copy())
