@@ -834,13 +834,24 @@ def t7_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate=False,
 )
 def p4_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stage order is a measured choice: the CHEAP per-doc filters
+    # (hash-bucket sampling, then the in-row repetition metrics) run
+    # first so the expensive stage — decontamination's gram explode —
+    # only sees survivors; filters commute, so the oracle's CTE order
+    # is unaffected. A lazy localCheckpoint between the row filters and
+    # the two consumers (decontaminate + anti-join) stops Catalyst from
+    # inlining the repetition lambdas into both branches of the join
+    # (the d8 ruling): sf0.1 measured 10.5 s naive-order -> 6.0 s
+    # reordered -> 5.5 s with the barrier, identical output.
     from medvedi_spark.functions.hashing import token_hash
     from medvedi_spark.operators.llm import decontaminate, pack_sequences
 
     docs = load(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 50 != 0)
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
-    contaminated = decontaminate(corpus, eval_df, "doc_id", "text", n=4).select("doc_id")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bucket = token_hash(F.col("doc_id").cast("string")) % 100
+    rate = F.when(F.col("lang") == "en", F.lit(_P2_RATES["en"])).otherwise(F.lit(_P2_DEFAULT_RATE))
+    sampled_docs = corpus.filter(bucket < rate)
 
     toks = F.filter(_tok(), lambda t: t != "")
     bg = F.when(
@@ -853,8 +864,8 @@ def p4_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     topcnt = F.array_max(
         F.transform(F.array_distinct(toks), lambda w: F.size(F.filter(toks, lambda t: t == w)))
     )
-    metrics = corpus.select(
-        "doc_id", "lang", F.size(toks).alias("n_tokens"), bg.alias("bg"), topcnt.alias("topcnt")
+    metrics = sampled_docs.select(
+        "doc_id", "lang", "text", F.size(toks).alias("n_tokens"), bg.alias("bg"), topcnt.alias("topcnt")
     )
     dup_frac = F.when(
         F.size("bg") > 0,
@@ -865,12 +876,12 @@ def p4_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0.0))
     clean = (
         metrics.filter(~((dup_frac > _T6_DUP_BG) | (top_frac > _T6_TOP_W)))
-        .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "lang", "n_tokens")
+        .select("doc_id", "lang", "text", "n_tokens")
+        .localCheckpoint(eager=False)
     )
-    bucket = token_hash(F.col("doc_id").cast("string")) % 100
-    rate = F.when(F.col("lang") == "en", F.lit(_P2_RATES["en"])).otherwise(F.lit(_P2_DEFAULT_RATE))
-    sampled = clean.filter(bucket < rate).select(
+    contaminated = decontaminate(clean, eval_df, "doc_id", "text", n=4).select("doc_id")
+    kept = clean.join(contaminated, "doc_id", "left_anti")
+    sampled = kept.select(
         "lang", (F.col("doc_id") % 4).alias("shard"), "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
     )
     return pack_sequences(sampled, "doc_id", "n_tokens", 512, group_cols=("lang", "shard"))
