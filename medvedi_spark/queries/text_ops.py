@@ -958,3 +958,86 @@ def m4_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("ahash_hi", "ahash_lo").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t8 — collocation mining: adjacent word pairs ranked by LIFT
+# (count(ab)·N / (count(a)·count(b)) — PMI without the log, which is a
+# libm transcendental; log is monotone so the ranking is identical and
+# the statistic stays an engine-exact integer ratio). The corpus-level
+# statistics that find multiword expressions ("new york") and
+# boilerplate phrases worth collapsing before tokenization.
+# Scale shape: one shuffle each for bigram and unigram counts; the
+# unigram table is vocabulary-sized and BROADCASTS back onto the bigram
+# stream twice; top-k via one ordered limit.
+# --------------------------------------------------------------------------
+
+_T8_MIN_PAIR = 25  # ignore rare pairs (lift is noise at tiny counts)
+_T8_TOPK = 50
+
+
+@register(
+    "t8_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l FROM documents
+    ),
+    bg AS (
+      SELECT l[i] AS w1, l[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i)
+    ),
+    pair_counts AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2),
+    uni AS (
+      SELECT t AS w, COUNT(*) AS n_w
+      FROM (SELECT unnest(l) AS t FROM toks) GROUP BY t
+    ),
+    total AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM uni)
+    SELECT w1, w2, n_pair,
+           CAST(n_pair * n_total AS DOUBLE) / (u1.n_w * u2.n_w) AS lift
+    FROM pair_counts
+    JOIN uni u1 ON u1.w = w1
+    JOIN uni u2 ON u2.w = w2
+    CROSS JOIN total
+    WHERE n_pair >= {_T8_MIN_PAIR}
+    ORDER BY lift DESC, w1, w2
+    LIMIT {_T8_TOPK}
+    """,
+    tags=("text", "collocations", "llm"),
+    doc="Gate duplicate: text family driver-gated by t1-t4; t8 adds "
+        "lift-ranked collocation mining, proven by the same oracle harness "
+        "locally.",
+    gate=False,
+)
+def t8_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(_tok(), lambda t: t != "")
+    l = docs.select(toks.alias("l"))
+    bg = l.select(
+        F.explode(
+            F.when(
+                F.size("l") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 1),
+                    lambda i: F.struct(
+                        F.element_at("l", i).alias("w1"), F.element_at("l", i + 1).alias("w2")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = l.select(F.explode("l").alias("w")).groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    n_total = uni.agg(F.sum("n_w")).first()[0]  # scalar corpus statistic
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    return (
+        pair_counts.filter(F.col("n_pair") >= _T8_MIN_PAIR)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1", "w2", "n_pair",
+            ((F.col("n_pair") * F.lit(int(n_total))).cast("double") / (F.col("n_w1") * F.col("n_w2"))).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(_T8_TOPK)
+    )

@@ -161,3 +161,20 @@ def test_s3_centroids_broadcast(spark, sf_dir, qmap):
     facts = plan_facts(qmap["s3_kmeans_assign"](spark, sf_dir))
     assert facts["bnlj"] + facts["bhj"] >= 1, "centroid table must broadcast"
     assert facts["exch"] == 1
+
+
+def test_s4_s5_codebook_broadcast(spark, sf_dir, qmap):
+    """PQ encode/search: the codebook (and s5's LUT) must broadcast;
+    the corpus side must never shuffle-join."""
+    for name in ("s4_pq_encode", "s5_pq_adc_topk"):
+        facts = plan_facts(qmap[name](spark, sf_dir))
+        assert facts["bnlj"] + facts["bhj"] >= 1, f"{name}: model state must broadcast"
+        assert facts["smj"] + facts["shj"] == 0, f"{name}: corpus must not shuffle-join"
+
+
+def test_m4_single_shuffle_arrow(spark, sf_dir, qmap):
+    """Perceptual-hash dedup: one Arrow pass for the codec work, one
+    shuffle for the hash groupBy."""
+    facts = plan_facts(qmap["m4_image_ahash_dedup"](spark, sf_dir))
+    assert facts["arrow"] == 1 and facts["pyudf"] == 0
+    assert facts["exch"] == 1
