@@ -120,3 +120,48 @@ def unordered_unique(arr: np.ndarray) -> np.ndarray:
         return pd.unique(arr)
     uniq = pd.unique(arr)
     return np.asarray(uniq, dtype=arr.dtype)
+
+
+# Dtype kinds merge_to_str accepts, matching the reference contract
+# (/root/reference/medvedi/merge_to_str.py:3).
+MERGEABLE_DTYPE_KINDS = frozenset(("i", "u", "m", "M", "S"))
+
+
+def merge_to_str(*arrs: np.ndarray) -> np.ndarray:
+    """Pack parallel key arrays into one fixed-width bytes column
+    (reference `medvedi/merge_to_str.py:6-38`): numeric/datetime columns
+    are laid out big-endian so equal tuples collide to equal byte
+    strings, bytes columns copy verbatim, and a trailing ``b";"`` pad is
+    appended unless the LAST array is already bytes (numpy's char ops
+    drop trailing NULs, so the sentinel keeps width stable).
+
+    Driver-side compat mirror: the engine itself never packs keys — a
+    multi-column groupBy/join key is Tungsten's UnsafeRow job (SURVEY
+    §4.2) — but reference callers use this to build composite key
+    columns, so the function exists with identical semantics.
+    """
+    assert arrs, "merge_to_str needs at least one array"
+    n = len(arrs[0])
+    pad = arrs[-1].dtype.kind != "S"
+    width = sum(a.dtype.itemsize for a in arrs) + pad
+    out = np.zeros((n, width), dtype=np.uint8)
+    if pad:
+        out[:, -1] = ord(";")
+    pos = 0
+    for a in arrs:
+        kind = a.dtype.kind
+        if kind not in MERGEABLE_DTYPE_KINDS:
+            raise ValueError(
+                f"array's dtype.kind {a.dtype} must be one of "
+                f"{', '.join(sorted(MERGEABLE_DTYPE_KINDS))}"
+            )
+        if len(a) != n:
+            raise ValueError(f"all arrays must have the same length: {len(a)} != {n}")
+        w = a.dtype.itemsize
+        if kind == "S" or w == 1:
+            col = a
+        else:
+            col = a.astype(a.dtype.newbyteorder(">"), copy=False)
+        out[:, pos : pos + w] = col.view(np.uint8).reshape(n, w)
+        pos += w
+    return out.reshape(-1).view(f"S{width}")

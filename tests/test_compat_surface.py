@@ -152,3 +152,47 @@ def test_set_column_none_into_string_ok(spark):
 def test_get_column_tuple_keeps_index(spark):
     df = MDF({"a": [0, 1, 2], "b": [5, 6, 7]}, index="b", spark=spark)
     assert_frame_equal(df[("a",)], df)
+
+
+def test_merge_to_str_layout():
+    import struct
+
+    import numpy as np
+
+    from medvedi_spark.accelerators import merge_to_str
+
+    ints = np.array([1, -2, 255], dtype=np.int64)
+    bts = np.array([b"ab", b"cd", b"ef"], dtype="S2")
+    # last array bytes -> no pad byte
+    out = merge_to_str(ints, bts)
+    assert out.dtype == np.dtype("S10")
+    exp = [struct.pack(">q", int(v)) + b for v, b in zip(ints, bts)]
+    assert [bytes(x) for x in out] == exp
+    # last array numeric -> ';' pad appended
+    out2 = merge_to_str(bts, ints)
+    assert out2.dtype == np.dtype("S11")
+    assert [bytes(x) for x in out2] == [b + struct.pack(">q", int(v)) + b";" for v, b in zip(ints, bts)]
+    # datetime64 packs big-endian like the reference
+    ts = np.array(["2024-01-01", "2024-01-02", "2024-01-03"], dtype="datetime64[s]")
+    out3 = merge_to_str(ts)
+    assert out3.dtype == np.dtype("S9")
+    # errors: float dtype, ragged lengths
+    import pytest
+
+    with pytest.raises(ValueError):
+        merge_to_str(np.array([1.5]))
+    with pytest.raises(ValueError):
+        merge_to_str(ints, np.array([1], dtype=np.int64))
+
+
+def test_io_module_roundtrip(spark):
+    import numpy as np
+
+    from medvedi_spark import io as mio
+    from medvedi_spark.frame import MDF
+
+    df = MDF({"k": [1, 2], "s": np.array(["x", "y"], dtype=object)}, spark=spark)
+    back = mio.deserialize_df(mio.serialize_df(df))
+    assert back["k"].tolist() == [1, 2]
+    assert back["s"].tolist() == ["x", "y"]
+    assert mio.json_dumps({"a": [1, "é"]}) == '{"a":[1,"é"]}'.encode()
