@@ -26,6 +26,7 @@ stay lazy.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Hashable, Iterable, Iterator, Mapping, Sequence
 from typing import Any
 
@@ -1526,17 +1527,25 @@ def join(
         prepared.append(df)
         all_value_cols.append(value_cols)
 
-    # last-wins column collisions: drop earlier copies (`dataframe.py:1245-1275`)
-    seen: dict[str, int] = {}
+    # Last-wins column collisions, REFERENCE scatter semantics
+    # (`dataframe.py:1245-1275`): a later frame overwrites only at rows
+    # IT matched; rows no later frame matched keep the earliest matched
+    # value; rows matched by no contributing frame fill with the type
+    # default. Keep every colliding copy under a frame-tagged temp name
+    # plus a per-frame match marker, resolve after the joins.
+    colliding_present: dict[str, list[int]] = {}
     for fi, cols in enumerate(all_value_cols):
         for c in cols:
-            seen[c] = fi
+            if c in colliding:
+                colliding_present.setdefault(c, []).append(fi)
+    marker_frames = {fi for fis in colliding_present.values() for fi in fis if fi > 0}
     for fi in range(len(prepared)):
-        keep = [c for c in all_value_cols[fi] if seen[c] == fi]
-        dropped = [c for c in all_value_cols[fi] if seen[c] != fi]
-        if dropped:
-            prepared[fi] = prepared[fi].drop(*dropped)
-            all_value_cols[fi] = keep
+        ren = {c: f"__c{fi}_{c}__" for c in all_value_cols[fi] if c in colliding}
+        if ren:
+            prepared[fi] = prepared[fi].withColumnsRenamed(ren)
+            all_value_cols[fi] = [ren.get(c, c) for c in all_value_cols[fi]]
+        if fi in marker_frames:
+            prepared[fi] = prepared[fi].withColumn(f"__m{fi}__", F.lit(1))
 
     spark_how = {"left": "left", "inner": "inner", "outer": "full_outer"}[how]
     out = prepared[0]
@@ -1553,7 +1562,28 @@ def join(
         for a, b in zip(key_names, rk):
             out = out.withColumn(a, F.coalesce(F.col(a), F.col(b))).drop(b)
 
-    value_out = [c for cols in all_value_cols for c in cols]
+    # resolve collisions: CASE over contributing frames, latest first
+    # (frame 0 rows are always "matched" in a left/outer join result)
+    for c, fis in colliding_present.items():
+        expr = None
+        for fi in sorted(fis, reverse=True):
+            cond = F.lit(True) if fi == 0 else F.col(f"__m{fi}__").isNotNull()
+            val = F.col(f"__c{fi}_{c}__")
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        out = out.withColumn(c, expr)
+    drop_tmp = [f"__c{fi}_{c}__" for c, fis in colliding_present.items() for fi in fis]
+    drop_tmp += [f"__m{fi}__" for fi in marker_frames]
+    if drop_tmp:
+        out = out.drop(*drop_tmp)
+    # output order: reference dict-insertion order — a colliding name sits
+    # at its FIRST contributing frame's position
+    value_out: list[str] = []
+    for cols in all_value_cols:
+        for c in cols:
+            m = re.fullmatch(r"__c\d+_(.*)__", c)
+            name = m.group(1) if m else c
+            if name not in value_out:
+                value_out.append(name)
     if fill_defaults:
         out = _fill_defaults(out, value_out)
     # sorted-by-key output; fresh contiguous row ids in that order

@@ -229,3 +229,99 @@ def c7_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="o_orderstatus string, n long, min_price double, max_price double, n_cust long",
     )
     return out.df.drop(ROW_ID)
+
+
+# --------------------------------------------------------------------------
+# c8 — reference JOIN FILL semantics (SURVEY §1.3 δ-1 + §2.3 J1) through
+# the oracle: medvedi joins never produce NULLs for unmatched rows —
+# they materialize TYPE DEFAULTS (0 for ints, '' for strings, NaN for
+# floats). The right side is restricted to a third of the customers so
+# two thirds of the orders rows exercise the fill path; the SQL replays
+# the same semantics with explicit COALESCEs. Positional index matching
+# (o_custkey vs c_custkey — different NAMES, same key position) is part
+# of what's proven.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c8_join_fill_defaults",
+    oracle="""
+    SELECT o.o_custkey AS k,
+           o.o_totalprice AS price,
+           COALESCE(c.c_acctbal, CAST('nan' AS DOUBLE)) AS acctbal,
+           COALESCE(c.c_mktsegment, '') AS segment,
+           COALESCE(c.c_nationkey, 0) AS nat
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+      ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey < 2000
+    """,
+    tags=("compat", "join", "fills"),
+    doc="Gate duplicate: J1 join kernel driver-gated via q2/q3 joins and "
+        "unit-proven by the reference's 13-case join spec; c8 proves the "
+        "fill-defaults delta through the oracle harness locally.",
+    gate=False,
+)
+def c8_join_fill_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = MDF.from_spark(
+        MDF.read_parquet(_tbl(sf_dir, "orders"), spark=spark)
+        .df.filter(F.col("o_orderkey") < 2000)
+        .select("o_custkey", "o_totalprice", ROW_ID),
+        index=("o_custkey",),
+    )
+    right = MDF.from_spark(
+        MDF.read_parquet(_tbl(sf_dir, "customer"), spark=spark)
+        .df.filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_acctbal", "c_mktsegment", "c_nationkey", ROW_ID),
+        index=("c_custkey",),
+    )
+    out = left.join(right)
+    return out.df.drop(ROW_ID).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# c9 — reference LAST-WINS column collision (SURVEY §1.3 δ-4): when
+# joined frames share a non-key column name and no suffixes are given,
+# the LAST frame's values overwrite at matched positions; unmatched rows
+# keep the earlier frame's values (the reference's scatter loop,
+# `/root/reference/medvedi/dataframe.py:1259-1275`). Spark itself raises
+# on the ambiguity — the compat layer implements the rule, and the
+# oracle replays it as a match-conditional CASE.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c9_join_last_wins",
+    oracle="""
+    SELECT o.o_custkey AS k,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.tag ELSE o.tag END AS tag
+    FROM (SELECT o_custkey, o_orderkey, o_orderpriority AS tag FROM orders WHERE o_orderkey < 2000) o
+    LEFT JOIN (SELECT c_custkey, c_mktsegment AS tag FROM customer WHERE c_custkey % 3 = 0) c
+      ON c.c_custkey = o.o_custkey
+    """,
+    tags=("compat", "join", "last-wins"),
+    doc="Gate duplicate: J1 join kernel driver-gated via q2/q3; c9 proves "
+        "the last-wins collision delta through the oracle harness locally.",
+    gate=False,
+)
+def c9_join_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = MDF.from_spark(
+        MDF.read_parquet(_tbl(sf_dir, "orders"), spark=spark)
+        .df.filter(F.col("o_orderkey") < 2000)
+        .select("o_custkey", F.col("o_orderpriority").alias("tag"), ROW_ID),
+        index=("o_custkey",),
+    )
+    right = MDF.from_spark(
+        MDF.read_parquet(_tbl(sf_dir, "customer"), spark=spark)
+        .df.filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", F.col("c_mktsegment").alias("tag"), ROW_ID),
+        index=("c_custkey",),
+    )
+    out = left.join(right)
+    return out.df.drop(ROW_ID).select(F.col("o_custkey").alias("k"), "tag")

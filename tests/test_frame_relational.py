@@ -484,3 +484,19 @@ def test_class_call_static_style(spark):
     assert len(cat) == 4
     assert MDF.concat(a) is a
     assert MDF.concat(a, copy=True) is not a
+
+
+def test_join_last_wins_preserves_unmatched_rows(spark):
+    """Reference scatter semantics (`medvedi/dataframe.py:1245-1275`): a
+    later frame's colliding column overwrites ONLY at rows it matched;
+    unmatched rows keep the earlier frame's value (found via the c9
+    oracle gate — the old implementation dropped the earlier copy and
+    default-filled unmatched rows)."""
+    left = MDF({"k": [1, 2, 3], "tag": ["a", "b", "c"]}, index=("k",), spark=spark)
+    right = MDF({"k": [2], "tag": ["Z"]}, index=("k",), spark=spark)
+    out = left.join(right)
+    assert dict(zip(out["k"], out["tag"])) == {1: "a", 2: "Z", 3: "c"}
+    # three-way: latest matched frame wins per row
+    mid = MDF({"k": [1, 2], "tag": ["M1", "M2"]}, index=("k",), spark=spark)
+    out3 = left.join(mid, right)
+    assert dict(zip(out3["k"], out3["tag"])) == {1: "M1", 2: "Z", 3: "c"}
