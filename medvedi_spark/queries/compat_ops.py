@@ -325,3 +325,50 @@ def c9_join_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = left.join(right)
     return out.df.drop(ROW_ID).select(F.col("o_custkey").alias("k"), "tag")
+
+
+# --------------------------------------------------------------------------
+# c10 — reference NON-STRICT CONCAT fills (SURVEY §2.6 U1) through the
+# oracle: `concat(strict=False)` unions by name and materializes TYPE
+# DEFAULTS for absent cells — 0 for ints, '' for strings, NaN for
+# doubles (`/root/reference/medvedi/dataframe.py:1096-1120`). q9 proves
+# the union kernel via plain Spark; this gate drives the actual
+# MDF.concat compat path with three dtype fills at once.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c10_concat_fill_defaults",
+    oracle="""
+    SELECT * FROM (
+      SELECT p_partkey AS k, p_size AS sz, p_name AS name,
+             CAST('nan' AS DOUBLE) AS price
+      FROM part WHERE p_size < 10
+      UNION ALL
+      SELECT p_partkey AS k, 0 AS sz, '' AS name, p_retailprice AS price
+      FROM part WHERE p_size > 40
+    )
+    """,
+    tags=("compat", "concat", "fills"),
+    doc="Gate duplicate: U1 concat kernel driver-gated via q9; c10 proves "
+        "the non-strict fill-defaults delta through the MDF.concat path by "
+        "the same oracle harness locally.",
+    gate=False,
+)
+def c10_concat_fill_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.frame import concat
+
+    part = MDF.read_parquet(_tbl(sf_dir, "part"), spark=spark)
+    a = MDF.from_spark(
+        part.df.filter(F.col("p_size") < 10).select(
+            F.col("p_partkey").alias("k"), F.col("p_size").alias("sz"),
+            F.col("p_name").alias("name"), ROW_ID,
+        )
+    )
+    b = MDF.from_spark(
+        part.df.filter(F.col("p_size") > 40).select(
+            F.col("p_partkey").alias("k"), F.col("p_retailprice").alias("price"), ROW_ID,
+        )
+    )
+    out = concat(a, b, strict=False, ignore_index=True)
+    return out.df.drop(ROW_ID).select("k", "sz", "name", "price")
