@@ -372,3 +372,81 @@ def c10_concat_fill_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = concat(a, b, strict=False, ignore_index=True)
     return out.df.drop(ROW_ID).select("k", "sz", "name", "price")
+
+
+# --------------------------------------------------------------------------
+# c11 — MDF row-order pipeline through the oracle: boolean-mask `take` →
+# `sort_values` → `drop_duplicates(keep='last')`. keep='last' is defined
+# by ROW ORDER (P5/G6), so after sorting by o_orderkey the survivor per
+# customer is the max-orderkey row — which is exactly what the oracle's
+# arg_max states declaratively. Proves the __row_id__ discipline the
+# whole compat layer rides on (mask take preserves order, sort renumbers,
+# dedup keeps by the new order).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c11_mdf_dedup_pipeline",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_orderkey) AS last_orderkey,
+           arg_max(o_totalprice, o_orderkey) AS last_price
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY o_custkey
+    """,
+    tags=("compat", "take", "sort", "dedup"),
+    doc="Gate duplicate: P5/O1/G6 kernels driver-gated via c2/c3/q6; c11 "
+        "proves their composition on the MDF row-order discipline through "
+        "the oracle harness locally.",
+    gate=False,
+)
+def c11_mdf_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mdf = MDF.read_parquet(_tbl(sf_dir, "orders"), spark=spark)
+    mask = mdf["o_totalprice"] > 100000  # driver-side boolean mask, reference protocol
+    picked = mdf.take(mask)
+    picked.sort_values("o_orderkey", inplace=True)
+    deduped = picked.drop_duplicates("o_custkey", keep="last")
+    return deduped.df.drop(ROW_ID).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# c12 — MDF.explode (U3) through the oracle: sibling-column replication
+# plus the post-explode row renumbering. q10 proves the explode KERNEL on
+# plain Spark; this gate drives the MDF path (array column in a compat
+# frame, __row_id__ reassignment by (source row, position)).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c12_mdf_explode",
+    oracle="""
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    )
+    GROUP BY token
+    """,
+    tags=("compat", "explode"),
+    doc="Gate duplicate: U3 explode kernel driver-gated via q10; c12 proves "
+        "the MDF.explode path (sibling replication + renumber) through the "
+        "oracle harness locally.",
+    gate=False,
+)
+def c12_mdf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = MDF.read_parquet(_tbl(sf_dir, "documents"), spark=spark)
+    toks = MDF.from_spark(
+        docs.df.select(
+            "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("token"), ROW_ID
+        )
+    )
+    exploded = toks.explode("token")
+    return (
+        exploded.df.drop(ROW_ID)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )
