@@ -850,6 +850,17 @@ class MDF:
         return MDF._from_spark(df, index)
 
     def fillna(self, value, column: Hashable | None = None, inplace: bool = False) -> "MDF":
+        # pandas-style per-column mapping (beyond ref): a dict whose keys
+        # are ALL existing column names means {column: fill_value}. Any
+        # other dict is a JSON cell payload for the scalar path (object
+        # columns legitimately hold dicts), hence the conservative guard.
+        if column is None and isinstance(value, Mapping) and value and all(
+            str(k) in self.columns for k in value
+        ):
+            out = self if inplace else self.copy()
+            for k, v in value.items():
+                out.fillna(v, column=k, inplace=True)
+            return out
         cols = [str(column)] if column is not None else list(self.columns)
         df = self._df
         for c in cols:

@@ -450,3 +450,39 @@ def c12_mdf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# c13 — MDF.fillna (P12, per-column mapping form) + MDF.astype (P10) on
+# a frame with real NULLs, through the oracle. q4/q11 prove the kernels
+# on plain Spark; this drives the compat methods (type-checked fill
+# values, cast-to-string without float formatting hazards — the int
+# column casts, the double column fills).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c13_mdf_fillna_astype",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS k,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal,
+           COALESCE(CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE c_mktsegment END, 'none') AS seg
+    FROM customer
+    """,
+    tags=("compat", "fillna", "astype"),
+    doc="Gate duplicate: P10/P12 kernels driver-gated via q4/q11; c13 "
+        "proves the MDF method forms through the oracle harness locally.",
+    gate=False,
+)
+def c13_mdf_fillna_astype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = MDF.from_spark(
+        MDF.read_parquet(_tbl(sf_dir, "customer"), spark=spark).df.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+            F.when(F.col("c_nationkey") % 5 == 0, None).otherwise(F.col("c_mktsegment")).alias("seg"),
+            ROW_ID,
+        )
+    )
+    filled = base.fillna({"bal": 0.0, "seg": "none"})
+    cast = filled.astype({"c_custkey": str})  # numpy dtype spec, reference form
+    return cast.df.drop(ROW_ID).select(F.col("c_custkey").alias("k"), "bal", "seg")

@@ -560,3 +560,20 @@ def test_persist_roundtrip(spark):
     df = MDF({"a": [1, 2]}, spark=spark).cache()
     assert df["a"].tolist() == [1, 2]
     df.unpersist()
+
+
+def test_fillna_dict_mapping(spark):
+    import math
+
+    df = MDF({"a": [1.0, float("nan")], "s": ["x", None]}, spark=spark)
+    out = df.fillna({"a": 0.5, "s": "gone"})
+    assert out["a"].tolist() == [1.0, 0.5]
+    assert out["s"].tolist() == ["x", "gone"]
+    # original untouched (copy semantics)
+    assert math.isnan(df["a"][1])
+    # a dict that is NOT a column mapping stays a scalar JSON payload
+    obj = MDF({"o": [{"k": 1}, None]}, spark=spark)
+    filled = obj.fillna({"weird": "payload"})
+    import json
+
+    assert json.loads(filled["o"][1]) == {"weird": "payload"}
