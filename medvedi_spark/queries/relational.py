@@ -797,6 +797,9 @@ def q22_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_count
     """,
     tags=("outerjoin", "groupby"),
+    doc="Gate duplicate: outer-join + two-level groupBy are in-window via q3/q31; "
+    "budget freed for st1/st3 (round-2 gate failures that must be driver-proven).",
+    gate=False,
 )
 def q23_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
@@ -924,6 +927,9 @@ def q31_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.p_brand
     """,
     tags=("subquery", "agg", "join"),
+    doc="Gate duplicate: broadcast-dim join + decimal agg are in-window via q3/q1; "
+    "budget freed for st1/st3 (round-2 gate failures that must be driver-proven).",
+    gate=False,
 )
 def q25_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")

@@ -33,8 +33,8 @@ from medvedi_spark.streaming.ops import read_events_stream, run_to_memory
     GROUP BY 1, 2
     """,
     tags=("streaming", "window"),
-    doc="Gate duplicate: tumbling is sliding with slide == width; the streaming window kernel is proven in-window by st4 (sliding) and st5 (watermark).",
-    gate=False,
+    doc="FAILED the round-2 driver gate (events ts load bug): kept in-window so the fix is driver-proven, not just local.",
+    gate=True,
 )
 def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
@@ -104,8 +104,8 @@ def st2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st3_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     tags=("streaming", "dedup"),
-    doc="Gate duplicate: stateful dropDuplicates shares the dedup kernel gated by q6/d1; streaming state machinery is proven in-window by st2/st5/st6.",
-    gate=False,
+    doc="FAILED the round-2 driver gate (events ts load bug): kept in-window so the fix is driver-proven, not just local.",
+    gate=True,
 )
 def st3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
