@@ -1139,3 +1139,60 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "d2_approx")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "c_emb",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest centroid, then
+    dedup by exact cosine WITHIN each cluster only. A vector is a
+    duplicate when some earlier-id vector in the same cell has
+    cosine >= ``threshold``.
+
+    Scale shape: the centroid table is model state and broadcasts
+    (``kmeans_assign``); the pair join shuffles on ``cell``, so the
+    quadratic verify is bounded per-cluster (k chosen so n/k rows fit an
+    executor) instead of corpus-global — the property that makes
+    SemDeDup tractable where all-pairs cosine is not. Verification uses
+    the d5 two-phase policy: lossless double prefilter, exact-decimal
+    decide. Returns one row per vector: ``(vec_id, cell, is_dup,
+    n_dup_of)``.
+    """
+    assign = kmeans_assign(emb, centroids, id_col, vec_col, cent_id_col, cent_vec_col).select(
+        "vec_id", "cell"
+    )
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    norms = vector_norms(e, "vec_id", "embedding")
+    side = assign.join(e, "vec_id").join(norms, "vec_id")
+    a = side.select(
+        "cell", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = side.select(
+        "cell", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    fast = dot_double(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    dup_counts = (
+        a.join(b, ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(fast >= threshold - 1e-9)
+        .withColumn("cosine", dot_dec(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("vec_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_of"))
+    )
+    return (
+        assign.join(dup_counts, assign.vec_id == dup_counts.vec_b, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("n_dup_of").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_dup"),
+            F.coalesce(F.col("n_dup_of"), F.lit(0)).cast("bigint").alias("n_dup_of"),
+        )
+    )

@@ -811,3 +811,82 @@ def s5_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, cent, "vec_id", "embedding",
         probe=F.col("vec_id") < _S5_PROBES, k=_S5_K, n_subspaces=_S4_SUBS,
     )
+
+
+# --------------------------------------------------------------------------
+# d10 — semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+# embedding space (broadcast nearest-centroid assignment), then dedup by
+# exact cosine WITHIN clusters only. At 100 TB the cluster key bounds the
+# quadratic verify per-cell — the published trick that makes embedding
+# dedup tractable where corpus-global all-pairs is not. Oracle replays
+# the identical centroid choice + decimal arithmetic.
+# --------------------------------------------------------------------------
+
+_D10_K = 8
+_D10_TAU = 0.3
+
+
+@register(
+    "d10_semantic_dedup",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < {_D10_K}
+    ),
+    apairs AS (
+      SELECT e.vec_id, c.cent_id, unnest(e.embedding) AS xa, unnest(c.c) AS xb
+      FROM embeddings e JOIN cent c ON true
+    ),
+    dists AS (
+      SELECT vec_id, cent_id,
+             CAST(CAST(SUM(CAST((CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE))
+                                * (CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS d2
+      FROM apairs GROUP BY vec_id, cent_id
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    {_SQL_NORMS.strip().rstrip()},
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT vec_a, vec_b,
+             {_SQL_DEC_DOT} AS dot
+      FROM (
+        SELECT c.vec_a, c.vec_b, unnest(x.embedding) AS xa, unnest(y.embedding) AS xb
+        FROM cand c
+        JOIN embeddings x ON x.vec_id = c.vec_a
+        JOIN embeddings y ON y.vec_id = c.vec_b
+      ) GROUP BY vec_a, vec_b
+    ),
+    dups AS (
+      SELECT vec_b, COUNT(*) AS n
+      FROM dots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+      WHERE dot / (na.nrm * nb.nrm) >= {_D10_TAU}
+      GROUP BY vec_b
+    )
+    SELECT a.vec_id, a.cell,
+           CASE WHEN d.n IS NULL THEN 0 ELSE 1 END AS is_dup,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_dup_of
+    FROM assign a LEFT JOIN dups d ON d.vec_b = a.vec_id
+    """,
+    tags=("dedup", "similarity", "llm"),
+    doc="Gate duplicate: the two kernels it composes are driver-gated "
+        "in-window (nearest-centroid via s2's codebook assign, "
+        "within-block exact-cosine verify via d5); proven by the same "
+        "oracle harness locally.",
+    gate=False,
+)
+def d10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _D10_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    return ops.semantic_dedup(emb, cent, "vec_id", "embedding", threshold=_D10_TAU)

@@ -1041,3 +1041,235 @@ def t8_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(_T8_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# t9 — PII redaction: the scrubbing pass every public-web training corpus
+# runs before the tokenizer (emails / IPv4 / phone numbers -> typed
+# placeholder tags). The synthetic corpus carries no real PII, so the
+# query first derives a deterministic PII suffix from doc_id (both
+# engines build the identical string), then proves the redaction kernel:
+# three regexp_replace passes + per-class match counts, all inside one
+# whole-stage-codegen projection — zero shuffles, the 100 TB shape.
+# Regexes stay in the Java/RE2 common dialect.
+# --------------------------------------------------------------------------
+
+_T9_EMAIL = r"[A-Za-z0-9_]+@[A-Za-z0-9]+\.[A-Za-z]+"
+_T9_IP = r"\d+\.\d+\.\d+\.\d+"
+_T9_PHONE = r"\+1-555-0\d{3}"
+
+
+@register(
+    "t9_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(aug,
+             '{_T9_EMAIL}', '<EMAIL>', 'g'),
+             '{_T9_IP}', '<IP>', 'g'),
+             '{_T9_PHONE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(aug, '{_T9_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(regexp_replace(aug, '{_T9_EMAIL}', '<EMAIL>', 'g'), '{_T9_IP}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(aug, '{_T9_PHONE}')) AS BIGINT) AS n_phone
+    FROM (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                  || ' phone +1-555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS aug
+      FROM documents
+    )
+    """,
+    tags=("text", "pii", "pipeline", "llm"),
+    doc="Gate duplicate: the regex/string kernel family is driver-gated "
+        "in-window via q34 (string surface) and t1-t4; proven by the same "
+        "oracle harness locally.",
+    gate=False,
+)
+def t9_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" phone +1-555-0"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+    )
+    with_aug = docs.select("doc_id", aug.alias("aug"))
+    after_email = F.regexp_replace(F.col("aug"), _T9_EMAIL, "<EMAIL>")
+    return with_aug.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(after_email, _T9_IP, "<IP>"), _T9_PHONE, "<PHONE>"
+        ).alias("redacted"),
+        F.regexp_count(F.col("aug"), F.lit(_T9_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_count(after_email, F.lit(_T9_IP)).cast("bigint").alias("n_ip"),
+        F.regexp_count(F.col("aug"), F.lit(_T9_PHONE)).cast("bigint").alias("n_phone"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t10 — C4-style boilerplate filtering (Raffel et al. 2020 §2.2): split
+# each document into lines, apply per-line keep rules (min length,
+# must contain a stopword — the analog of C4's terminal-punctuation
+# rule — no blocklisted word), drop documents with too few surviving
+# lines. The corpus has no newlines, so a "line" is a fixed 10-token
+# window; the rules run as array lambdas inside one codegen stage —
+# zero shuffles at any corpus size.
+# --------------------------------------------------------------------------
+
+_T10_LINE = 10
+_T10_MIN_TOKENS = 5
+_T10_MIN_LINES = 2
+_T10_BLOCKWORD = "slow"
+
+_T10_SQL_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_T10_SQL_STOPS = ", ".join(f"'{w}'" for w in _ALL_STOPS)
+
+
+@register(
+    "t10_boilerplate_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(flatten(kept), ' '), '') AS clean_text,
+           CASE WHEN len(kept) >= {_T10_MIN_LINES} THEN 1 ELSE 0 END AS kept_doc
+    FROM (
+      SELECT doc_id,
+             list_filter(lines, l -> len(l) >= {_T10_MIN_TOKENS}
+                                  AND len(list_filter(l, t -> t IN ({_T10_SQL_STOPS}))) > 0
+                                  AND NOT list_contains(l, '{_T10_BLOCKWORD}')) AS kept,
+             lines
+      FROM (
+        SELECT doc_id,
+               [toks[i * {_T10_LINE} + 1 : (i + 1) * {_T10_LINE}]
+                FOR i IN generate_series(0, CAST(floor((len(toks) - 1) / {_T10_LINE}) AS BIGINT))] AS lines
+        FROM (SELECT doc_id, {_T10_SQL_TOKS} AS toks FROM documents)
+        WHERE len(toks) > 0
+      )
+    )
+    """,
+    tags=("text", "quality", "pipeline", "llm"),
+    doc="Gate duplicate: array-lambda filtering is driver-gated in-window "
+        "via t1/t2 and q32 (array surface); proven by the same oracle "
+        "harness locally.",
+    gate=False,
+)
+def t10_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(_tok(), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_lines = F.floor((F.size("toks") - F.lit(1)) / _T10_LINE) + 1
+    lines = F.transform(
+        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+        lambda i: F.slice(F.col("toks"), i * _T10_LINE + 1, _T10_LINE),
+    )
+    keep_rule = lambda l: (  # noqa: E731
+        (F.size(l) >= _T10_MIN_TOKENS)
+        & F.exists(l, lambda t: t.isin(*_ALL_STOPS))
+        & ~F.array_contains(l, _T10_BLOCKWORD)
+    )
+    with_lines = base.select("doc_id", lines.alias("lines")).select(
+        "doc_id", "lines", F.filter(F.col("lines"), keep_rule).alias("kept")
+    )
+    return with_lines.select(
+        "doc_id",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size("kept").cast("bigint").alias("n_kept"),
+        F.array_join(F.flatten("kept"), " ").alias("clean_text"),
+        F.when(F.size("kept") >= _T10_MIN_LINES, F.lit(1)).otherwise(F.lit(0)).alias("kept_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# p5 — deterministic global shuffle + sharding: the step between "cleaned
+# corpus" and "training shards". Shard = md5-hash(doc_id) mod N (no RNG
+# state, so the shuffle is re-runnable and resumable), position = rank of
+# the hash within the shard (the within-shard order is itself shuffled,
+# because the hash is uncorrelated with any data attribute). ONE shuffle
+# keyed on shard at any corpus size; N = number of output files.
+# --------------------------------------------------------------------------
+
+_P5_SHARDS = 32
+
+
+@register(
+    "p5_shard_shuffle",
+    oracle=f"""
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             CAST({sql_token_hash("CAST(doc_id AS VARCHAR)")} % {_P5_SHARDS} AS BIGINT) AS shard,
+             {sql_token_hash("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    )
+    """,
+    tags=("pipeline", "sampling", "llm"),
+    doc="Gate duplicate: hash-bucket determinism is driver-gated in-window "
+        "via d1/d3 (same md5 kernel); proven by the same oracle harness "
+        "locally.",
+    gate=False,
+)
+def p5_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from medvedi_spark.functions.hashing import token_hash
+
+    docs = load(spark, sf_dir, "documents")
+    h = token_hash(F.col("doc_id").cast("string"))
+    assigned = docs.select(
+        "doc_id", (h % _P5_SHARDS).cast("bigint").alias("shard"), h.alias("h")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return assigned.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# p6 — overlapping sequence chunking: long documents -> fixed-size token
+# windows with stride < size (the overlap preserves cross-boundary
+# context for training). Pure map-side: sequence(0, n-1, stride) +
+# slice() inside one codegen stage, then one explode — no shuffle, no
+# UDF, linear in corpus size.
+# --------------------------------------------------------------------------
+
+_P6_SIZE = 32
+_P6_STRIDE = 24
+
+
+@register(
+    "p6_chunk_overlap",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(start // {_P6_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(toks[start + 1 : start + {_P6_SIZE}]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : start + {_P6_SIZE}], ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {_P6_STRIDE})) AS start
+      FROM (SELECT doc_id, {_T10_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) > 0
+    )
+    """,
+    tags=("text", "pipeline", "llm"),
+    doc="Gate duplicate: sequence/slice/explode array kernels are "
+        "driver-gated in-window via q10/q32; proven by the same oracle "
+        "harness locally.",
+    gate=False,
+)
+def p6_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(_tok(), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_P6_STRIDE))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, _P6_SIZE)
+    return (
+        base.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.expr(f"CAST(start DIV {_P6_STRIDE} AS BIGINT)").alias("chunk_idx"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
