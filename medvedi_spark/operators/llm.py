@@ -770,6 +770,17 @@ def word_ngrams(text_col: str, n: int) -> Column:
     empty array. All inside whole-stage codegen — the gram arrays are
     built per row, so nothing explodes until the caller decides to."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    return word_ngrams_of(toks, n)
+
+
+def word_ngrams_of(toks: Column, n: int) -> Column:
+    """``word_ngrams`` over an existing token-array expression.
+
+    PERF NOTE: pass a plain column REFERENCE (materialize the token
+    array in a prior select), not a computed expression — Spark does not
+    common-subexpression-eliminate outer expressions captured inside a
+    lambda, so a computed ``toks`` here is re-evaluated once per GRAM
+    (measured 2.7× on d9's corpus side)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
@@ -798,12 +809,14 @@ def decontaminate(
     and the only shuffle is the final per-doc aggregate, which carries
     matched docs only — a vanishing fraction of the corpus.
     """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     eg = (
-        eval_df.select(F.col(id_col).alias("eval_id"), F.explode(word_ngrams(text_col, n)).alias("g"))
+        eval_df.select(F.col(id_col).alias("eval_id"), toks.alias("__toks__"))
+        .select("eval_id", F.explode(word_ngrams_of(F.col("__toks__"), n)).alias("g"))
         .distinct()
     )
-    cg = corpus.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g")
+    cg = corpus.select(F.col(id_col).alias("doc_id"), toks.alias("__toks__")).select(
+        "doc_id", F.explode(F.array_distinct(word_ngrams_of(F.col("__toks__"), n))).alias("g")
     )
     return (
         cg.join(F.broadcast(eg), "g")

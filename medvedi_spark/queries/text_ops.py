@@ -33,6 +33,47 @@ def _tok(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
+def _toks_col(col: str = "text"):
+    """Empty-dropped token array — materialize this in a select() BEFORE
+    using it inside any transform/filter lambda (no CSE across lambda
+    captures; see t6/d9 perf notes). NOTE Catalyst's CollapseProject can
+    re-inline this through an alias — prefer the capture-free builders
+    below (``_bigrams_of``/``_top_token_count_of``) for per-element work."""
+    return F.filter(F.split(F.col(col), " "), lambda t: t != "")
+
+
+def _bigrams_of(toks):
+    """Space-joined word bigrams, CAPTURE-FREE: zip_with of two shifted
+    slices — the lambda touches only its own arguments, so Catalyst
+    projection collapse cannot re-inline the token build per element."""
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+
+
+def _top_token_count_of(toks):
+    """Highest single-token frequency, CAPTURE-FREE: run-length scan of
+    the sorted array in one aggregate (O(n log n) vs the
+    O(distinct * n) transform+filter, whose captured token array gets
+    re-evaluated per element after projection collapse). Empty array
+    -> 0."""
+    return F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 # --------------------------------------------------------------------------
 # t1 — language ID: stopword-hit heuristic with a fixed priority order.
 # --------------------------------------------------------------------------
@@ -335,22 +376,17 @@ _T6_TOP_W = 0.11  # top-word share threshold
 )
 def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = F.filter(_tok(), lambda t: t != "")
-    bg = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    topcnt = F.array_max(
-        F.transform(F.array_distinct(toks), lambda w: F.size(F.filter(toks, lambda t: t == w)))
-    )
-    m = docs.select(
+    # Materialize the token array FIRST: expressions captured inside a
+    # transform/filter lambda are re-evaluated per ELEMENT (no CSE), so
+    # building bigrams/counts straight off filter(split(text)) costs
+    # O(n_grams) extra splits per row (same lesson as d9's gram build).
+    base = docs.select("doc_id", _toks_col().alias("toks"))
+    toks = F.col("toks")
+    m = base.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        bg.alias("bg"),
-        topcnt.alias("topcnt"),
+        _bigrams_of(toks).alias("bg"),
+        _top_token_count_of(toks).alias("topcnt"),
     )
     dup_frac = F.when(
         F.size("bg") > 0,
@@ -853,19 +889,15 @@ def p4_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.when(F.col("lang") == "en", F.lit(_P2_RATES["en"])).otherwise(F.lit(_P2_DEFAULT_RATE))
     sampled_docs = corpus.filter(bucket < rate)
 
-    toks = F.filter(_tok(), lambda t: t != "")
-    bg = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    topcnt = F.array_max(
-        F.transform(F.array_distinct(toks), lambda w: F.size(F.filter(toks, lambda t: t == w)))
-    )
-    metrics = sampled_docs.select(
-        "doc_id", "lang", "text", F.size(toks).alias("n_tokens"), bg.alias("bg"), topcnt.alias("topcnt")
+    # Capture-free repetition metrics (see _bigrams_of/_top_token_count_of
+    # notes: projection collapse re-inlines lambda-captured columns).
+    sampled_base = sampled_docs.select("doc_id", "lang", "text", _toks_col().alias("toks"))
+    toks = F.col("toks")
+    metrics = sampled_base.select(
+        "doc_id", "lang", "text",
+        F.size(toks).alias("n_tokens"),
+        _bigrams_of(toks).alias("bg"),
+        _top_token_count_of(toks).alias("topcnt"),
     )
     dup_frac = F.when(
         F.size("bg") > 0,
