@@ -976,25 +976,6 @@ def sqdist_dec(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def sqdist_dec_unrolled(a: Column | str, b: Column | str, offset: int, n: int) -> Column:
-    """``sqdist_dec`` over a STATIC slice ``[offset+1, offset+n]``,
-    unrolled into element_at terms. Higher-order aggregate/zip_with
-    lambdas interpret per element; the unrolled tree stays inside
-    whole-stage codegen (same lesson as d7's popcount folds). Decimal
-    addition is exact, so the fixed evaluation order is bit-identical to
-    the fold / the oracle's SUM."""
-    a = F.col(a) if isinstance(a, str) else a
-    b = F.col(b) if isinstance(b, str) else b
-    terms = []
-    for j in range(1, n + 1):
-        d = F.element_at(a, offset + j).cast("double") - F.element_at(b, offset + j).cast("double")
-        terms.append((d * d).cast(DEC))
-    s = terms[0]
-    for t in terms[1:]:
-        s = (s + t).cast(DEC)
-    return s.cast("string").cast("double")
-
-
 def kmeans_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -1076,7 +1057,6 @@ def pq_encode(
     n_subspaces: int = 8,
     cent_id_col: str = "cent_id",
     cent_vec_col: str = "c_emb",
-    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: split each vector into
     ``n_subspaces`` contiguous subvectors and replace each with the id of
@@ -1090,9 +1070,6 @@ def pq_encode(
     (8 × min_by in a single groupBy — not 8 joins). Ties break on
     centroid id, and subspace distances accumulate in exact decimal, so
     codes are bit-reproducible across partitionings and engines.
-    Pass ``dim`` (the static vector width) to unroll the decimal slice
-    sums into codegen (``sqdist_dec_unrolled``) — same bits, ~2× less
-    CPU per row than the interpreted higher-order fold.
     """
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     c = centroids.select(F.col(cent_id_col).alias("cent_id"), F.col(cent_vec_col).alias("c_emb"))
@@ -1100,15 +1077,11 @@ def pq_encode(
     cand = e.crossJoin(F.broadcast(c))
     aggs = []
     for s in range(n_subspaces):
-        if dim is not None:
-            sub = dim // n_subspaces
-            d2 = sqdist_dec_unrolled(F.col("embedding"), F.col("c_emb"), sub * s, sub)
-        else:
-            start = (n_dim_col / n_subspaces).cast("int") * s + 1
-            width = (n_dim_col / n_subspaces).cast("int")
-            d2 = sqdist_dec(
-                F.slice(F.col("embedding"), start, width), F.slice(F.col("c_emb"), start, width)
-            )
+        start = (n_dim_col / n_subspaces).cast("int") * s + 1
+        width = (n_dim_col / n_subspaces).cast("int")
+        d2 = sqdist_dec(
+            F.slice(F.col("embedding"), start, width), F.slice(F.col("c_emb"), start, width)
+        )
         cand = cand.withColumn(f"__d{s}__", d2)
         aggs.append(
             F.min_by("cent_id", F.struct(F.col(f"__d{s}__"), F.col("cent_id"))).alias(f"code{s}")
@@ -1124,7 +1097,6 @@ def pq_adc_topk(
     probe,
     k: int = 10,
     n_subspaces: int = 8,
-    dim: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k search over PQ codes: queries stay
     full-precision, the corpus is its PQ codes, and each candidate's
@@ -1133,52 +1105,58 @@ def pq_adc_topk(
     billion-scale ANN scoring loop (Jégou et al.).
 
     Scale shape: the LUT is (queries × k_codebook × subspaces) — model
-    state, folded to ONE map per query and broadcast; every (query,
-    vector) score is then 8 map lookups + a fixed-order exact-decimal
-    fold inside a single codegen stage — the true ADC inner loop, with
-    NO per-subspace shuffle or re-aggregation (long-form join + groupBy
-    was 3× slower and its shuffle grows with corpus × queries). Decimal
-    addition is exact (associative), so the fixed-order fold is
+    state, folded to ONE dense double ARRAY per query and broadcast;
+    every (query, vector) score is then 8 O(1) positional array reads +
+    a fixed-order exact-decimal fold inside a single codegen stage — the
+    true ADC inner loop, with NO per-subspace shuffle or re-aggregation
+    (a long-form join + groupBy shuffle grows with corpus × queries; a
+    MAP-typed LUT is 5× slower because Spark map lookups LINEAR-SCAN the
+    entries per read). Positions come from the sorted codebook ids —
+    collected to the driver as MODEL state, the same ruling as
+    ``kmeans_lloyd``: a codebook is k × dim doubles at any corpus scale.
+    Decimal addition is exact (associative), so the fixed-order fold is
     bit-identical to the order-free SQL SUM the oracle runs.
     Returns ``(query_id, neighbor_id, rank, d2_approx)``.
     """
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    codes = pq_encode(emb, centroids, id_col, vec_col, n_subspaces=n_subspaces, dim=dim)
+    codes = pq_encode(emb, centroids, id_col, vec_col, n_subspaces=n_subspaces)
     c = centroids.select(F.col("cent_id"), F.col("c_emb"))
+    # codebook ids -> dense positions (model state; k values)
+    cent_ids = sorted(r.cent_id for r in c.select("cent_id").collect())
+    n_codes = len(cent_ids)
+    pos_of = {cid: i for i, cid in enumerate(cent_ids)}
+
+    def dense_idx(code_col: Column) -> Column:
+        out = F.lit(None).cast("int")
+        for cid, i in pos_of.items():
+            out = F.when(code_col == F.lit(cid), F.lit(i)).otherwise(out)
+        return out
+
     n_dim_col = F.size(F.col("q_emb"))
     queries = e.filter(probe).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     lut_rows = []
     lut = queries.crossJoin(F.broadcast(c))
     width = (n_dim_col / n_subspaces).cast("int")
     for s in range(n_subspaces):
-        if dim is not None:
-            sub = dim // n_subspaces
-            d2 = sqdist_dec_unrolled(F.col("q_emb"), F.col("c_emb"), sub * s, sub)
-        else:
-            start = width * s + 1
-            d2 = sqdist_dec(
-                F.slice(F.col("q_emb"), start, width), F.slice(F.col("c_emb"), start, width)
-            )
+        start = width * s + 1
+        d2 = sqdist_dec(
+            F.slice(F.col("q_emb"), start, width), F.slice(F.col("c_emb"), start, width)
+        )
         lut_rows.append(F.struct(F.lit(s).alias("s"), d2.alias("d2")))
     lut = lut.select(
-        "query_id", F.col("cent_id").alias("code"), F.explode(F.array(*lut_rows)).alias("sd")
-    ).select("query_id", "code", F.col("sd.s").alias("s"), F.col("sd.d2").alias("d2"))
-    # (s, code) keys stringify so arbitrary (non-dense) centroid ids work
-    lut_map = lut.groupBy("query_id").agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.concat_ws(":", F.col("s").cast("string"), F.col("code").cast("string")).alias("k"),
-                    F.col("d2").alias("v"),
-                )
-            )
+        "query_id", dense_idx(F.col("cent_id")).alias("cidx"), F.explode(F.array(*lut_rows)).alias("sd")
+    ).select("query_id", "cidx", F.col("sd.s").alias("s"), F.col("sd.d2").alias("d2"))
+    # one flat array per query, position = s * n_codes + cidx
+    lut_arr = lut.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct((F.col("s") * n_codes + F.col("cidx")).alias("p"), F.col("d2").alias("v")))
+            ),
+            lambda x: x["v"],
         ).alias("lut")
     )
     d2_terms = [
-        F.element_at(
-            F.col("lut"),
-            F.concat_ws(":", F.lit(str(s)), F.col(f"code{s}").cast("string")),
-        ).cast(DEC)
+        F.element_at(F.col("lut"), F.lit(s * n_codes) + dense_idx(F.col(f"code{s}")) + 1).cast(DEC)
         for s in range(n_subspaces)
     ]
     d2_approx = d2_terms[0]
@@ -1186,7 +1164,7 @@ def pq_adc_topk(
         d2_approx = (d2_approx + t).cast(DEC)
     scored = (
         codes.withColumnRenamed("vec_id", "neighbor_id")
-        .crossJoin(F.broadcast(lut_map))
+        .crossJoin(F.broadcast(lut_arr))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id", d2_approx.cast("string").cast("double").alias("d2_approx")

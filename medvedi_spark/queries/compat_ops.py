@@ -486,3 +486,84 @@ def c13_mdf_fillna_astype(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = base.fillna({"bal": 0.0, "seg": "none"})
     cast = filled.astype({"c_custkey": str})  # numpy dtype spec, reference form
     return cast.df.drop(ROW_ID).select(F.col("c_custkey").alias("k"), "bal", "seg")
+
+
+# --------------------------------------------------------------------------
+# c14/c15/c16 — source-format round trips (S7): the query WRITES the
+# table through the format under test and reads it back; the oracle is
+# the untouched parquet view, so any lossy serialization (float text
+# formatting, date handling, column typing) breaks the hash. Each format
+# uses an explicit read schema — production corpora never rely on
+# sampling inference.
+# --------------------------------------------------------------------------
+
+
+def _fmt_tmp(sf_dir: str, tag: str) -> str:
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"medvedi_spark_{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
+@register(
+    "c14_csv_roundtrip",
+    oracle="SELECT c_custkey, c_mktsegment, c_acctbal FROM customer",
+    tags=("compat", "sources", "csv"),
+    doc="S7 csv read+write proven against the parquet oracle (double text "
+        "round-trip included); parquet S4/S5 is driver-gated in-window by "
+        "every q*. Proven by the same oracle harness locally.",
+    gate=False,
+)
+def c14_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.sources import readers
+
+    mdf = MDF.read_parquet(_tbl(sf_dir, "customer"), spark=spark)
+    sub = MDF.from_spark(mdf.df.select("c_custkey", "c_mktsegment", "c_acctbal", ROW_ID))
+    path = _fmt_tmp(sf_dir, "c14csv")
+    readers.write_csv(sub, path)
+    back = readers.read_csv(
+        path, spark=spark, header=True,
+        schema="c_custkey bigint, c_mktsegment string, c_acctbal double",
+    )
+    return back.df.drop(ROW_ID)
+
+
+@register(
+    "c15_json_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    tags=("compat", "sources", "json"),
+    doc="S7 json-lines read+write proven against the parquet oracle. "
+        "Proven by the same oracle harness locally.",
+    gate=False,
+)
+def c15_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.sources import readers
+
+    mdf = MDF.read_parquet(_tbl(sf_dir, "supplier"), spark=spark)
+    sub = MDF.from_spark(mdf.df.select("s_suppkey", "s_name", "s_acctbal", ROW_ID))
+    path = _fmt_tmp(sf_dir, "c15json")
+    readers.write_json(sub, path)
+    back = readers.read_json(
+        path, spark=spark, schema="s_suppkey bigint, s_name string, s_acctbal double"
+    )
+    return back.df.drop(ROW_ID)
+
+
+@register(
+    "c16_orc_roundtrip",
+    oracle="SELECT o_orderkey, o_orderdate, o_totalprice FROM orders",
+    tags=("compat", "sources", "orc"),
+    doc="S7 ORC read+write (typed date + double columns) proven against "
+        "the parquet oracle. Proven by the same oracle harness locally.",
+    gate=False,
+)
+def c16_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.sources import readers
+
+    mdf = MDF.read_parquet(_tbl(sf_dir, "orders"), spark=spark)
+    sub = MDF.from_spark(mdf.df.select("o_orderkey", "o_orderdate", "o_totalprice", ROW_ID))
+    path = _fmt_tmp(sf_dir, "c16orc")
+    readers.write_orc(sub, path)
+    back = readers.read_orc(path, spark=spark)
+    return back.df.drop(ROW_ID)

@@ -737,7 +737,7 @@ def s4_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < _S4_K).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
-    return ops.pq_encode(emb, cent, "vec_id", "embedding", n_subspaces=_S4_SUBS, dim=_S4_SUBS * _S4_SUBDIM)
+    return ops.pq_encode(emb, cent, "vec_id", "embedding", n_subspaces=_S4_SUBS)
 
 
 # --------------------------------------------------------------------------
@@ -810,7 +810,6 @@ def s5_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.pq_adc_topk(
         emb, cent, "vec_id", "embedding",
         probe=F.col("vec_id") < _S5_PROBES, k=_S5_K, n_subspaces=_S4_SUBS,
-        dim=_S4_SUBS * _S4_SUBDIM,
     )
 
 
