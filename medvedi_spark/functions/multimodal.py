@@ -266,3 +266,28 @@ def ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["ahash_hi"].append(hi)
             out["ahash_lo"].append(lo)
         yield pd.DataFrame(out)
+
+
+def audio_fingerprint_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """PCM16 WAV encode → real RIFF parse → 4-frame integer energy
+    fingerprint (sum of |sample| per quarter, integer frame boundaries
+    j*L//4). Integer-only arithmetic so a SQL oracle can replay the
+    fingerprint bit-for-bit from the source bytes."""
+    cols = ("doc_id", "n_samples", "e0", "e1", "e2", "e3")
+    for pdf in batches:
+        rows: dict[str, list] = {c: [] for c in cols}
+        fps: list[str] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload) or b"\x80"
+            src = np.frombuffer(payload, dtype=np.uint8).astype(np.int32)
+            wav = encode_wav((src * 256 - 32768).astype(np.int16), AUDIO_RATE)
+            dec, _rate = decode_audio(wav)
+            L = len(dec)
+            a = np.abs(dec.astype(np.int64))
+            es = [int(a[j * L // 4 : (j + 1) * L // 4].sum()) for j in range(4)]
+            for c, v in zip(cols, (doc_id, L, *es)):
+                rows[c].append(v)
+            fps.append(":".join(str(e) for e in es))
+        out = pd.DataFrame({c: pd.Series(rows[c], dtype="int64") for c in cols})
+        out["fp"] = pd.Series(fps, dtype="object")
+        yield out

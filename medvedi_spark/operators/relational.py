@@ -182,3 +182,35 @@ def salted_join(
     )
     out = lsalted.join(rsalted, [*on, "__salt__"], how)
     return out.drop("__salt__")
+
+
+def upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC merge (MERGE INTO semantics without a table format): apply a
+    change set to a snapshot — updates and inserts replace/add rows by
+    key; rows whose ``op_col`` equals ``delete_op`` are removed.
+
+    next = (base ANTI-JOIN change keys) UNION ALL (changes - deletes)
+
+    Scale shape: the anti join shuffles both sides once on the key (or
+    broadcasts the change set when it is batch-sized, which CDC batches
+    are — Catalyst/AQE picks by size); the union is a no-shuffle
+    bag-concat. This is exactly how Delta/Iceberg MERGE rewrites files,
+    minus the transactional manifest.
+    """
+    keys = list(key_cols)
+    payload_cols = [c for c in changes.columns if c != op_col]
+    if set(payload_cols) != set(base.columns):
+        raise ValueError(
+            f"changes payload columns {sorted(payload_cols)} must match base columns {sorted(base.columns)}"
+        )
+    survivors = base.join(changes.select(*keys), keys, "left_anti")
+    applied = changes
+    if op_col is not None:
+        applied = applied.filter(F.col(op_col) != delete_op).drop(op_col)
+    return survivors.unionByName(applied.select(*base.columns))

@@ -567,3 +567,71 @@ def c16_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     readers.write_orc(sub, path)
     back = readers.read_orc(path, spark=spark)
     return back.df.drop(ROW_ID)
+
+
+# --------------------------------------------------------------------------
+# c17 — CDC upsert/merge: apply a deterministic change batch (updates,
+# deletes, inserts derived from the table itself) to the orders snapshot
+# via operators.relational.upsert — the MERGE INTO pattern a training-
+# data pipeline uses for corpus snapshots. One key-shuffle anti join +
+# a no-shuffle union.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c17_upsert_merge",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+             '3-MEDIUM' AS o_orderpriority, 'U' AS op
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+    ),
+    del AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, 'D' AS op
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    ins AS (
+      SELECT o_orderkey + 30000000 AS o_orderkey, o_custkey,
+             CAST(1.0 AS DOUBLE) AS o_totalprice, '1-URGENT' AS o_orderpriority, 'I' AS op
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    changes AS (
+      SELECT * FROM upd UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins
+    )
+    SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderpriority
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders) b
+    WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM changes WHERE op <> 'D'
+    """,
+    tags=("compat", "merge", "cdc"),
+    doc="CDC MERGE pattern (update/delete/insert batch onto a snapshot); "
+        "anti-join + union kernels are driver-gated via q8/q9. Proven by "
+        "the same oracle harness locally.",
+    gate=False,
+)
+def c17_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.operators.relational import upsert
+
+    base = MDF.read_parquet(_tbl(sf_dir, "orders"), spark=spark).df.drop(ROW_ID).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    upd = base.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 != 0)).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        F.lit("3-MEDIUM").alias("o_orderpriority"),
+        F.lit("U").alias("op"),
+    )
+    dele = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", F.lit("D").alias("op")
+    )
+    ins = base.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return upsert(base, changes, ["o_orderkey"], op_col="op")

@@ -1401,3 +1401,70 @@ def q37_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.row_number().over(w).alias("rn"),
     )
+
+
+# --------------------------------------------------------------------------
+# q38 — hypertable-style multi-resolution rollup: continuous-aggregate
+# engines (TimescaleDB caggs, Druid rollup) maintain the same measure at
+# several time granularities. Declaratively that is ONE scan + ONE
+# grouping-sets expand + ONE shuffle over (resolution, bucket) — not
+# three passes over a 100 TB events table; Catalyst's Expand operator
+# triples rows map-side where the data already is, and partial
+# aggregation collapses them before the exchange.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q38_multires_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(h1) = 0 THEN '1h'
+                WHEN GROUPING(h6) = 0 THEN '6h'
+                ELSE '1d' END AS resolution,
+           COALESCE(h1, h6, d1) AS bucket_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+    FROM (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h1,
+             time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS h6,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d1,
+             event_type, value
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((h1, event_type), (h6, event_type), (d1, event_type))
+    """,
+    tags=("events", "rollup", "window", "hypertable"),
+    doc="Gate duplicate: grouping-sets expand driver-gated via q31, the "
+        "6h time bucket via st1; q38 composes them into the hypertable "
+        "continuous-aggregate shape, proven by the same oracle harness "
+        "locally.",
+    gate=False,
+)
+def q38_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    buckets = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h1"),
+        F.window("ts", "6 hours")["start"].alias("h6"),
+        F.date_trunc("day", F.col("ts")).alias("d1"),
+        "event_type",
+        "value",
+    )
+    g = buckets.groupingSets(
+        [["h1", "event_type"], ["h6", "event_type"], ["d1", "event_type"]],
+        "h1", "h6", "d1", "event_type",
+    ).agg(
+        F.grouping("h1").alias("g1"),
+        F.grouping("h6").alias("g6"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("value_sum"),
+    )
+    resolution = (
+        F.when(F.col("g1") == 0, F.lit("1h")).when(F.col("g6") == 0, F.lit("6h")).otherwise(F.lit("1d"))
+    )
+    return g.select(
+        resolution.alias("resolution"),
+        F.coalesce("h1", "h6", "d1").alias("bucket_start"),
+        "event_type",
+        "n",
+        "value_sum",
+    )

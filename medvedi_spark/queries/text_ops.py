@@ -1305,3 +1305,56 @@ def p6_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# m5 — audio fingerprint dedup: payloads run the REAL WAV round trip
+# (m3's codec), then fingerprint as 4-frame integer energies (sum of
+# |PCM16 sample| per quarter — the integer skeleton of a spectral
+# fingerprint; FFT bands would slot into the same batch loop) and dedup
+# by fingerprint. The multimodal counterpart of d1's hash dedup: one
+# mapInPandas pass, one shuffle keyed on the fingerprint.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "m5_audio_fingerprint_dedup",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) AS L,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, CAST(i AS INT), 1))) AS bs
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             COALESCE(list_sum(list_transform(bs[1 : L * 1 // 4], x -> abs(256 * x - 32768))), 0) AS e0,
+             COALESCE(list_sum(list_transform(bs[L * 1 // 4 + 1 : L * 2 // 4], x -> abs(256 * x - 32768))), 0) AS e1,
+             COALESCE(list_sum(list_transform(bs[L * 2 // 4 + 1 : L * 3 // 4], x -> abs(256 * x - 32768))), 0) AS e2,
+             COALESCE(list_sum(list_transform(bs[L * 3 // 4 + 1 : L], x -> abs(256 * x - 32768))), 0) AS e3
+      FROM b
+    )
+    SELECT CAST(e0 AS VARCHAR) || ':' || CAST(e1 AS VARCHAR) || ':' || CAST(e2 AS VARCHAR)
+             || ':' || CAST(e3 AS VARCHAR) AS fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keeper_id
+    FROM e GROUP BY 1
+    """,
+    tags=("multimodal", "udf", "codec", "audio", "dedup", "llm"),
+    doc="Gate duplicate: the WAV codec batch loop is driver-gated "
+        "in-window via m3 and the hash-dedup shuffle via d1; proven by "
+        "the same oracle harness locally.",
+    gate=False,
+)
+def m5_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.functions.multimodal import audio_fingerprint_batches
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    fps = payloads.mapInPandas(
+        audio_fingerprint_batches,
+        schema="doc_id bigint, n_samples bigint, e0 bigint, e1 bigint, e2 bigint, e3 bigint, fp string",
+    )
+    return fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id")
+    )

@@ -1,0 +1,71 @@
+"""Contracts for the wave-4 operators: audio fingerprint dedup (m5),
+multi-resolution rollup (q38), CDC upsert (c17/operators.relational.upsert)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medvedi_spark.catalog import load
+from medvedi_spark.operators.relational import upsert
+from medvedi_spark.queries.relational import q38_multires_rollup
+from medvedi_spark.queries.text_ops import m5_audio_fingerprint_dedup
+
+
+def test_audio_fingerprint_partitions_docs(spark, sf_dir):
+    """Fingerprint groups partition the corpus; identical texts share a
+    fingerprint (codec is deterministic)."""
+    res = m5_audio_fingerprint_dedup(spark, sf_dir)
+    total = res.agg(F.sum("n_docs")).first()[0]
+    assert total == load(spark, sf_dir, "documents").count()
+    docs = load(spark, sf_dir, "documents")
+    dup_texts = docs.groupBy("text").count().filter("count > 1").count()
+    multi_fp = res.filter("n_docs > 1").count()
+    assert multi_fp >= dup_texts  # same text -> same bytes -> same energies
+
+
+def test_multires_rollup_consistency(spark, sf_dir):
+    """Each resolution tier independently sums to the full table; hour
+    buckets nest inside day buckets."""
+    res = q38_multires_rollup(spark, sf_dir).cache()
+    ev_n = load(spark, sf_dir, "events").count()
+    for tier in ("1h", "6h", "1d"):
+        assert res.filter(F.col("resolution") == tier).agg(F.sum("n")).first()[0] == ev_n
+    hours = res.filter("resolution = '1h'").select(
+        F.date_trunc("day", "bucket_start").alias("d"), "event_type", "n"
+    ).groupBy("d", "event_type").agg(F.sum("n").alias("n"))
+    days = res.filter("resolution = '1d'").select(
+        F.col("bucket_start").alias("d"), "event_type", F.col("n").cast("bigint").alias("n_day")
+    )
+    joined = hours.join(days, ["d", "event_type"])
+    assert joined.filter("n <> n_day").isEmpty()
+    res.unpersist()
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_upsert_semantics(spark):
+    base = _mk(spark, [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    changes = _mk(
+        spark,
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "I")],
+        "k int, v string, op string",
+    )
+    out = {r.k: r.v for r in upsert(base, changes, ["k"], op_col="op").collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_upsert_without_opcol_is_pure_replace(spark):
+    base = _mk(spark, [(1, "a"), (2, "b")], "k int, v string")
+    changes = _mk(spark, [(2, "B"), (9, "z")], "k int, v string")
+    out = {r.k: r.v for r in upsert(base, changes, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 9: "z"}
+
+
+def test_upsert_rejects_mismatched_payload(spark):
+    base = _mk(spark, [(1, "a")], "k int, v string")
+    changes = _mk(spark, [(1, 5)], "k int, other int")
+    with pytest.raises(ValueError, match="must match base columns"):
+        upsert(base, changes, ["k"])
