@@ -178,3 +178,63 @@ def test_m4_single_shuffle_arrow(spark, sf_dir, qmap):
     facts = plan_facts(qmap["m4_image_ahash_dedup"](spark, sf_dir))
     assert facts["arrow"] == 1 and facts["pyudf"] == 0
     assert facts["exch"] == 1
+
+
+def test_t9_t10_p6_zero_shuffle(spark, sf_dir, qmap):
+    """PII redaction, boilerplate filtering, and chunking are pure
+    map-side pipelines — zero exchanges at any corpus size."""
+    for name in ("t9_pii_redaction", "t10_boilerplate_filter", "p6_chunk_overlap"):
+        facts = plan_facts(qmap[name](spark, sf_dir))
+        assert facts["exch"] == 0, f"{name} must not shuffle"
+
+
+def test_p5_single_shuffle(spark, sf_dir, qmap):
+    """The global shard shuffle is exactly ONE exchange (keyed on shard)."""
+    facts = plan_facts(qmap["p5_shard_shuffle"](spark, sf_dir))
+    assert facts["exch"] == 1
+
+
+def test_d10_centroids_broadcast_pairs_shuffled_on_cell(spark, sf_dir, qmap):
+    """SemDeDup: the codebook broadcasts (nested-loop against the scan);
+    the pair join must be a real equi-join on the cluster key, never a
+    corpus×corpus nested loop."""
+    df = qmap["d10_semantic_dedup"](spark, sf_dir)
+    facts = plan_facts(df)
+    assert facts["bnlj"] >= 1, "centroid assignment must broadcast the codebook"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.finditer(r"BroadcastNestedLoopJoin BuildRight, (\w+)", plan):
+        assert m.group(1) in ("Inner", "Cross"), plan
+    # the within-cell pair join is an equi-join (hash or sort-merge), not BNLJ
+    assert facts["bhj"] + facts["smj"] + facts["shj"] >= 1
+
+
+def test_s5_adc_no_corpus_by_query_shuffle(spark, sf_dir, qmap):
+    """ADC scoring: the LUT broadcasts; after the codes aggregate there
+    is no exchange proportional to corpus × queries (only the window's
+    per-query exchange over candidate scores)."""
+    df = qmap["s5_pq_adc_topk"](spark, sf_dir)
+    facts = plan_facts(df)
+    assert facts["bnlj"] >= 2, "codebook + LUT must both broadcast"
+    # exchanges: pq_encode agg, LUT agg, window partitionBy — never a
+    # groupBy over (query, neighbor) pairs
+    assert facts["exch"] <= 3
+
+
+def test_c17_upsert_changes_join(spark, sf_dir, qmap):
+    """CDC merge: the anti join on the key must be a real join (broadcast
+    or shuffled-by-key), and the union adds no exchange."""
+    facts = plan_facts(qmap["c17_upsert_merge"](spark, sf_dir))
+    assert facts["bhj"] + facts["smj"] + facts["shj"] >= 1
+    assert facts["pyudf"] == 0
+
+
+def test_q38_single_expand_single_shuffle(spark, sf_dir, qmap):
+    """Multi-resolution rollup: ONE scan + grouping-sets Expand + one
+    aggregate shuffle — not three passes."""
+    df = qmap["q38_multires_rollup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1
+    facts = plan_facts(df)
+    assert facts["exch"] == 1, "one aggregate shuffle for all resolutions"
+    assert len(facts["scan_cols"]) == 1, "single scan of events"
