@@ -607,7 +607,7 @@ def c16_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("compat", "merge", "cdc"),
     doc="CDC MERGE pattern (update/delete/insert batch onto a snapshot); "
-        "anti-join + union kernels are driver-gated via q8/q9. Proven by "
+        "anti-join + union kernels are driver-gated via q8/q9; proven by "
         "the same oracle harness locally.",
     gate=False,
 )
