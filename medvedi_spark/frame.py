@@ -646,6 +646,12 @@ class MDF:
             # multidimensional payloads are rejected, not flattened
             # (`tests/test_columns.py:12-13`)
             raise ValueError(f"can only assign 1-D data, got shape {arr.shape}")
+        if not self.columns and not self._index:
+            # first column of a columnless frame DEFINES the length
+            # (`tests/test_columns.py:10-16`: DataFrame(); df["a"] = [0,1,2])
+            fresh = MDF({name: value}, spark=self._df.sparkSession)
+            self._df, self._index = fresh._df, fresh._index
+            return
         n = len(self)
         if len(arr) != n:
             raise ValueError(f"length mismatch: {len(arr)} != {n}")
@@ -737,8 +743,16 @@ class MDF:
         weights=None,
         ignore_index: bool = False,
     ) -> "MDF":
-        if n is not None and frac is not None:
-            raise ValueError("pass n or frac, not both")
+        if (frac is None) == (n is None):
+            # exactly one of n/frac (`medvedi/dataframe.py:540-541`)
+            raise ValueError("must define one and only one of `n` and `frac`")
+        if frac is not None:
+            # frac is an EXACT row-count ratio in the reference
+            # (`dataframe.py:542-543`: n = int(len * frac)), not a
+            # Bernoulli probability — tests assert len(sample(frac=.5))
+            # == len//2 exactly.
+            n = int(len(self) * frac)
+            frac = None
         if weights is not None:
             if isinstance(weights, str):
                 # Distributed weighted sampling (scale path): the
@@ -769,14 +783,24 @@ class MDF:
             w = np.asarray(weights, dtype=np.float64)
             idx = np.random.choice(len(w), size=n or len(w), replace=replace, p=w / w.sum())
             return self.take(idx)
-        if frac is not None:
-            out = self._df.sample(withReplacement=replace, fraction=frac)
+        count = len(self)
+        if n > count and not replace:
+            raise ValueError("n larger than rows without replacement")
+        if replace:
+            # n independent draws: a draws table of n random positions
+            # joins the positioned frame — distributed, no driver
+            # materialization; duplicate positions replicate rows.
+            spark = self._df.sparkSession
+            draws = spark.range(n).select(
+                F.col("id").alias("__draw__"),
+                F.floor(F.rand() * F.lit(count)).cast("long").alias("__pos__"),
+            )
+            out = (
+                draws.join(self._df_pos(), on="__pos__", how="inner")
+                .drop("__pos__", ROW_ID)
+                .withColumnRenamed("__draw__", ROW_ID)
+            )
         else:
-            count = len(self)
-            if n is None:
-                raise ValueError("pass n or frac")
-            if n > count and not replace:
-                raise ValueError("n larger than rows without replacement")
             out = self._df.orderBy(F.rand()).limit(n)
         if ignore_index:
             out = out.drop(ROW_ID)
@@ -795,6 +819,12 @@ class MDF:
 
     def astype(self, dtype, copy: bool = True, errors: str = "raise") -> "MDF":
         mapping = dtype if isinstance(dtype, Mapping) else {c: dtype for c in self.columns}
+        known = set(self.columns) | set(self._index)
+        for col in mapping:
+            if str(col) not in known:
+                # unknown column is a KeyError regardless of errors=
+                # (`dataframe.py:572-574`: errors only guards cast failures)
+                raise KeyError(col)
         targets = {
             str(col): _numpy_to_spark_type(np.empty(0, dtype=np.dtype(target)))
             for col, target in mapping.items()

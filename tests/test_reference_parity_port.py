@@ -1,0 +1,216 @@
+"""Behavior-level port of the reference's own edge-case tests
+(`/root/reference/medvedi/tests/*`), re-expressed against MDF.
+
+Each test cites the reference case it mirrors; the assertions are the
+reference's CONTRACT (error types, dtype rules, empty-frame behavior),
+not its code. Families with existing deep coverage (join spec, concat
+rules, dedup keeps, sort stability) live in test_frame_*.py; this file
+sweeps the remaining long tail.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from numpy.testing import assert_array_equal
+
+from medvedi_spark.frame import MDF
+
+
+# -- test_columns.py -------------------------------------------------------
+
+
+def test_set_column_errors(spark):
+    """ref test_columns.py::test_set_column_errors — 2-D arrays and
+    length mismatches are ValueError."""
+    df = MDF(spark=spark)
+    with pytest.raises(ValueError):
+        df["a"] = np.ones((2, 2))
+    df["a"] = [0, 1, 2]
+    with pytest.raises(ValueError):
+        df["b"] = [0, 1]
+
+
+def test_delete_last_column_empties_frame(spark):
+    """ref test_delete_column_smoke — deleting the only column leaves an
+    empty (0-length) frame."""
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    del df["a"]
+    assert len(df) == 0
+
+
+def test_delete_column_bad(spark):
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    with pytest.raises(KeyError):
+        del df["b"]
+
+
+def test_delete_index_column_forbidden(spark):
+    """ref test_delete_column_index — index levels cannot be deleted."""
+    df = MDF({"a": [0, 1, 2]}, index="a", spark=spark)
+    with pytest.raises(ValueError):
+        del df["a"]
+
+
+def test_set_column_scalar_broadcasts(spark):
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    df["b"] = 2
+    vals = df["b"]
+    assert len(vals) == 3
+    assert (np.asarray(vals) == 2).all()
+
+
+@pytest.mark.parametrize("value", [2, None])
+def test_set_column_empty_scalar(spark, value):
+    """ref test_set_column_empty_scalar — scalar set on an empty frame
+    yields a 0-length column."""
+    df = MDF({"b": []}, spark=spark)
+    df["b"] = value
+    assert len(df["b"]) == 0
+
+
+def test_set_column_existing_scalar_overwrites(spark):
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    df["a"] = 2
+    assert_array_equal(np.asarray(df["a"]), [2, 2, 2])
+
+
+def test_get_column_tuple_projects_with_index(spark):
+    """ref test_get_column_tuple — df[("a",)] keeps index levels."""
+    df = MDF({"a": [0, 1, 2], "b": [5, 6, 7]}, index="b", spark=spark)
+    out = df[("a",)]
+    assert out.index.names == ("b",)
+    assert_array_equal(np.asarray(out["a"]), [0, 1, 2])
+
+
+# -- test_iloc.py ----------------------------------------------------------
+
+
+def test_iloc_scalar_and_negative(spark):
+    df = MDF({"a": [1, 2], "b": [3, 4]}, spark=spark)
+    row = df.iloc[1]
+    assert row["a"] == 2 and row["b"] == 4
+    row = df.iloc[-1]
+    assert row["a"] == 2 and row["b"] == 4
+
+
+def test_iloc_out_of_range(spark):
+    df = MDF({"a": [1, 2], "b": [3, 4]}, spark=spark)
+    with pytest.raises(IndexError):
+        df.iloc[-3]
+    with pytest.raises(IndexError):
+        df.iloc[2]
+
+
+def test_iloc_garbage_type(spark):
+    df = MDF({"a": [1, 2], "b": [3, 4]}, spark=spark)
+    with pytest.raises(TypeError):
+        df.iloc["test"]
+
+
+def test_iloc_zero_range_keeps_schema(spark):
+    df = MDF({"a": [1, 2], "b": [3, 4]}, index=("a", "b"), spark=spark)
+    out = df.iloc[:0]
+    assert len(out) == 0
+    assert out.columns == df.columns
+    assert out.index.names == df.index.names
+
+
+# -- test_isin.py error cases ---------------------------------------------
+
+
+def test_isin_bad_column(spark):
+    df = MDF({"a": [1, 2]}, spark=spark)
+    with pytest.raises(KeyError):
+        df.isin("nope", [1])
+
+
+# -- test_noneminmax.py ----------------------------------------------------
+
+
+def test_noneminmax_empty_returns_none(spark):
+    """ref test_noneminmax_empty — empty column -> None, not an error."""
+    df = MDF({"a": []}, spark=spark)
+    assert df.nonemin("a") is None
+    assert df.nonemax("a") is None
+
+
+def test_noneminmax_all_nan_returns_none(spark):
+    df = MDF({"a": [float("nan"), float("nan")]}, spark=spark)
+    assert df.nonemin("a") is None
+    assert df.nonemax("a") is None
+
+
+def test_noneminmax_some_nan_skips(spark):
+    df = MDF({"a": [float("nan"), 2.0, 1.0]}, spark=spark)
+    assert df.nonemin("a") == 1.0
+    assert df.nonemax("a") == 2.0
+
+
+# -- test_rename.py --------------------------------------------------------
+
+
+def test_rename_inplace_and_mapping(spark):
+    df = MDF({"a": [1], "b": [2]}, spark=spark)
+    out = df.rename(columns={"a": "x"})
+    assert set(out.columns) >= {"x", "b"}
+    df.rename(columns={"a": "x"}, inplace=True)
+    assert "x" in df.columns and "a" not in df.columns
+
+
+# -- test_index.py (monotonic family beyond existing coverage) -------------
+
+
+def test_index_monotonic_empty_is_true(spark):
+    df = MDF({"a": []}, index="a", spark=spark)
+    assert df.index.is_monotonic_increasing
+    assert df.index.is_monotonic_decreasing
+
+
+def test_index_monotonic_multilevel(spark):
+    df = MDF({"a": [1, 1, 2], "b": [1, 2, 0]}, index=("a", "b"), spark=spark)
+    assert df.index.is_monotonic_increasing  # (1,1) <= (1,2) <= (2,0)
+    df2 = MDF({"a": [1, 1, 2], "b": [2, 1, 0]}, index=("a", "b"), spark=spark)
+    assert not df2.index.is_monotonic_increasing  # (1,2) > (1,1)
+
+
+# -- test_sample.py --------------------------------------------------------
+
+
+def test_sample_n_frac_mutually_exclusive(spark):
+    df = MDF({"a": [1, 2, 3]}, spark=spark)
+    with pytest.raises(ValueError):
+        df.sample(n=1, frac=0.5)
+
+
+def test_sample_frac_rowcount(spark):
+    df = MDF({"a": list(range(100))}, spark=spark)
+    assert len(df.sample(frac=0.2)) == 20
+
+
+# -- test_astype.py --------------------------------------------------------
+
+
+def test_astype_bad_column_raises(spark):
+    df = MDF({"a": [1]}, spark=spark)
+    with pytest.raises(KeyError):
+        df.astype({"zz": int})
+
+
+# -- test_init.py ----------------------------------------------------------
+
+
+def test_init_bad_shape(spark):
+    with pytest.raises(ValueError):
+        MDF({"a": [1, 2], "b": [1]}, spark=spark)
+
+
+def test_init_empty_smoke(spark):
+    df = MDF(spark=spark)
+    assert len(df) == 0
+    assert df.columns == ()
+
+
+def test_init_dict_index_unknown_raises(spark):
+    with pytest.raises((KeyError, ValueError)):
+        MDF({"a": [1]}, index="zz", spark=spark)
