@@ -486,10 +486,22 @@ class MDF:
             raise RuntimeError("no active SparkSession; pass spark=")
         if data is None:
             data = {}
-        if not isinstance(data, Mapping):
-            # iterable of columns + explicit names (`dataframe.py:308-357`)
+        if isinstance(data, Mapping):
+            if data and columns is not None:
+                # mapping already names the columns; also passing columns=
+                # is an error (`tests/test_init.py:26-34`)
+                raise ValueError("cannot pass columns= with a mapping data")
+            if not data and columns is not None:
+                # empty typed frame (`tests/test_init.py::test_init_empty_dtype`)
+                data = {c: [] for c in columns}
+        else:
+            # iterable of columns; names default to "0", "1", ...
+            # (`tests/test_init.py:46-50`)
+            data = list(data)
             if columns is None:
-                raise ValueError("columns= required when data is not a mapping")
+                columns = [str(i) for i in range(len(data))]
+            if len(columns) != len(data):
+                raise ValueError(f"columns length mismatch: {len(columns)} != {len(data)}")
             data = dict(zip(columns, data))
         arrays: dict[str, np.ndarray] = {}
         for k, v in data.items():

@@ -214,3 +214,87 @@ def test_init_empty_smoke(spark):
 def test_init_dict_index_unknown_raises(spark):
     with pytest.raises((KeyError, ValueError)):
         MDF({"a": [1]}, index="zz", spark=spark)
+
+
+# -- test_init.py (construction forms) -------------------------------------
+
+
+def test_init_dict_with_columns_raises(spark):
+    """ref test_init_dict_columns — mapping + columns= is ambiguous."""
+    with pytest.raises(ValueError):
+        MDF({"a": [1, 2, 3], "b": ["1", "2", "3"]}, columns=["a", "b"], spark=spark)
+
+
+def test_init_iterable_default_columns(spark):
+    """ref test_init_iterable_default_columns — names default to '0','1'."""
+    df = MDF([[1, 2, 3], ["1", "2", "3"]], spark=spark)
+    assert df.columns == ("0", "1")
+    assert_array_equal(np.asarray(df["0"]), [1, 2, 3])
+    assert_array_equal(np.asarray(df["1"]), ["1", "2", "3"])
+
+
+def test_init_iterable_bad_lengths(spark):
+    with pytest.raises(ValueError):
+        MDF([[1, 2, 3], ["1", "2"]], columns=["a", "b"], spark=spark)
+
+
+def test_init_np_array_index_becomes_level(spark):
+    """ref test_init_iterable_index[ndarray] — value-array index is named
+    _index0."""
+    df = MDF([[1, 2, 3]], columns=["a"], index=np.array([5, 6, 7]), spark=spark)
+    assert df.index.names == ("_index0",)
+    assert_array_equal(np.sort(np.asarray(df.index.get_level_values(0))), [5, 6, 7])
+
+
+def test_init_empty_with_typed_columns(spark):
+    """ref test_init_empty_dtype — columns= without data makes an empty
+    typed frame."""
+    df = MDF(columns=["a", "b"], dtype={"a": int}, spark=spark)
+    assert df.columns == ("a", "b")
+    assert len(df) == 0
+    assert df.dtype["a"] == np.dtype(int)
+
+
+def test_init_check_false_tolerates_ragged(spark):
+    """ref test_init_wrong_dict — check=False skips the length check."""
+    with pytest.raises(ValueError):
+        MDF({"a": [1, 2, 3], "b": ["1", "2"]}, spark=spark)
+    MDF({"a": [1, 2, 3], "b": ["1", "2"]}, check=False, spark=spark)
+
+
+def test_init_scalar_column_is_type_error(spark):
+    with pytest.raises(TypeError):
+        MDF({"a": "xxx"}, index="a", spark=spark)
+
+
+def test_get_level_values_out_of_range(spark):
+    df = MDF({"a": [1]}, index="a", spark=spark)
+    with pytest.raises(IndexError):
+        df.index.get_level_values(2)
+
+
+# -- test_isin.py (haystack forms) -----------------------------------------
+
+
+def test_isin_float_haystack_truncates_to_int(spark):
+    """ref test_in_int — float haystack casts to the column dtype."""
+    df = MDF({"a": [1, 2, 3]}, spark=spark)
+    assert list(df.isin("a", [2.1, 3.2, 4.3])) == [False, True, True]
+
+
+def test_isin_set_dict_keys_forms(spark):
+    """ref test_in_shoot_in_the_foot — sets, dicts, keys views all work."""
+    df = MDF({"a": [1, 2, 3]}, spark=spark)
+    for hay in ({2, 3, 4}, {2: 1, 3: 1, 4: 1}, frozenset({2, 3, 4}), {2: 1, 3: 1, 4: 1}.keys()):
+        assert list(df.isin("a", hay)) == [False, True, True], hay
+
+
+def test_isin_string_haystack_on_int_column_raises(spark):
+    df = MDF({"a": [1, 2, 3]}, spark=spark)
+    with pytest.raises(ValueError):
+        df.isin("a", ["x", "y"])
+
+
+def test_isin_invert(spark):
+    df = MDF({"a": [1, 2, 3]}, spark=spark)
+    assert list(df.isin("a", [2, 3, 4], invert=True)) == [True, False, False]

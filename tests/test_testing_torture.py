@@ -103,7 +103,8 @@ def test_nested_ndarray_descent(spark):
 
 
 def test_roundtrip_zero_rows(spark, tmp_path):
-    df = MDF(columns=("a", "b", "c"), data={"a": [], "b": [], "c": []}, spark=spark)
+    # dict data + columns= raises in the reference (tests/test_init.py:26-34)
+    df = MDF({"a": [], "b": [], "c": []}, spark=spark)
     assert df.empty
     out = _roundtrip_parquet(df, tmp_path, spark)
     assert out.empty
