@@ -298,3 +298,163 @@ def test_isin_string_haystack_on_int_column_raises(spark):
 def test_isin_invert(spark):
     df = MDF({"a": [1, 2, 3]}, spark=spark)
     assert list(df.isin("a", [2, 3, 4], invert=True)) == [True, False, False]
+
+
+# -- test_sort_values.py (forms beyond existing coverage) -------------------
+
+
+def test_sort_values_ignore_index_drops_levels(spark):
+    """ref test_sort_values_one_ignore / _one_copy."""
+    df = MDF({"a": [3, 2, 1]}, index="a", spark=spark)
+    x = df.sort_values("a", inplace=False, ignore_index=True)
+    assert x.index.names == ()
+    assert list(np.asarray(x["a"])) == [1, 2, 3]
+    assert df.index.names == ("a",)  # source untouched
+    assert list(np.asarray(df["a"])) == [3, 2, 1]
+
+
+def test_sort_values_carries_index_values(spark):
+    """ref test_sort_values_one_index — index levels permute WITH rows."""
+    df = MDF({"a": [3, 2, 1], "i": [0, 1, 2]}, index="i", spark=spark)
+    df.sort_values("a", inplace=True, ignore_index=False)
+    assert df.index.names == ("i",)
+    assert list(np.asarray(df["a"])) == [1, 2, 3]
+    assert list(np.asarray(df.index.get_level_values(0))) == [2, 1, 0]
+
+
+def test_sort_values_descending_nulls(spark):
+    """ref test_sort_values_one_na_position_descending."""
+    df = MDF({"a": [1.0, None, 2.0]}, spark=spark)
+    first = df.sort_values("a", ascending=False, na_position="first", ignore_index=True)
+    vals = list(np.asarray(first["a"]))
+    assert vals[0] != vals[0] and vals[1:] == [2.0, 1.0]  # NaN first
+    last = df.sort_values("a", ascending=False, na_position="last", ignore_index=True)
+    vals = list(np.asarray(last["a"]))
+    assert vals[:2] == [2.0, 1.0] and vals[2] != vals[2]
+
+
+def test_sort_values_multi_key_tiebreak(spark):
+    """ref test_sort_values_mergeable — second key breaks ties incl.
+    negatives."""
+    df = MDF({"a": [3, 2, 2, 1], "b": [0, 0, -1, 2]}, spark=spark)
+    df.sort_values(["a", "b"], inplace=True, ignore_index=True)
+    assert list(np.asarray(df["a"])) == [1, 2, 2, 3]
+    assert list(np.asarray(df["b"])) == [2, -1, 0, 0]
+
+
+def test_sort_values_empty_by_raises(spark):
+    df = MDF({"a": [3, 2, 1]}, spark=spark)
+    with pytest.raises(ValueError):
+        df.sort_values([])
+
+
+def test_sort_values_empty_frame_noop(spark):
+    df = MDF({"a": [], "b": []}, spark=spark)
+    out = df.sort_values(["a", "b"], inplace=True)
+    assert len(out) == 0 and out.columns == ("a", "b")
+
+
+def test_sort_index_level_forms(spark):
+    """ref test_sort_index_levels_* — None / int / list all accepted;
+    a string level is TypeError."""
+    for level in (None, 0, [0]):
+        df = MDF({"a": [3, 2, 1]}, index="a", spark=spark)
+        df.sort_index(level, inplace=True) if level is not None else df.sort_index(inplace=True)
+        assert list(np.asarray(df["a"])) == [1, 2, 3]
+    df = MDF({"a": [3, 2, 1]}, index="a", spark=spark)
+    with pytest.raises(TypeError):
+        df.sort_index("a", inplace=True)
+
+
+# -- test_concat.py (call-form edge cases) ---------------------------------
+
+
+def test_concat_single_frame_is_identity(spark):
+    """ref test_concat_one — concat of one frame returns it unchanged."""
+    from medvedi_spark.frame import concat
+
+    df = MDF({"a": [1, 2, 3]}, spark=spark)
+    out = concat(df)
+    assert list(np.asarray(out["a"])) == [1, 2, 3]
+
+
+def test_concat_non_frame_raises(spark):
+    from medvedi_spark.frame import concat
+
+    with pytest.raises(TypeError):
+        concat("a", "b")
+    with pytest.raises(TypeError):
+        concat(MDF(spark=spark), "b")
+
+
+def test_concat_length_vs_empty_mismatch(spark):
+    """ref test_concat_bullshit — concatenating an empty frame with a
+    non-empty one of different columns is ValueError."""
+    from medvedi_spark.frame import concat
+
+    with pytest.raises(ValueError):
+        concat(MDF(spark=spark), MDF({"a": [0, 1, 2]}, spark=spark))
+
+
+def test_concat_index_mismatch_needs_ignore_index(spark):
+    """ref test_concat_bullshit tail — differing index layouts raise
+    unless ignore_index=True."""
+    from medvedi_spark.frame import concat
+
+    a = MDF({"a": [3, 4, 5]}, spark=spark)
+    b = MDF({"a": [0, 1, 2]}, index="a", spark=spark)
+    with pytest.raises(ValueError):
+        concat(a, b)
+    out = concat(a, b, ignore_index=True)
+    assert sorted(np.asarray(out["a"])) == [0, 1, 2, 3, 4, 5]
+
+
+def test_concat_keeps_index_level(spark):
+    from medvedi_spark.frame import concat
+
+    df = MDF({"a": [1, 2, 3]}, index="a", spark=spark)
+    out = concat(df, df)
+    assert out.index.names == ("a",)
+    assert len(out) == 6
+    out2 = concat(df, df, ignore_index=True)
+    assert out2.index.names == ()
+
+
+def test_concat_empty_typed_tail_keeps_dtype(spark):
+    """ref test_concat_dtypes — an empty object frame does not widen the
+    surviving int column."""
+    from medvedi_spark.frame import concat
+
+    df = concat(MDF({"a": [1, 2, 3]}, spark=spark), MDF({"a": []}, spark=spark))
+    assert len(df) == 3
+    assert df.dtype["a"] == np.dtype(np.int64)
+
+
+# -- test_explode.py -------------------------------------------------------
+
+
+def test_explode_ignore_index_forms(spark):
+    """ref test_explode_ignore_index — scalar-mixed object column,
+    sibling replication, index kept or dropped.
+
+    Delta vs the reference: its numpy object column also mixes value
+    TYPES ([1,2] and "a" together); Spark columns are typed, so the
+    ruled representation for such payloads is a single consistent
+    element type (mixed list/scalar SHAPES are supported 1:1)."""
+    df = MDF(
+        {"a": np.array([[1, 2], [3], [4, 5, 6], 7, 8], dtype=object), "b": [9, 8, 7, 6, 5]},
+        index="b",
+        spark=spark,
+    )
+    for ignore_index in (False, True):
+        out = df.explode("a", ignore_index=ignore_index)
+        assert list(np.asarray(out["a"])) == [1, 2, 3, 4, 5, 6, 7, 8]
+        assert list(np.asarray(out["b"])) == [9, 9, 8, 7, 7, 7, 6, 5]
+        assert out.index.names == (() if ignore_index else ("b",))
+
+
+def test_explode_non_list_column_is_noop_copy(spark):
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    out = df.explode("a")
+    assert out is not df
+    assert list(np.asarray(out["a"])) == [0, 1, 2]
