@@ -1128,6 +1128,10 @@ class MDF:
                 parent = MDF._from_spark(joined, parent._index)
                 keys.append(name)
                 continue
+            if not isinstance(k, Hashable) or isinstance(k, (set, frozenset)):
+                # non-column, non-array key objects are a TypeError
+                # (`tests/test_groupby.py::test_groupby_bad_column`)
+                raise TypeError(f"invalid group key type {type(k).__name__}")
             name = str(k)
             if name not in self.columns:
                 raise KeyError(f"unknown group key {name!r}")

@@ -458,3 +458,84 @@ def test_explode_non_list_column_is_noop_copy(spark):
     out = df.explode("a")
     assert out is not df
     assert list(np.asarray(out["a"])) == [0, 1, 2]
+
+
+# -- test_groupby.py (reduceat protocol long tail) -------------------------
+
+
+def test_groupby_1d_iter_row_index_arrays(spark):
+    """ref test_groupby_1d_iter — iterating a Grouper yields per-group
+    row-index arrays addressing driver-materialized columns."""
+    df = MDF({"a": [1, 1, 2, 2, 3, 3, 3], "b": [4, 5, 6, 7, 8, 9, 10]}, spark=spark)
+    a_values, b_values = np.asarray(df["a"]), np.asarray(df["b"])
+    groups = list(df.groupby("a"))
+    assert len(groups) == 3
+    for i, group in enumerate(groups):
+        assert a_values[group[0]] == i + 1
+        assert b_values[group].tolist() == ([4, 5], [6, 7], [8, 9, 10])[i]
+
+
+def test_groupby_2d_order_counts(spark):
+    """ref test_groupby_2d_int — order permutation + group counts."""
+    df = MDF({"a": [1, 1, 2, 2, 3, 3, 3], "b": [4, 4, 6, 7, 10, 8, 8]}, spark=spark)
+    grouper = df.groupby("a", "b")
+    assert list(grouper.order) == [0, 1, 2, 3, 5, 6, 4]
+    assert list(grouper.counts) == [2, 1, 1, 2, 1]
+
+
+def test_groupby_bad_column_errors(spark):
+    with pytest.raises(KeyError):
+        MDF({"a": [1, 2]}, spark=spark).groupby("c")
+    with pytest.raises(TypeError):
+        MDF({"a": [1, 2]}, spark=spark).groupby(set())
+
+
+def test_groupby_reduceat_protocol_matches_numpy(spark):
+    """ref test_groupby_reduceat — the literal np.add.reduceat recipe."""
+    df = MDF({"a": [3, 3, 3, 2, 2, 1, 1], "b": [9, 10, 7, 8, 4, 5, 6]}, spark=spark)
+    grouper = df.groupby("a")
+    agg = np.add.reduceat(np.asarray(df["b"])[grouper.order], grouper.reduceat_indexes())
+    assert_array_equal(agg, [11, 12, 26])
+
+
+def test_groupby_external_array_key_counts(spark):
+    """ref test_groupby_external — external key array + length check."""
+    df = MDF({"a": [1, 1, 2, 2, 3, 3, 3], "b": [4, 5, 6, 7, 8, 9, 10]}, spark=spark)
+    g = df.groupby([0, 1, 0, 1, 0, 1, 0])
+    assert_array_equal(np.asarray(g.counts), [4, 3])
+    assert_array_equal(np.asarray(g.order), [0, 2, 4, 6, 1, 3, 5])
+    with pytest.raises(ValueError):
+        df.groupby([0, 1, 0, 1, 0, 1])
+
+
+def test_groupby_group_indexes_first_rows(spark):
+    df = MDF({"a": [1, 1, 2, 2, 3, 3, 3], "b": [4, 5, 6, 7, 8, 9, 10]}, spark=spark)
+    gi = df.groupby("a").group_indexes()
+    assert_array_equal(gi, [0, 2, 4])
+    assert_array_equal(np.asarray(df["a"])[gi], [1, 2, 3])
+
+
+def test_groupby_empty_frame(spark):
+    df = MDF({"a": []}, spark=spark)
+    g = df.groupby("a")
+    assert len(g.reduceat_indexes()) == 0
+    assert len(g.group_indexes()) == 0
+    assert list(g) == []
+
+
+# -- test_take.py / test_copy.py -------------------------------------------
+
+
+def test_take_mask_and_indexes_equivalent(spark):
+    df = MDF({"a": [10, 20, 30, 40]}, spark=spark)
+    by_idx = df.take(np.array([1, 3]))
+    by_mask = df.take(np.array([False, True, False, True]))
+    assert list(np.asarray(by_idx["a"])) == list(np.asarray(by_mask["a"])) == [20, 40]
+
+
+def test_copy_is_independent(spark):
+    """ref test_copy_depth — mutating the copy leaves the source alone."""
+    df = MDF({"a": [1, 2, 3]}, spark=spark)
+    cp = df.copy()
+    cp["b"] = 9
+    assert "b" in cp.columns and "b" not in df.columns
