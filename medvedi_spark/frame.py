@@ -274,13 +274,11 @@ class Index:
 
     @property
     def values(self) -> np.ndarray:
-        levels = [self.get_level_values(i) for i in range(self.nlevels)]
-        if len(levels) == 1:
-            return levels[0]
-        out = np.empty(len(levels[0]), dtype=object)
-        for i, row in enumerate(zip(*levels)):
-            out[i] = row
-        return out
+        if self.nlevels != 1:
+            # reference contract (`tests/test_index.py:104-109`): .values
+            # exists only on single-level indexes
+            raise AttributeError("Index.values requires exactly one level")
+        return self.get_level_values(0)
 
     @property
     def is_unique(self) -> bool:
@@ -1215,12 +1213,18 @@ class MDF:
                 if arr.ndim != 1:
                     raise KeyError(f"index level {i} must be a column name or 1-D array")
                 synth = f"_index{i}"
-                if synth in self.columns and not drop:
+                if (synth in self.columns or synth in self._index) and not drop:
                     raise ValueError(
                         f"synthesized index name {synth!r} clashes with an existing "
                         "column; pass drop=True"
                     )
-                tmp = MDF._from_spark(df, self._index)
+                # with drop=True an existing synthesized level is REPLACED
+                # (`tests/test_index.py:35-58`: repeated value-array
+                # set_index overwrites _index{i})
+                keep_index = tuple(c for c in self._index if c != synth)
+                if synth in df.columns:
+                    df = df.drop(synth)
+                tmp = MDF._from_spark(df, keep_index)
                 tmp[synth] = arr
                 df = tmp._df
                 cols.append(synth)

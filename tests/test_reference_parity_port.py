@@ -539,3 +539,103 @@ def test_copy_is_independent(spark):
     cp = df.copy()
     cp["b"] = 9
     assert "b" in cp.columns and "b" not in df.columns
+
+
+# -- test_index.py (set_index/reset_index/values forms) --------------------
+
+
+def test_set_index_unknown_name_keyerror(spark):
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    with pytest.raises(KeyError):
+        df.set_index("b")
+
+
+def test_set_index_list_of_scalars_is_keyerror(spark):
+    """ref test_set_index_name_clash_1d — a plain python list means
+    column NAMES (KeyError when absent); only ndarrays are value
+    arrays."""
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    with pytest.raises(KeyError):
+        df.set_index([5, 6, 7], inplace=True)
+    df.set_index(np.array([5, 6, 7]), inplace=True)
+    assert len(df.index.names) == 1
+    with pytest.raises(ValueError):
+        # the synthetic level name would clash without drop=True
+        df.set_index(np.array([5, 6, 7]), inplace=True, drop=False)
+    df.set_index(np.array([5, 6, 7]), inplace=True, drop=True)
+    assert len(df.index.names) == 1
+
+
+def test_set_index_two_value_arrays(spark):
+    """ref test_set_index_name_clash_2d — two value arrays form a
+    2-level index; .name on a multilevel index is ValueError."""
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    df.set_index([np.array([5, 6, 7]), np.array(["a", "b", "c"])], inplace=True)
+    assert len(df.index.names) == 2
+    with pytest.raises(ValueError):
+        df.index.name
+    df.set_index([np.array([5, 6, 7]), np.array(["x", "y", "z"])], inplace=True, drop=True)
+    assert df.index.nlevels == 2
+    assert sorted(np.asarray(df.index.get_level_values(1))) == ["x", "y", "z"]
+
+
+def test_set_index_empty_tuple_clears(spark):
+    df = MDF({"a": [0, 1, 2], "b": ["a", "b", "c"]}, index="a", spark=spark)
+    for empty in ((), []):
+        out = df.set_index(empty, drop=True)
+        assert out.index.names == ()
+        assert out.index.nlevels == 0
+        assert out.columns == ("b",)
+
+
+def test_reset_index_drop_vs_leave(spark):
+    df = MDF({"a": [0, 1, 2], "b": ["a", "b", "c"]}, index="a", spark=spark)
+    dropped = df.reset_index(drop=True)
+    assert dropped.columns == ("b",) and dropped.index.names == ()
+    left = df.reset_index(drop=False)
+    assert left.columns == ("a", "b") and left.index.names == ()
+
+
+def test_index_values_single_level_only(spark):
+    """ref test_index_values — .values works on 1 level, raises
+    AttributeError on multilevel."""
+    df = MDF({"a": [0, 1, 2], "b": ["a", "b", "c"]}, index="a", spark=spark)
+    assert sorted(np.asarray(df.index.values)) == [0, 1, 2]
+    df.set_index(["a", "b"], inplace=True)
+    with pytest.raises(AttributeError):
+        df.index.values
+
+
+def test_index_name_on_empty_no_columns_raises(spark):
+    df = MDF(spark=spark)
+    with pytest.raises(ValueError):
+        df.index.name
+
+
+def test_index_monotonic_reference_matrix(spark):
+    """ref is_monotonic_* truth table (ties, multilevel, 3-level)."""
+    cases_inc = [
+        ({"a": [0, 1, 2]}, ("a",), True),
+        ({"a": [0, 1, 1]}, ("a",), True),
+        ({"a": [0, 1, 1], "b": [50, 5, 6]}, ("a", "b"), True),
+        ({"a": [0, 1, 1], "b": [50, 5, 5]}, ("a", "b"), True),
+        ({"a": [0, 1, 2], "b": [50, 6, 5]}, ("a", "b"), True),
+        ({"a": [0, 3, 2]}, ("a",), False),
+        ({"a": [0, 1, 1], "b": [50, 6, 5]}, ("a", "b"), False),
+        ({"a": [0, 1, 1, 2], "b": [50.3, 5.1, 5.1, 0.0], "c": ["x", "a", "b", ""]}, ("a", "b", "c"), True),
+        ({"a": [0, 1, 1, 2], "b": [50.3, 5.1, 5.1, 0.0], "c": ["x", "b", "a", ""]}, ("a", "b", "c"), False),
+    ]
+    for data, index, expect in cases_inc:
+        df = MDF(data, index=index, spark=spark)
+        assert df.index.is_monotonic_increasing is expect, (data, index)
+    cases_dec = [
+        ({"a": [2, 1, 0]}, ("a",), True),
+        ({"a": [1, 1, 0]}, ("a",), True),
+        ({"a": [1, 1, 0], "b": [6, 5, 50]}, ("a", "b"), True),
+        ({"a": [2, 1, 0], "b": [5, 6, 50]}, ("a", "b"), True),
+        ({"a": [2, 3, 0]}, ("a",), False),
+        ({"a": [1, 1, 0], "b": [5, 6, 50]}, ("a", "b"), False),
+    ]
+    for data, index, expect in cases_dec:
+        df = MDF(data, index=index, spark=spark)
+        assert df.index.is_monotonic_decreasing is expect, (data, index)
