@@ -992,6 +992,20 @@ class MDF:
             order = F.col(ROW_ID).asc() if keep == "first" else F.col(ROW_ID).desc()
             w = Window.partitionBy(*cols).orderBy(order)
             out = self._df.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
+            if keep == "last":
+                # reference output order is each key's FIRST-occurrence
+                # position even when the LAST occurrence's values are kept
+                # (`tests/test_duplicates.py::test_drop_duplicates_one_last`:
+                # a=[1,2,3,5,6], not kept-row order [1,2,5,3,6]) — remint
+                # the surviving row id as the group minimum.
+                wmin = Window.partitionBy(*cols)
+                out = (
+                    self._df.withColumn("__rn__", F.row_number().over(w))
+                    .withColumn("__first__", F.min(ROW_ID).over(wmin))
+                    .filter(F.col("__rn__") == 1)
+                    .drop("__rn__", ROW_ID)
+                    .withColumnRenamed("__first__", ROW_ID)
+                )
         else:
             w = Window.partitionBy(*cols)
             out = self._df.withColumn("__cnt__", F.count(F.lit(1)).over(w)).filter(F.col("__cnt__") == 1).drop("__cnt__")

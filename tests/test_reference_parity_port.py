@@ -639,3 +639,107 @@ def test_index_monotonic_reference_matrix(spark):
     for data, index, expect in cases_dec:
         df = MDF(data, index=index, spark=spark)
         assert df.index.is_monotonic_decreasing is expect, (data, index)
+
+
+# -- test_duplicates.py (error forms + all-columns default) ----------------
+
+
+def test_duplicated_ordering_matrix(spark):
+    """ref test_drop_duplicates_one_order — keep=first marks by first
+    occurrence in ROW order."""
+    df = MDF({"a": [3, 3, 1, 2, 2, 3]}, spark=spark)
+    assert list(df.duplicated("a")) == [False, True, False, False, True, True]
+
+
+def test_drop_duplicates_error_forms(spark):
+    df = MDF({"a": [1, 2, 2, 3], "b": [0, 1, 2, 3]}, spark=spark)
+    with pytest.raises(KeyError):
+        df.drop_duplicates("c")
+    with pytest.raises(KeyError):
+        df.duplicated("c")
+    with pytest.raises(TypeError):
+        df.drop_duplicates(object())
+    with pytest.raises(ValueError):
+        df.duplicated([])
+
+
+def test_drop_duplicates_keep_last_interleaved(spark):
+    """ref test_drop_duplicates_one_last — keep=last keeps row ORDER of
+    the survivors."""
+    df = MDF({"a": [1, 2, 2, 3, 5, 3, 6], "b": [0, 1, 2, 3, 4, 5, 6]}, spark=spark)
+    df.drop_duplicates("a", inplace=True, keep="last")
+    assert list(np.asarray(df["a"])) == [1, 2, 3, 5, 6]
+    assert list(np.asarray(df["b"])) == [0, 2, 5, 4, 6]
+
+
+def test_drop_duplicates_ignore_index(spark):
+    df = MDF({"a": [1, 2, 2, 3], "b": [0, 1, 2, 3]}, index="b", spark=spark)
+    df.drop_duplicates("a", inplace=True, ignore_index=True)
+    assert list(np.asarray(df["a"])) == [1, 2, 3]
+    assert df.index.names == ()
+
+
+def test_drop_duplicates_default_all_columns(spark):
+    """ref test_drop_duplicates_all — no subset means the whole row."""
+    df = MDF({"a": [1, 2, 2], "b": [0, 3, 3]}, index="a", spark=spark)
+    out = df.drop_duplicates()
+    assert list(np.asarray(out["a"])) == [1, 2]
+    assert list(np.asarray(out["b"])) == [0, 3]
+
+
+def test_drop_duplicates_empty_frame_ok(spark):
+    MDF(spark=spark).drop_duplicates()
+
+
+# -- test_fillna.py / test_isnull.py ---------------------------------------
+
+
+def test_fillna_subset_column_only(spark):
+    """ref test_fillna_column — fill one column, leave the other's nulls."""
+    df = MDF(
+        {"a": np.array([1.1, None, 2.4], dtype=float), "b": [None, "test", None]},
+        spark=spark,
+    )
+    out = df.fillna(5, "a")
+    assert np.asarray(out["a"])[1] == 5
+    b = list(out["b"])
+    assert b[0] is None and b[2] is None
+    # source untouched (inplace=False)
+    src = np.asarray(df["a"])
+    assert src[1] != src[1]
+
+
+def test_isnull_notnull_dtype_matrix(spark):
+    """ref test_isnull_notnull_exists — floats (NaN), datetimes (NaT),
+    objects (None)."""
+    cases = [
+        [1.2, 2.5, np.nan],
+        np.array([1000000, 2000000, "NaT"], dtype="datetime64[s]"),
+        np.array([1, 2, None], dtype=object),
+    ]
+    for arr in cases:
+        df = MDF({"a": arr}, spark=spark)
+        assert list(df.isnull("a")) == [False, False, True], arr
+        assert list(df.notnull("a")) == [True, True, False], arr
+    df = MDF({"a": [1, 2, 3]}, spark=spark)
+    assert list(df.isnull("a")) == [False, False, False]
+    with pytest.raises(KeyError):
+        df.isnull("b")
+    with pytest.raises(KeyError):
+        df.notnull("b")
+
+
+# -- test_iter.py ----------------------------------------------------------
+
+
+def test_frame_iter_yields_column_names(spark):
+    """ref test_dataframe_iter — iterating a frame yields column names."""
+    assert list(MDF(spark=spark)) == []
+    assert list(MDF({"a": [0, 1, 2]}, spark=spark)) == ["a"]
+
+
+def test_iterrows_selected_columns(spark):
+    df = MDF({"a": [0, 1, 2], "b": ["a", None, "c"]}, spark=spark)
+    rows = list(df.iterrows("a", "b"))
+    assert [r[0] for r in rows] == [0, 1, 2]
+    assert rows[1][1] is None
