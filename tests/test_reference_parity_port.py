@@ -743,3 +743,51 @@ def test_iterrows_selected_columns(spark):
     rows = list(df.iterrows("a", "b"))
     assert [r[0] for r in rows] == [0, 1, 2]
     assert rows[1][1] is None
+
+
+# -- test_arrow.py / test_unique.py / test_astype.py errors ----------------
+
+
+def test_arrow_roundtrip_typed_columns(spark):
+    """ref test_arrow_roundtrip — ints, floats, strings, datetimes,
+    booleans survive the to_arrow/from_arrow cycle."""
+    import pyarrow as pa
+
+    df = MDF(
+        {
+            "a": [1, 2, 3],
+            "b": [1.5, 2.3, 3.1],
+            "d": np.array(["a", "b", "c"]),
+            "e": np.array([10000000, 20000000, 30000000], dtype="datetime64[s]"),
+            "g": [False, True, False],
+        },
+        spark=spark,
+    )
+    table = df.to_arrow()
+    assert isinstance(table, pa.Table)
+    back = MDF.from_arrow(table, spark=spark)
+    assert back.columns == df.columns
+    for c in ("a", "b", "d", "g"):
+        assert list(np.asarray(back[c])) == list(np.asarray(df[c])), c
+
+
+def test_arrow_bad_from_raises_typeerror(spark):
+    with pytest.raises(TypeError):
+        MDF.from_arrow(777, spark=spark)
+
+
+def test_unique_ordered_and_unordered(spark):
+    df = MDF({"a": [3, 2, 2, 1]}, spark=spark)
+    assert list(df.unique("a")) == [1, 2, 3]
+    assert sorted(df.unique("a", unordered=True).tolist()) == [1, 2, 3]
+
+
+def test_astype_cast_failure_raise_vs_ignore(spark):
+    """ref test_astype_errors — uncastable values: raise by default,
+    errors='ignore' keeps the column unchanged and casts the rest."""
+    df = MDF({"a": ["a", "b"], "b": [3, 4]}, spark=spark)
+    with pytest.raises(ValueError):
+        df.astype({"a": int})
+    out = df.astype({"a": int, "b": float}, errors="ignore")
+    assert out.dtype["b"] == np.dtype(float)
+    assert list(np.asarray(out["a"])) == ["a", "b"]  # untouched
