@@ -890,3 +890,64 @@ def d10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
     return ops.semantic_dedup(emb, cent, "vec_id", "embedding", threshold=_D10_TAU)
+
+
+# --------------------------------------------------------------------------
+# d11 — exact-substring duplicate spans (Lee et al. 2021 ExactSubstr):
+# per-document character ranges whose k-grams recur in other documents —
+# the spans the published dedup REMOVES (stronger than whole-doc dedup:
+# it catches shared boilerplate inside otherwise-unique pages). Suffix
+# arrays don't distribute; the anchor-hash plan is corpus-linear with
+# one hash-keyed shuffle. Oracle replays the identical anchor/merge
+# recurrence with window functions.
+# --------------------------------------------------------------------------
+
+_D11_K = 20
+
+
+@register(
+    "d11_duplicate_spans",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 20) AS gram
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - 19)) AS i)
+      WHERE length(text) >= 20
+    ),
+    dup_g AS (
+      SELECT gram FROM anchors GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT a.doc_id, a.pos FROM anchors a JOIN dup_g USING (gram)
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_D11_K}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {_D11_K - 1} AS e
+      FROM sp GROUP BY doc_id, span_id
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+           string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR), ';' ORDER BY s) AS spans
+    FROM spans GROUP BY doc_id
+    """,
+    tags=("dedup", "substring", "llm"),
+    doc="Gate duplicate: the anchor-hash + shuffle-on-gram kernel is "
+        "driver-gated via d1/t4 and the window merge via q13; proven by "
+        "the same oracle harness locally.",
+    gate=False,
+)
+def d11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ops.duplicate_spans(docs, "doc_id", "text", k=_D11_K)

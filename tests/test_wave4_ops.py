@@ -69,3 +69,30 @@ def test_upsert_rejects_mismatched_payload(spark):
     changes = _mk(spark, [(1, 5)], "k int, other int")
     with pytest.raises(ValueError, match="must match base columns"):
         upsert(base, changes, ["k"])
+
+
+def test_duplicate_spans_are_genuinely_duplicated(spark, sf_dir):
+    """Every reported span of length >= k contains a k-substring that
+    occurs in at least one OTHER document (soundness); spans are merged
+    maximally (no two spans of a doc overlap or touch within k)."""
+    from medvedi_spark.operators.llm import duplicate_spans
+
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
+    res = duplicate_spans(load(spark, sf_dir, "documents"), "doc_id", "text", k=20).collect()
+    assert res, "word-salad corpus must share 20-char substrings"
+    texts = list(docs.items())
+    for r in res[:25]:
+        prev_e = None
+        for span in r.spans.split(";"):
+            s, e = map(int, span.split("-"))
+            assert e - s + 1 >= 20
+            if prev_e is not None:
+                # merge rule: anchors <= k apart fuse, so the next span's
+                # first ANCHOR is > prev_last_anchor + k, i.e. its start
+                # is at least prev_e + 2
+                assert s > prev_e + 1
+            prev_e = e
+            sub = docs[r.doc_id][s - 1 : s - 1 + 20]
+            assert any(
+                sub in t for d, t in texts if d != r.doc_id
+            ), (r.doc_id, span, sub)
