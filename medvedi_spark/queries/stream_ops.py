@@ -329,3 +329,88 @@ def st8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# st9 — streaming training-data ingest: the streaming face of p1's batch
+# pipeline. Documents arrive as a file-source stream and flow through
+# language-ID + quality gating (stateless, map-side) into a stateful
+# content-hash dropDuplicates — the shape of a production ingest that
+# dedups against everything already admitted. Output columns are all
+# functions of the dedup key (content hash), so the result set is
+# deterministic regardless of arrival order. Oracle = the batch
+# equivalent.
+# --------------------------------------------------------------------------
+
+
+def _read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+_ST9_MIN_TOKENS = 20
+_ST9_STOPS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "de", "et"),
+    "de": ("der", "die", "das", "und"),
+}
+_ST9_CASES_SQL = " ".join(
+    f"WHEN n_{lang} >= 2 THEN '{lang}'" for lang in ("en", "es", "fr", "de")
+)
+_ST9_COUNTS_SQL = ",\n             ".join(
+    "len(list_filter(string_split(text, ' '), t -> t IN ({}))) AS n_{}".format(
+        ", ".join(f"'{w}'" for w in words), lang
+    )
+    for lang, words in _ST9_STOPS.items()
+)
+
+
+@register(
+    "st9_stream_ingest",
+    oracle=f"""
+    SELECT DISTINCT md5(text) AS content_hash,
+           CASE {_ST9_CASES_SQL} ELSE 'unknown' END AS pred_lang,
+           n_tokens
+    FROM (
+      SELECT text,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+             {_ST9_COUNTS_SQL}
+      FROM documents
+    )
+    WHERE n_tokens >= {_ST9_MIN_TOKENS}
+    """,
+    tags=("streaming", "pipeline", "dedup", "llm"),
+    doc="Gate duplicate: streaming dedup state is driver-gated via st3, "
+        "the langid/quality kernels via t1/t2; st9 composes them into the "
+        "streaming ingest shape, proven by the same oracle harness "
+        "locally.",
+    gate=False,
+)
+def st9_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read_documents_stream(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    counted = docs.select(
+        "text",
+        F.size(toks).alias("n_tokens"),
+        *[
+            F.size(F.filter(toks, lambda t: t.isin(*words))).alias(f"n_{lang}")
+            for lang, words in _ST9_STOPS.items()
+        ],
+    )
+    pred = F.lit("unknown")
+    for lang in reversed(("en", "es", "fr", "de")):
+        pred = F.when(F.col(f"n_{lang}") >= 2, F.lit(lang)).otherwise(pred)
+    gated = (
+        counted.filter(F.col("n_tokens") >= _ST9_MIN_TOKENS)
+        .select(F.md5("text").alias("content_hash"), pred.alias("pred_lang"), "n_tokens")
+        .dropDuplicates(["content_hash"])
+    )
+    return run_to_memory(gated, output_mode="append")
