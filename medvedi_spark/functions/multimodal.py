@@ -291,3 +291,33 @@ def audio_fingerprint_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
         out = pd.DataFrame({c: pd.Series(rows[c], dtype="int64") for c in cols})
         out["fp"] = pd.Series(fps, dtype="object")
         yield out
+
+
+def video_scene_cuts_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Video temporal analysis over the honest codec path: decode EVERY
+    frame of the synthetic container (m2's construction), compute
+    per-frame integer brightness sums, and mark scene cuts where the
+    frame-to-frame change exceeds 4 levels per channel-pixel. Integer
+    arithmetic end-to-end, so a SQL oracle can replay the cut list from
+    the source bytes."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "n_frames": [], "n_cuts": []}
+        cuts_col: list[str] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            h, w, nf = synth_geometry(hashlib.md5(payload).hexdigest())
+            src = np.frombuffer(payload, dtype=np.uint8) if payload else np.zeros(1, dtype=np.uint8)
+            npix = h * w * 3
+            stream = np.resize(src, nf * npix)
+            video = encode_video([stream[k * npix : (k + 1) * npix].reshape(h, w, 3) for k in range(nf)])
+            sums = [int(decode_bmp(fr).astype(np.int64).sum()) for fr in split_video_frames(video)]
+            cuts = [f for f in range(1, len(sums)) if abs(sums[f] - sums[f - 1]) > 4 * npix]
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(len(sums))
+            out["n_cuts"].append(len(cuts))
+            cuts_col.append(";".join(str(c) for c in cuts))
+        res = pd.DataFrame({c: pd.Series(v, dtype="int64") for c, v in out.items()})
+        res["cuts"] = pd.Series(cuts_col, dtype="object")
+        yield res

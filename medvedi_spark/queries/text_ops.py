@@ -1358,3 +1358,70 @@ def m5_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.groupBy("fp").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id")
     )
+
+
+# --------------------------------------------------------------------------
+# m6 — video scene-cut detection: every frame of the synthetic container
+# decodes through the honest BMP path; per-frame integer brightness sums
+# mark a cut when the frame-to-frame delta exceeds 4 levels per
+# channel-pixel. The oracle replays the per-frame sums WITHOUT decoding:
+# frame f of the cycled byte stream is segment [f*npix, (f+1)*npix), and
+# a cyclic prefix-sum identity S(x) = (x//L)*tot + prefix(x mod L) gives
+# each segment sum from the text bytes alone.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "m6_video_scene_cuts",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, text, length(text) AS L,
+             1 + CAST('0x' || substr(md5(text), 1, 3) AS BIGINT) % 32 AS height,
+             1 + CAST('0x' || substr(md5(text), 4, 3) AS BIGINT) % 32 AS width,
+             1 + CAST('0x' || substr(md5(text), 7, 2) AS BIGINT) % 5 AS n_frames
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, L, n_frames, 3 * height * width AS npix,
+             list_transform(range(1, L + 1), i -> ascii(substr(text, CAST(i AS INT), 1))) AS bs
+      FROM g
+    ),
+    fr AS (
+      SELECT doc_id, L, npix, n_frames, bs, list_sum(bs) AS tot,
+             unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT))) AS f
+      FROM s
+    ),
+    fsum AS (
+      SELECT doc_id, n_frames, npix, f,
+             ((((f + 1) * npix) // L) * tot + COALESCE(list_sum(bs[1 : CAST(((f + 1) * npix) % L AS INT)]), 0))
+           - (((f * npix) // L) * tot + COALESCE(list_sum(bs[1 : CAST((f * npix) % L AS INT)]), 0)) AS fs
+      FROM fr
+    ),
+    marked AS (
+      SELECT doc_id, n_frames, f,
+             CASE WHEN f > 0
+                   AND abs(fs - LAG(fs) OVER (PARTITION BY doc_id ORDER BY f)) > 4 * npix
+                  THEN 1 ELSE 0 END AS cut
+      FROM fsum
+    )
+    SELECT doc_id,
+           CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+           CAST(SUM(cut) AS BIGINT) AS n_cuts,
+           COALESCE(string_agg(CASE WHEN cut = 1 THEN CAST(f AS VARCHAR) END, ';' ORDER BY f), '') AS cuts
+    FROM marked GROUP BY doc_id
+    """,
+    tags=("multimodal", "udf", "codec", "video", "llm"),
+    doc="Gate duplicate: the video codec batch loop is driver-gated "
+        "in-window via m2; m6 adds the temporal (per-frame) analysis, "
+        "proven by the same oracle harness locally.",
+    gate=False,
+)
+def m6_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.functions.multimodal import video_scene_cuts_batches
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        video_scene_cuts_batches,
+        schema="doc_id bigint, n_frames bigint, n_cuts bigint, cuts string",
+    )

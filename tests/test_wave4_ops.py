@@ -96,3 +96,19 @@ def test_duplicate_spans_are_genuinely_duplicated(spark, sf_dir):
             assert any(
                 sub in t for d, t in texts if d != r.doc_id
             ), (r.doc_id, span, sub)
+
+
+def test_video_scene_cuts_contract(spark, sf_dir):
+    """Cut indices are within frame range; single-frame videos have no
+    cuts; n_cuts matches the cut list."""
+    from medvedi_spark.queries.text_ops import m6_video_scene_cuts
+
+    res = m6_video_scene_cuts(spark, sf_dir).collect()
+    assert len(res) == load(spark, sf_dir, "documents").count()
+    assert any(r.n_cuts > 0 for r in res)
+    for r in res:
+        cuts = [int(c) for c in r.cuts.split(";") if c]
+        assert len(cuts) == r.n_cuts
+        assert all(1 <= c < r.n_frames for c in cuts)
+        if r.n_frames == 1:
+            assert r.n_cuts == 0
