@@ -993,6 +993,134 @@ def m4_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# m7 — image NEAR-dup: m4's exact-hash dedup misses images whose aHash
+# differs in a few bits. Standard perceptual near-dup = hamming <= 3
+# over the 64-bit aHash; the pair space is pruned by the d4 simhash
+# discipline — 4 x 16-bit blocks, pigeonhole guarantees any pair within
+# hamming 3 agrees on >= 1 whole block, so candidates come from an
+# equi-join on (block_idx, block_val), never all-pairs. Verify is one
+# integer popcount per candidate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "m7_image_ahash_neardup",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, text, length(text) AS L,
+             1 + CAST('0x' || substr(md5(text), 1, 3) AS BIGINT) % 32 AS h,
+             1 + CAST('0x' || substr(md5(text), 4, 3) AS BIGINT) % 32 AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, h, w, p,
+             ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS cell,
+             ascii(substr(text, CAST((3 * p) % L AS INT) + 1, 1))
+             + ascii(substr(text, CAST((3 * p + 1) % L AS INT) + 1, 1))
+             + ascii(substr(text, CAST((3 * p + 2) % L AS INT) + 1, 1)) AS s
+      FROM g, LATERAL (SELECT unnest(generate_series(0, h * w - 1)) AS p)
+    ),
+    cells AS (
+      SELECT doc_id, cell, SUM(s) AS cell_sum, COUNT(*) AS cell_cnt
+      FROM px GROUP BY doc_id, cell
+    ),
+    tot AS (
+      SELECT doc_id, SUM(cell_sum) AS tot_sum, SUM(cell_cnt) AS tot_cnt
+      FROM cells GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT c.doc_id, c.cell
+      FROM cells c JOIN tot t USING (doc_id)
+      WHERE c.cell_sum * t.tot_cnt > t.tot_sum * c.cell_cnt
+    ),
+    hashes AS (
+      SELECT g.doc_id,
+             CAST(COALESCE(SUM(CASE WHEN b.cell >= 32 THEN CAST(1 AS BIGINT) << (b.cell - 32) END), 0) AS BIGINT) AS ahash_hi,
+             CAST(COALESCE(SUM(CASE WHEN b.cell < 32 THEN CAST(1 AS BIGINT) << b.cell END), 0) AS BIGINT) AS ahash_lo
+      FROM g LEFT JOIN bits b USING (doc_id)
+      GROUP BY g.doc_id
+    )
+    , blocks AS (
+      SELECT doc_id, b AS bidx,
+             CASE b
+               WHEN 0 THEN ahash_lo & 65535
+               WHEN 1 THEN (ahash_lo >> 16) & 65535
+               WHEN 2 THEN ahash_hi & 65535
+               ELSE (ahash_hi >> 16) & 65535
+             END AS bval
+      FROM hashes, (SELECT unnest(generate_series(0, 3)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocks a JOIN blocks b
+        ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(x.ahash_hi, y.ahash_hi))
+              + bit_count(xor(x.ahash_lo, y.ahash_lo)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN hashes x ON x.doc_id = c.doc_a
+    JOIN hashes y ON y.doc_id = c.doc_b
+    WHERE bit_count(xor(x.ahash_hi, y.ahash_hi))
+        + bit_count(xor(x.ahash_lo, y.ahash_lo)) <= 3
+    """,
+    tags=("multimodal", "udf", "codec", "dedup", "lsh", "llm"),
+    doc="Gate duplicate: the aHash kernel is locally proven via m4 and "
+        "the block-LSH discipline driver-gated via d4; proven by the "
+        "same oracle harness locally.",
+    gate=False,
+)
+def m7_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.functions.multimodal import ahash_batches
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    hashed = payloads.mapInPandas(
+        ahash_batches,
+        schema="doc_id bigint, height bigint, width bigint, ahash_hi bigint, ahash_lo bigint",
+    ).select("doc_id", "ahash_hi", "ahash_lo")
+    blocks = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bidx"),
+                        (
+                            F.shiftright(F.col("ahash_lo") if b < 2 else F.col("ahash_hi"), 16 * (b % 2))
+                            .bitwiseAND(F.lit(65535))
+                        ).alias("bval"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.bidx").alias("bidx"), F.col("bk.bval").alias("bval"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bidx") == F.col("b.bidx"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = hashed.select(F.col("doc_id").alias("doc_a"), F.col("ahash_hi").alias("hi_a"), F.col("ahash_lo").alias("lo_a"))
+    y = hashed.select(F.col("doc_id").alias("doc_b"), F.col("ahash_hi").alias("hi_b"), F.col("ahash_lo").alias("lo_b"))
+    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    )
+
+
+# --------------------------------------------------------------------------
 # t8 — collocation mining: adjacent word pairs ranked by LIFT
 # (count(ab)·N / (count(a)·count(b)) — PMI without the log, which is a
 # libm transcendental; log is monotone so the ranking is identical and
@@ -1424,4 +1552,74 @@ def m6_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         video_scene_cuts_batches,
         schema="doc_id bigint, n_frames bigint, n_cuts bigint, cuts string",
+    )
+
+
+# --------------------------------------------------------------------------
+# p7 — domain mixing (DoReMi/data-mixture reweighting, simplified to
+# fixed target shares): resample the corpus so every language
+# contributes an EQUAL share of tokens. Per-language token totals are a
+# 5-row aggregate (model state — broadcasts at any corpus size);
+# acceptance is the p2 deterministic md5-bucket test with the rate
+# derived from the totals, evaluated as a DECIMAL(38,0) cross-multiply
+# so there is no float-rounding drift at the acceptance boundary and no
+# int64 overflow at 100 TB token counts. One tiny shuffle + one
+# map-side filter.
+# --------------------------------------------------------------------------
+
+_P7_BUCKETS = 1_000_000
+
+
+@register(
+    "p7_domain_mixing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+             ({sql_token_hash("CAST(doc_id AS VARCHAR)")}) % {_P7_BUCKETS} AS bucket
+      FROM documents
+    ),
+    lt AS (
+      SELECT lang, SUM(n_tokens) AS lang_tokens FROM t GROUP BY lang
+    ),
+    tot AS (
+      SELECT SUM(lang_tokens) AS total_tokens, COUNT(*) AS n_langs FROM lt
+    )
+    SELECT t.doc_id, t.lang, t.n_tokens
+    FROM t JOIN lt USING (lang) CROSS JOIN tot
+    WHERE CAST(t.bucket AS DECIMAL(38,0)) * CAST(lt.lang_tokens AS DECIMAL(38,0)) * CAST(tot.n_langs AS DECIMAL(38,0))
+          < CAST(tot.total_tokens AS DECIMAL(38,0)) * CAST({_P7_BUCKETS} AS DECIMAL(38,0))
+    """,
+    tags=("pipeline", "sampling", "mixing", "llm"),
+    doc="Gate duplicate: deterministic hash-bucket sampling is locally "
+        "proven via p2 and the tiny-aggregate broadcast via q3; p7 "
+        "derives the rates from the data (equal-token-share mixing), "
+        "proven by the same oracle harness locally.",
+    gate=False,
+)
+def p7_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.functions.hashing import token_hash
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(_tok(), lambda t: t != "")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (token_hash(F.col("doc_id").cast("string")) % _P7_BUCKETS).alias("bucket"),
+    )
+    lt = t.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    tot = lt.agg(
+        F.sum("lang_tokens").alias("total_tokens"), F.count(F.lit(1)).alias("n_langs")
+    )
+    d38 = "decimal(38,0)"
+    accept = (
+        F.col("bucket").cast(d38) * F.col("lang_tokens").cast(d38) * F.col("n_langs").cast(d38)
+        < F.col("total_tokens").cast(d38) * F.lit(_P7_BUCKETS).cast(d38)
+    )
+    return (
+        t.join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .filter(accept)
+        .select("doc_id", "lang", "n_tokens")
     )

@@ -112,3 +112,36 @@ def test_video_scene_cuts_contract(spark, sf_dir):
         assert all(1 <= c < r.n_frames for c in cuts)
         if r.n_frames == 1:
             assert r.n_cuts == 0
+
+
+def test_domain_mixing_equalizes_token_shares(spark, sf_dir):
+    """Accepted token mass per language approaches the uniform target
+    (binomial noise aside); no language exceeds ~1.3x target."""
+    from medvedi_spark.queries.text_ops import p7_domain_mixing
+
+    res = p7_domain_mixing(spark, sf_dir)
+    per_lang = {r.lang: r.s for r in res.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()}
+    target = sum(per_lang.values()) / len(per_lang)
+    for lang, s in per_lang.items():
+        assert s < 1.35 * target, (lang, s, target)
+    # rates derived from data: languages over target must be downsampled
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    orig = {r.lang: r.s for r in docs.select("lang", F.size(toks).alias("n")).groupBy("lang").agg(F.sum("n").alias("s")).collect()}
+    big = max(orig, key=orig.get)
+    assert per_lang[big] < orig[big]
+
+
+def test_image_neardup_includes_exact_dups_and_is_symmetric_free(spark, sf_dir):
+    """Every exact-aHash duplicate pair appears with hamming 0; pairs are
+    emitted once (doc_a < doc_b)."""
+    from medvedi_spark.queries.text_ops import m4_image_ahash_dedup, m7_image_ahash_neardup
+
+    pairs = m7_image_ahash_neardup(spark, sf_dir).collect()
+    assert all(r.doc_a < r.doc_b for r in pairs)
+    assert all(0 <= r.hamming <= 3 for r in pairs)
+    n_exact_pairs = sum(
+        r.n_docs * (r.n_docs - 1) // 2 for r in m4_image_ahash_dedup(spark, sf_dir).collect()
+    )
+    n_zero = sum(1 for r in pairs if r.hamming == 0)
+    assert n_zero == n_exact_pairs
