@@ -1313,3 +1313,49 @@ def duplicate_spans(
             ).alias("spans"),
         )
     )
+
+
+def bpe_learn(df: DataFrame, text_col: str, n_merges: int = 3) -> tuple[list[tuple[int, str, str, int]], dict[str, tuple[str, ...]]]:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016,
+    arXiv:1508.07909) — the tokenizer-training kernel.
+
+    Architecture mirrors production BPE trainers (HuggingFace
+    tokenizers): the CORPUS-scale work is one distributed word-frequency
+    aggregation; the merge loop then runs on that vocabulary-sized
+    table, which is MODEL state (same ruling as ``kmeans_lloyd``'s
+    centroids — a vocabulary is bounded regardless of corpus size).
+    Ties break deterministically (count desc, then pair lexicographic).
+    Returns (merges [(iteration, left, right, count)], final
+    segmentation per word).
+    """
+    wf = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    freq = {r.w: r.f for r in wf.collect()}  # vocabulary-sized model state
+    segs: dict[str, tuple[str, ...]] = {w: tuple(w) for w in freq}
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for w, f in freq.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + f
+        if not pc:
+            break
+        (x, y), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((it, x, y, cnt))
+        for w, s in segs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges, segs

@@ -1623,3 +1623,223 @@ def p7_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(accept)
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# p8/p9 — BPE tokenizer training + application (Sennrich et al. 2016):
+# p8 learns the first 3 merges (distributed word-frequency aggregation +
+# vocabulary-sized model-state loop, the HF-tokenizers architecture;
+# deterministic tiebreaks) and p9 applies the learned segmentation to
+# the corpus through a broadcast vocabulary join (the per-distinct-word
+# cache every real tokenizer keeps). The oracle replays ALL THREE merge
+# iterations in SQL — pair counting, argmax selection, and the
+# leftmost-greedy re-segmentation as a recursive CTE per word.
+# --------------------------------------------------------------------------
+
+_P8_ORACLE = """WITH RECURSIVE wf AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text,' '), t -> t <> '')) AS w FROM documents)
+      GROUP BY w
+    ),
+    seg0 AS (
+      SELECT word, freq, list_transform(range(1, length(word)+1), i -> substr(word, CAST(i AS INT), 1)) AS seg
+      FROM wf
+    ),
+    pc1 AS (
+      SELECT seg[i] AS x, seg[i+1] AS y, SUM(freq) AS cnt
+      FROM seg0, LATERAL (SELECT unnest(generate_series(1, len(seg)-1)) AS i)
+      GROUP BY 1, 2
+    ),
+    top1 AS (SELECT x, y, cnt FROM pc1 ORDER BY cnt DESC, x, y LIMIT 1),
+    m1 AS (
+      SELECT word, freq, seg, CAST(1 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS out
+      FROM seg0
+      UNION ALL
+      SELECT word, freq, seg,
+             CASE WHEN i < len(seg) AND seg[i] = (SELECT x FROM top1) AND seg[i+1] = (SELECT y FROM top1)
+                  THEN i + 2 ELSE i + 1 END,
+             list_append(out,
+               CASE WHEN i < len(seg) AND seg[i] = (SELECT x FROM top1) AND seg[i+1] = (SELECT y FROM top1)
+                    THEN seg[i] || seg[i+1] ELSE seg[i] END)
+      FROM m1 WHERE i <= len(seg)
+    ),
+    seg1 AS (
+      SELECT word, freq, out AS seg FROM m1 WHERE i > len(seg)
+    ),
+    pc2 AS (
+      SELECT seg[i] AS x, seg[i+1] AS y, SUM(freq) AS cnt
+      FROM seg1, LATERAL (SELECT unnest(generate_series(1, len(seg)-1)) AS i)
+      GROUP BY 1, 2
+    ),
+    top2 AS (SELECT x, y, cnt FROM pc2 ORDER BY cnt DESC, x, y LIMIT 1),
+    m2 AS (
+      SELECT word, freq, seg, CAST(1 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS out
+      FROM seg1
+      UNION ALL
+      SELECT word, freq, seg,
+             CASE WHEN i < len(seg) AND seg[i] = (SELECT x FROM top2) AND seg[i+1] = (SELECT y FROM top2)
+                  THEN i + 2 ELSE i + 1 END,
+             list_append(out,
+               CASE WHEN i < len(seg) AND seg[i] = (SELECT x FROM top2) AND seg[i+1] = (SELECT y FROM top2)
+                    THEN seg[i] || seg[i+1] ELSE seg[i] END)
+      FROM m2 WHERE i <= len(seg)
+    ),
+    seg2 AS (
+      SELECT word, freq, out AS seg FROM m2 WHERE i > len(seg)
+    ),
+    pc3 AS (
+      SELECT seg[i] AS x, seg[i+1] AS y, SUM(freq) AS cnt
+      FROM seg2, LATERAL (SELECT unnest(generate_series(1, len(seg)-1)) AS i)
+      GROUP BY 1, 2
+    ),
+    top3 AS (SELECT x, y, cnt FROM pc3 ORDER BY cnt DESC, x, y LIMIT 1),
+    m3 AS (
+      SELECT word, freq, seg, CAST(1 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS out
+      FROM seg2
+      UNION ALL
+      SELECT word, freq, seg,
+             CASE WHEN i < len(seg) AND seg[i] = (SELECT x FROM top3) AND seg[i+1] = (SELECT y FROM top3)
+                  THEN i + 2 ELSE i + 1 END,
+             list_append(out,
+               CASE WHEN i < len(seg) AND seg[i] = (SELECT x FROM top3) AND seg[i+1] = (SELECT y FROM top3)
+                    THEN seg[i] || seg[i+1] ELSE seg[i] END)
+      FROM m3 WHERE i <= len(seg)
+    ),
+    seg3 AS (
+      SELECT word, freq, out AS seg FROM m3 WHERE i > len(seg)
+    )
+    SELECT * FROM (
+      SELECT 1 AS it, x AS left_sym, y AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM top1
+      UNION ALL SELECT 2, x, y, CAST(cnt AS BIGINT) FROM top2
+      UNION ALL SELECT 3, x, y, CAST(cnt AS BIGINT) FROM top3
+    )
+"""
+
+_P9_ORACLE = """WITH RECURSIVE wf AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text,' '), t -> t <> '')) AS w FROM documents)
+      GROUP BY w
+    ),
+    seg0 AS (
+      SELECT word, freq, list_transform(range(1, length(word)+1), i -> substr(word, CAST(i AS INT), 1)) AS seg
+      FROM wf
+    ),
+    pc1 AS (
+      SELECT seg[i] AS x, seg[i+1] AS y, SUM(freq) AS cnt
+      FROM seg0, LATERAL (SELECT unnest(generate_series(1, len(seg)-1)) AS i)
+      GROUP BY 1, 2
+    ),
+    top1 AS (SELECT x, y, cnt FROM pc1 ORDER BY cnt DESC, x, y LIMIT 1),
+    m1 AS (
+      SELECT word, freq, seg, CAST(1 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS out
+      FROM seg0
+      UNION ALL
+      SELECT word, freq, seg,
+             CASE WHEN i < len(seg) AND seg[i] = (SELECT x FROM top1) AND seg[i+1] = (SELECT y FROM top1)
+                  THEN i + 2 ELSE i + 1 END,
+             list_append(out,
+               CASE WHEN i < len(seg) AND seg[i] = (SELECT x FROM top1) AND seg[i+1] = (SELECT y FROM top1)
+                    THEN seg[i] || seg[i+1] ELSE seg[i] END)
+      FROM m1 WHERE i <= len(seg)
+    ),
+    seg1 AS (
+      SELECT word, freq, out AS seg FROM m1 WHERE i > len(seg)
+    ),
+    pc2 AS (
+      SELECT seg[i] AS x, seg[i+1] AS y, SUM(freq) AS cnt
+      FROM seg1, LATERAL (SELECT unnest(generate_series(1, len(seg)-1)) AS i)
+      GROUP BY 1, 2
+    ),
+    top2 AS (SELECT x, y, cnt FROM pc2 ORDER BY cnt DESC, x, y LIMIT 1),
+    m2 AS (
+      SELECT word, freq, seg, CAST(1 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS out
+      FROM seg1
+      UNION ALL
+      SELECT word, freq, seg,
+             CASE WHEN i < len(seg) AND seg[i] = (SELECT x FROM top2) AND seg[i+1] = (SELECT y FROM top2)
+                  THEN i + 2 ELSE i + 1 END,
+             list_append(out,
+               CASE WHEN i < len(seg) AND seg[i] = (SELECT x FROM top2) AND seg[i+1] = (SELECT y FROM top2)
+                    THEN seg[i] || seg[i+1] ELSE seg[i] END)
+      FROM m2 WHERE i <= len(seg)
+    ),
+    seg2 AS (
+      SELECT word, freq, out AS seg FROM m2 WHERE i > len(seg)
+    ),
+    pc3 AS (
+      SELECT seg[i] AS x, seg[i+1] AS y, SUM(freq) AS cnt
+      FROM seg2, LATERAL (SELECT unnest(generate_series(1, len(seg)-1)) AS i)
+      GROUP BY 1, 2
+    ),
+    top3 AS (SELECT x, y, cnt FROM pc3 ORDER BY cnt DESC, x, y LIMIT 1),
+    m3 AS (
+      SELECT word, freq, seg, CAST(1 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS out
+      FROM seg2
+      UNION ALL
+      SELECT word, freq, seg,
+             CASE WHEN i < len(seg) AND seg[i] = (SELECT x FROM top3) AND seg[i+1] = (SELECT y FROM top3)
+                  THEN i + 2 ELSE i + 1 END,
+             list_append(out,
+               CASE WHEN i < len(seg) AND seg[i] = (SELECT x FROM top3) AND seg[i+1] = (SELECT y FROM top3)
+                    THEN seg[i] || seg[i+1] ELSE seg[i] END)
+      FROM m3 WHERE i <= len(seg)
+    ),
+    seg3 AS (
+      SELECT word, freq, out AS seg FROM m3 WHERE i > len(seg)
+    ),
+    wl AS (SELECT word, CAST(len(seg) AS BIGINT) AS n_sub FROM seg3)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wl.n_sub) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS word
+          FROM documents) d
+    JOIN wl USING (word)
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "p8_bpe_merges",
+    oracle=_P8_ORACLE,
+    tags=("pipeline", "tokenizer", "bpe", "llm"),
+    doc="Gate duplicate: the corpus-side kernel (word-frequency agg) is "
+        "driver-gated via c12/t7; p8 adds the BPE merge-learning loop "
+        "over that model state, proven (all 3 iterations replayed by a "
+        "recursive-CTE oracle) by the same oracle harness locally.",
+    gate=False,
+)
+def p8_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.operators.llm import bpe_learn
+
+    docs = load(spark, sf_dir, "documents")
+    merges, _segs = bpe_learn(docs, "text", n_merges=3)
+    return spark.createDataFrame(
+        merges, "it int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+@register(
+    "p9_bpe_segment",
+    oracle=_P9_ORACLE,
+    tags=("pipeline", "tokenizer", "bpe", "llm"),
+    doc="Gate duplicate: broadcast-vocabulary joins are driver-gated via "
+        "q3/d9; p9 applies the p8 segmentation corpus-wide, proven by "
+        "the same oracle harness locally.",
+    gate=False,
+)
+def p9_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.operators.llm import bpe_learn
+
+    docs = load(spark, sf_dir, "documents")
+    _merges, segs = bpe_learn(docs, "text", n_merges=3)
+    seg_tbl = spark.createDataFrame(
+        [(w, len(s)) for w, s in segs.items()], "word string, n_sub bigint"
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("word")
+    )
+    return (
+        words.join(F.broadcast(seg_tbl), "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"), F.sum("n_sub").alias("n_bpe_tokens"))
+    )

@@ -145,3 +145,39 @@ def test_image_neardup_includes_exact_dups_and_is_symmetric_free(spark, sf_dir):
     )
     n_zero = sum(1 for r in pairs if r.hamming == 0)
     assert n_zero == n_exact_pairs
+
+
+def test_bpe_learn_matches_pure_python(spark, sf_dir):
+    """bpe_learn's distributed count + model loop equals a pure-python
+    replay; merged symbols shrink segmentations monotonically."""
+    import collections
+
+    from medvedi_spark.operators.llm import bpe_learn
+
+    docs = load(spark, sf_dir, "documents")
+    merges, segs = bpe_learn(docs, "text", n_merges=3)
+    freq = collections.Counter(
+        w for r in docs.collect() for w in r.text.split(" ") if w
+    )
+    psegs = {w: tuple(w) for w in freq}
+    for it in range(1, 4):
+        pc = collections.Counter()
+        for w, f in freq.items():
+            s = psegs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        (x, y), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        assert merges[it - 1] == (it, x, y, cnt)
+        for w, s in psegs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            psegs[w] = tuple(out)
+    assert segs == psegs
+    assert all(len(segs[w]) <= len(w) for w in segs)
+    assert all("".join(segs[w]) == w for w in segs)  # lossless
