@@ -705,6 +705,12 @@ class MDF:
         else:
             wanted = arr.astype(np.int64)
         spark = self._df.sparkSession
+        if len(wanted) == 0:
+            out = self._df.limit(0)
+            if inplace:
+                self._df = out
+                return self
+            return MDF._from_spark(out, self._index)
         # Arrow path: a 10^5-row driver mask serialized as python tuples
         # costs ~1 s in pickling alone; a pandas frame ships as one Arrow
         # batch (c11 3.4 -> 2.3 s).
