@@ -791,3 +791,146 @@ def test_astype_cast_failure_raise_vs_ignore(spark):
     out = df.astype({"a": int, "b": float}, errors="ignore")
     assert out.dtype["b"] == np.dtype(float)
     assert list(np.asarray(out["a"])) == ["a", "b"]  # untouched
+
+
+# -- test_join.py (call forms + n-ary value tables) ------------------------
+
+
+def _j(spark):
+    from medvedi_spark.frame import join
+
+    return join
+
+
+def test_join_one_is_identity(spark):
+    """ref test_join_one — join of a single frame returns its contents
+    unchanged (the zero-frame form needs a session to synthesize an
+    empty frame; ours requires at least one frame, same as concat)."""
+    join = _j(spark)
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    out = join(df)
+    assert list(np.asarray(out["a"])) == [0, 1, 2]
+
+
+def test_join_call_form_errors(spark):
+    join = _j(spark)
+    with pytest.raises(TypeError):
+        join("a", "b")
+    with pytest.raises(TypeError):
+        join(MDF(spark=spark), "b")
+    with pytest.raises(TypeError):
+        join(MDF(spark=spark), suffixes="b")
+    with pytest.raises(ValueError):
+        join(MDF({"a": [3, 4, 5]}, spark=spark), MDF({"a": [0, 1, 2]}, index="a", spark=spark))
+    with pytest.raises(ValueError):
+        join(MDF({"a": [1]}, index="a", spark=spark), MDF({"a": [1]}, index="a", spark=spark), how="xxx")
+
+
+def test_join_empty_sides(spark):
+    """ref test_join_empty — empty LEFT -> empty; empty RIGHT -> left
+    rows (left) or none (inner)."""
+    join = _j(spark)
+    for how in ("left", "inner"):
+        out = join(
+            MDF({"a": []}, index="a", spark=spark),
+            MDF({"a": [0, 1, 2]}, index="a", spark=spark),
+            how=how,
+        )
+        assert len(out) == 0
+        out2 = join(
+            MDF({"a": [0.1, 1.2, 2.3]}, index="a", spark=spark),
+            MDF({"a": []}, index="a", spark=spark),
+            how=how,
+        )
+        assert len(out2) == (3 if how == "left" else 0)
+
+
+def test_join_three_frames_value_tables(spark):
+    """ref test_join_three_{disjoint,inner,outer,right} — the full value
+    matrices, incl. fills and sorted-by-key output."""
+    join = _j(spark)
+
+    def frames():
+        return (
+            MDF({"i": [0, 1, 2], "a": [3, 4, 5]}, index="i", spark=spark),
+            MDF({"i": [2, 1, 0], "b": [6, 7, 8]}, index="i", spark=spark),
+            MDF({"i": [1, 2, 7], "c": ["a", "b", "c"]}, index="i", spark=spark),
+        )
+
+    d1, d2, d3 = frames()
+    disjoint = join(d1, MDF({"i": [2, 1, 0], "b": [6, 7, 8]}, index="i", spark=spark),
+                    MDF({"i": [1, 2, 0], "c": ["a", "b", "c"]}, index="i", spark=spark))
+    assert list(np.asarray(disjoint.index.get_level_values(0))) == [0, 1, 2]
+    assert list(np.asarray(disjoint["a"])) == [3, 4, 5]
+    assert list(np.asarray(disjoint["b"])) == [8, 7, 6]
+    assert list(np.asarray(disjoint["c"])) == ["c", "a", "b"]
+
+    inner = join(*frames(), how="inner")
+    assert list(np.asarray(inner.index.get_level_values(0))) == [1, 2]
+    assert list(np.asarray(inner["a"])) == [4, 5]
+    assert list(np.asarray(inner["b"])) == [7, 6]
+    assert list(np.asarray(inner["c"])) == ["a", "b"]
+
+    outer = join(*frames(), how="outer")
+    assert list(np.asarray(outer.index.get_level_values(0))) == [0, 1, 2, 7]
+    assert list(np.asarray(outer["a"])) == [3, 4, 5, 0]
+    assert list(np.asarray(outer["b"])) == [8, 7, 6, 0]
+    assert list(np.asarray(outer["c"])) == ["", "a", "b", "c"]
+
+    right = join(*frames(), how="right")
+    assert list(np.asarray(right.index.get_level_values(0))) == [1, 2, 7]
+    assert list(np.asarray(right["a"])) == [4, 5, 0]
+    assert list(np.asarray(right["b"])) == [7, 6, 0]
+    assert list(np.asarray(right["c"])) == ["a", "b", "c"]
+
+
+def test_join_suffix_length_validation(spark):
+    join = _j(spark)
+    d1 = MDF({"i": [0, 1, 2], "a": [3, 4, 5]}, index="i", spark=spark)
+    d2 = MDF({"i": [2, 1, 0], "a": [6, 7, 8]}, index="i", spark=spark)
+    with pytest.raises(ValueError):
+        join(d1, d2, suffixes=(None,))
+    out = join(d1, d2, suffixes=(None, "_"))
+    assert list(np.asarray(out["a"])) == [3, 4, 5]
+    assert list(np.asarray(out["a_"])) == [8, 7, 6]
+
+
+def test_join_float_index_and_object_payload(spark):
+    """ref test_join_two_float_object."""
+    join = _j(spark)
+    d1 = MDF({"i": [0.1, 1.2, 2.3], "a": [3.1, 4.2, 5.3]}, index="i", spark=spark)
+    d2 = MDF(
+        {"i": [2.3, 1.2, 0.1], "b": [6.1, 7.2, 8.3], "c": ["a", "b", "c"]},
+        index="i", spark=spark,
+    )
+    out = join(d1, d2)
+    assert list(np.asarray(out.index.get_level_values(0))) == [0.1, 1.2, 2.3]
+    assert list(np.asarray(out["b"])) == [8.3, 7.2, 6.1]
+    assert list(np.asarray(out["c"])) == ["c", "b", "a"]
+
+
+def test_join_left_dupes_replicate_and_sort(spark):
+    """ref test_join_left_dupes / test_join_inner_dupes — duplicate LEFT
+    keys are legal; output sorts by key; positional key naming."""
+    join = _j(spark)
+    d1 = MDF({"a": [2, 1, 1], "c": [0, 1, 2]}, index="a", spark=spark)
+    d2 = MDF({"A": [1], "b": ["x"]}, index="A", spark=spark)
+    out = join(d1, d2)
+    assert out.index.name == "a"
+    assert list(np.asarray(out.index.values)) == [1, 1, 2]
+    assert list(np.asarray(out["b"])) == ["x", "x", ""]
+    assert list(np.asarray(out["c"])) == [1, 2, 0]
+    inner = join(d1, d2, how="inner")
+    assert list(np.asarray(inner.index.values)) == [1, 1]
+    assert list(np.asarray(inner["c"])) == [1, 2]
+
+
+def test_join_outer_with_empty_left(spark):
+    join = _j(spark)
+    out = join(
+        MDF({"a": []}, index="a", spark=spark),
+        MDF({"a": [0, 1], "b": [4, 5]}, index="a", spark=spark),
+        how="outer",
+    )
+    assert sorted(np.asarray(out["a"])) == [0, 1]
+    assert sorted(np.asarray(out["b"])) == [4, 5]
