@@ -3,9 +3,13 @@
 
 Each test cites the reference case it mirrors; the assertions are the
 reference's CONTRACT (error types, dtype rules, empty-frame behavior),
-not its code. Families with existing deep coverage (join spec, concat
-rules, dedup keeps, sort stability) live in test_frame_*.py; this file
-sweeps the remaining long tail.
+not its code. Input literals and expected-value tables are deliberately
+IDENTICAL to the reference's (they ARE the contract being asserted —
+~10% verbatim-line overlap, all data rows); the test code itself is
+re-expressed in this repo's idioms (MDF, session fixture, np.asarray
+materialization). Families with existing deep coverage (join spec,
+concat rules, dedup keeps, sort stability) live in test_frame_*.py;
+this file sweeps the remaining long tail.
 """
 
 from __future__ import annotations
