@@ -1057,6 +1057,7 @@ def pq_encode(
     n_subspaces: int = 8,
     cent_id_col: str = "cent_id",
     cent_vec_col: str = "c_emb",
+    dense: bool = False,
 ) -> DataFrame:
     """Product-quantization encoding: split each vector into
     ``n_subspaces`` contiguous subvectors and replace each with the id of
@@ -1070,9 +1071,18 @@ def pq_encode(
     (8 × min_by in a single groupBy — not 8 joins). Ties break on
     centroid id, and subspace distances accumulate in exact decimal, so
     codes are bit-reproducible across partitionings and engines.
+
+    ``dense=True`` emits DENSE POSITIONAL codes (0..k-1, the rank of the
+    winning centroid id) instead of raw centroid ids — the form ADC
+    scoring wants, so downstream lookups are pure ``element_at``
+    arithmetic with no id→position translation. The position column is a
+    ``row_number`` over the k-row codebook (model state; the
+    single-partition window sorts k rows, not corpus rows).
     """
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     c = centroids.select(F.col(cent_id_col).alias("cent_id"), F.col(cent_vec_col).alias("c_emb"))
+    if dense:
+        c = c.withColumn("cidx", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("cent_id")) - 1)
     n_dim_col = F.size(F.col("embedding"))
     cand = e.crossJoin(F.broadcast(c))
     aggs = []
@@ -1084,7 +1094,9 @@ def pq_encode(
         )
         cand = cand.withColumn(f"__d{s}__", d2)
         aggs.append(
-            F.min_by("cent_id", F.struct(F.col(f"__d{s}__"), F.col("cent_id"))).alias(f"code{s}")
+            F.min_by("cidx" if dense else "cent_id", F.struct(F.col(f"__d{s}__"), F.col("cent_id"))).alias(
+                f"code{s}"
+            )
         )
     return cand.groupBy("vec_id").agg(*aggs)
 
@@ -1111,26 +1123,23 @@ def pq_adc_topk(
     true ADC inner loop, with NO per-subspace shuffle or re-aggregation
     (a long-form join + groupBy shuffle grows with corpus × queries; a
     MAP-typed LUT is 5× slower because Spark map lookups LINEAR-SCAN the
-    entries per read). Positions come from the sorted codebook ids —
-    collected to the driver as MODEL state, the same ruling as
-    ``kmeans_lloyd``: a codebook is k × dim doubles at any corpus scale.
+    entries per read). Corpus codes come from ``pq_encode(dense=True)``
+    and the LUT rows carry the same ``row_number``-derived position, so
+    every lookup is pure positional arithmetic — no id→index translation
+    anywhere (an earlier O(k) chained CASE WHEN per code column was a
+    codegen blow-up at k=256: ~2k stacked whens per expression). The only
+    driver-side model state is the codebook SIZE (one count).
     Decimal addition is exact (associative), so the fixed-order fold is
     bit-identical to the order-free SQL SUM the oracle runs.
     Returns ``(query_id, neighbor_id, rank, d2_approx)``.
     """
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    codes = pq_encode(emb, centroids, id_col, vec_col, n_subspaces=n_subspaces)
-    c = centroids.select(F.col("cent_id"), F.col("c_emb"))
-    # codebook ids -> dense positions (model state; k values)
-    cent_ids = sorted(r.cent_id for r in c.select("cent_id").collect())
-    n_codes = len(cent_ids)
-    pos_of = {cid: i for i, cid in enumerate(cent_ids)}
-
-    def dense_idx(code_col: Column) -> Column:
-        out = F.lit(None).cast("int")
-        for cid, i in pos_of.items():
-            out = F.when(code_col == F.lit(cid), F.lit(i)).otherwise(out)
-        return out
+    codes = pq_encode(emb, centroids, id_col, vec_col, n_subspaces=n_subspaces, dense=True)
+    # dense positions for the LUT side: same rank-over-cent_id as pq_encode
+    c = centroids.select(F.col("cent_id"), F.col("c_emb")).withColumn(
+        "cidx", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("cent_id")) - 1
+    )
+    n_codes = c.count()  # codebook size — the only model state collected
 
     n_dim_col = F.size(F.col("q_emb"))
     queries = e.filter(probe).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
@@ -1144,7 +1153,7 @@ def pq_adc_topk(
         )
         lut_rows.append(F.struct(F.lit(s).alias("s"), d2.alias("d2")))
     lut = lut.select(
-        "query_id", dense_idx(F.col("cent_id")).alias("cidx"), F.explode(F.array(*lut_rows)).alias("sd")
+        "query_id", "cidx", F.explode(F.array(*lut_rows)).alias("sd")
     ).select("query_id", "cidx", F.col("sd.s").alias("s"), F.col("sd.d2").alias("d2"))
     # one flat array per query, position = s * n_codes + cidx
     lut_arr = lut.groupBy("query_id").agg(
@@ -1156,7 +1165,7 @@ def pq_adc_topk(
         ).alias("lut")
     )
     d2_terms = [
-        F.element_at(F.col("lut"), F.lit(s * n_codes) + dense_idx(F.col(f"code{s}")) + 1).cast(DEC)
+        F.element_at(F.col("lut"), F.lit(s * n_codes) + F.col(f"code{s}") + 1).cast(DEC)
         for s in range(n_subspaces)
     ]
     d2_approx = d2_terms[0]
@@ -1276,19 +1285,26 @@ def duplicate_spans(
         )
         .select("doc_id", (F.col("p0") + 1).alias("pos"), F.col("gram"))
     )
-    # ONE pass over the anchors: a gram-partitioned window marks anchors
-    # whose gram spans >= 2 docs (min != max over the partition) — same
-    # single shuffle as a groupBy, but no member-array materialization
-    # (collect_list+explode measured 1.7× slower in the dense regime)
-    # and no second anchor scan (groupBy + join-back measured 2×).
-    wg = Window.partitionBy("gram")
-    hits = (
-        anchors.withColumn(
-            "__cross__", F.min("doc_id").over(wg) != F.max("doc_id").over(wg)
-        )
+    # Cross-doc verdict via partial aggregation + join-back — NOT a
+    # gram-partitioned window. A window partition is the GLOBAL
+    # occurrence list of one gram: a boilerplate header repeated across a
+    # 100 TB corpus lands on one task, and AQE cannot split window
+    # partitions. A hash aggregate instead combines min/max per gram
+    # map-side and shuffles one row per (map partition, gram) —
+    # skew-proof regardless of how hot a gram is — and the semi join back
+    # to the anchors is a shuffle join AQE's skew-join CAN split.
+    # (A gram-keyed window was ~2× faster at sf0.1 on uniform data but
+    # has an unbounded straggler ceiling; this shape trades that constant
+    # for scale safety. The anchors are re-derived for the join's left
+    # side — a codegen-linear posexplode pass, cheaper at corpus scale
+    # than persisting the anchor set.)
+    cross = (
+        anchors.groupBy("gram")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("__cross__"))
         .filter(F.col("__cross__"))
-        .select("doc_id", "pos")
+        .select("gram")
     )
+    hits = anchors.join(cross, "gram", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         hits.withColumn(
@@ -1315,7 +1331,13 @@ def duplicate_spans(
     )
 
 
-def bpe_learn(df: DataFrame, text_col: str, n_merges: int = 3) -> tuple[list[tuple[int, str, str, int]], dict[str, tuple[str, ...]]]:
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 3,
+    min_count: int = 1,
+    max_vocab: int = 1_000_000,
+) -> tuple[list[tuple[int, str, str, int]], dict[str, tuple[str, ...]]]:
     """Byte-pair-encoding merge learning (Sennrich et al. 2016,
     arXiv:1508.07909) — the tokenizer-training kernel.
 
@@ -1323,8 +1345,18 @@ def bpe_learn(df: DataFrame, text_col: str, n_merges: int = 3) -> tuple[list[tup
     tokenizers): the CORPUS-scale work is one distributed word-frequency
     aggregation; the merge loop then runs on that vocabulary-sized
     table, which is MODEL state (same ruling as ``kmeans_lloyd``'s
-    centroids — a vocabulary is bounded regardless of corpus size).
-    Ties break deterministically (count desc, then pair lexicographic).
+    centroids). On web-scale corpora the raw space-split "word" universe
+    is NOT bounded (URLs, typos, punctuation-glued tokens reach 10^9+
+    distinct strings on 100 TB), so the collect is bounded by two
+    distributed prunes, exactly as production trainers do: a ``min_count``
+    frequency floor and a deterministic ``max_vocab`` top-M cap (count
+    desc, word asc — Spark plans the ordered limit as
+    TakeOrderedAndProject: per-partition partial top-M, only M rows ever
+    reach the driver, no single-partition sort). Pruned tail words carry
+    negligible pair mass by construction (each contributes < min_count or
+    ranks below M); with the defaults nothing is pruned at test scale, so
+    oracle answers are unchanged. Ties in merge selection break
+    deterministically (count desc, then pair lexicographic).
     Returns (merges [(iteration, left, right, count)], final
     segmentation per word).
     """
@@ -1334,7 +1366,11 @@ def bpe_learn(df: DataFrame, text_col: str, n_merges: int = 3) -> tuple[list[tup
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    freq = {r.w: r.f for r in wf.collect()}  # vocabulary-sized model state
+    if min_count > 1:
+        wf = wf.filter(F.col("f") >= min_count)
+    if max_vocab is not None:
+        wf = wf.orderBy(F.col("f").desc(), F.col("w").asc()).limit(max_vocab)
+    freq = {r.w: r.f for r in wf.collect()}  # pruned, vocabulary-sized model state
     segs: dict[str, tuple[str, ...]] = {w: tuple(w) for w in freq}
     merges: list[tuple[int, str, str, int]] = []
     for it in range(1, n_merges + 1):
