@@ -483,15 +483,17 @@ class MDF:
         if spark is None:
             raise RuntimeError("no active SparkSession; pass spark=")
         if data is None:
-            data = {}
+            # only a literally-absent data may combine with columns=
+            # to synthesize an empty typed frame
+            # (`tests/test_init.py::test_init_empty_dtype`)
+            data = {c: [] for c in columns} if columns is not None else {}
+            columns = None
         if isinstance(data, Mapping):
-            if data and columns is not None:
-                # mapping already names the columns; also passing columns=
-                # is an error (`tests/test_init.py:26-34`)
+            if columns is not None:
+                # a mapping already names the columns; passing columns=
+                # with ANY mapping — even an empty one — is an error
+                # (`medvedi/dataframe.py:348-350`)
                 raise ValueError("cannot pass columns= with a mapping data")
-            if not data and columns is not None:
-                # empty typed frame (`tests/test_init.py::test_init_empty_dtype`)
-                data = {c: [] for c in columns}
         else:
             # iterable of columns; names default to "0", "1", ...
             # (`tests/test_init.py:46-50`)
@@ -783,14 +785,10 @@ class MDF:
                 # TakeOrderedAndProject (per-partition top-n + merge), no
                 # weights on the driver. Rows with w <= 0 or null are
                 # excluded (probability-0 analog of np.random.choice).
-                if replace:
-                    raise NotImplementedError(
-                        "weighted sampling WITH replacement needs n independent "
-                        "draws; pass a numpy weights array for the driver-side "
-                        "compat path"
-                    )
                 if n is None:
                     raise ValueError("pass n with column-name weights")
+                if replace:
+                    return self._sample_weighted_replace(weights, n, ignore_index)
                 keyed = (
                     self._df.filter(F.col(weights) > 0)
                     .withColumn("__wkey__", -F.log(F.rand()) / F.col(weights))
@@ -800,14 +798,23 @@ class MDF:
                     out = out.drop(ROW_ID)
                 return MDF._from_spark(out, self._index if not ignore_index else ())
             # driver-side numpy compat path (reference semantics,
-            # `medvedi/dataframe.py:523-548` is likewise in-memory)
+            # `medvedi/dataframe.py:523-548` is likewise in-memory).
+            # np.random.choice over the FRAME length with raw weights, so
+            # every reference error surfaces identically: weights shorter/
+            # longer than the frame ("'a' and 'p' must have same size"),
+            # non-normalized weights ("probabilities do not sum to 1"),
+            # n=0 returning an empty frame rather than a full-length draw.
             w = np.asarray(weights, dtype=np.float64)
-            idx = np.random.choice(len(w), size=n or len(w), replace=replace, p=w / w.sum())
+            idx = np.random.choice(len(self), size=n, replace=replace, p=w)
             return self.take(idx)
         count = len(self)
         if n > count and not replace:
             raise ValueError("n larger than rows without replacement")
         if replace:
+            if count == 0 and n > 0:
+                # np.random.choice on an empty arange raises
+                # (`medvedi/dataframe.py:545`)
+                raise ValueError("cannot sample with replacement from an empty frame")
             # n independent draws: a draws table of n random positions
             # joins the positioned frame — distributed, no driver
             # materialization; duplicate positions replicate rows.
@@ -826,6 +833,84 @@ class MDF:
         if ignore_index:
             out = out.drop(ROW_ID)
         return MDF._from_spark(out, self._index if not ignore_index else ())
+
+    def _sample_weighted_replace(self, weights: str, n: int, ignore_index: bool) -> "MDF":
+        """Distributed weighted sampling WITH replacement: ``n``
+        independent inverse-CDF draws over per-row cumulative-weight
+        intervals (closes the reference's `medvedi/dataframe.py:523-548`
+        weighted-replace surface without a driver-side weights array).
+
+        Scale shape: each row's interval ``[lo, hi)`` comes from a
+        per-partition cumulative sum (window bounded by partition size)
+        plus broadcast partition offsets — the `_attach_positions`
+        pattern, no global window. Per-partition totals are the MAX of
+        that same sequential cumsum (not a separate aggregate, whose
+        float rounding could differ and open boundary gaps), so the
+        intervals tile ``[0, total)`` exactly. The draw→row match is an
+        EQUI-join on a bucket key (each row explodes only to the buckets
+        its interval overlaps — ~1 + B·wᵢ/total each), never a
+        nested-loop range join over corpus × draws. Only the scalar
+        total weight reaches the driver.
+        """
+        spark = self._df.sparkSession
+        keep = self._index if not ignore_index else ()
+        if n == 0:
+            out0 = self._df.limit(0)
+            if ignore_index:
+                out0 = out0.drop(ROW_ID)
+            return MDF._from_spark(out0, keep)
+        base = (
+            self._df.filter(F.col(weights) > 0)
+            .withColumn("__pid__", F.spark_partition_id())
+            .withColumn(
+                "__hi0__",
+                F.sum(F.col(weights).cast("double")).over(
+                    Window.partitionBy("__pid__").orderBy(ROW_ID)
+                ),
+            )
+        )
+        ptot = base.groupBy("__pid__").agg(F.max("__hi0__").alias("__pw__"))
+        w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = ptot.withColumn(
+            "__woff__", F.coalesce(F.sum("__pw__").over(w_off), F.lit(0.0))
+        )
+        tot_row = offsets.agg(F.max(F.col("__woff__") + F.col("__pw__"))).first()
+        total = tot_row[0]
+        if total is None or total <= 0:
+            raise ValueError("cannot draw a weighted sample: no rows with positive weight")
+        n_buckets = max(64, int(n))
+        width = total / n_buckets
+        rows = (
+            base.join(F.broadcast(offsets.select("__pid__", "__woff__")), "__pid__")
+            .withColumn("__hi__", F.col("__woff__") + F.col("__hi0__"))
+            .withColumn("__lo__", F.col("__hi__") - F.col(weights))
+            .withColumn(
+                "__b__",
+                F.explode(
+                    F.sequence(
+                        F.greatest(F.floor(F.col("__lo__") / width), F.lit(0)).cast("long"),
+                        F.least(F.floor(F.col("__hi__") / width), F.lit(n_buckets - 1)).cast("long"),
+                    )
+                ),
+            )
+            .drop("__pid__", "__woff__", "__hi0__")
+        )
+        draws = (
+            spark.range(n)
+            .select(F.col("id").alias("__draw__"), (F.rand() * total).alias("__u__"))
+            .withColumn(
+                "__b__", F.least(F.floor(F.col("__u__") / width), F.lit(n_buckets - 1)).cast("long")
+            )
+        )
+        out = (
+            rows.join(F.broadcast(draws), "__b__")
+            .filter((F.col("__u__") >= F.col("__lo__")) & (F.col("__u__") < F.col("__hi__")))
+            .drop("__b__", "__u__", "__lo__", "__hi__", ROW_ID)
+            .withColumnRenamed("__draw__", ROW_ID)
+        )
+        if ignore_index:
+            out = out.drop(ROW_ID)
+        return MDF._from_spark(out, keep)
 
     # -- P10-P12: astype / rename / fillna ----------------------------------------
 
@@ -1112,8 +1197,13 @@ class MDF:
             cond = F.col(c).isin(values)
             if invert:
                 cond = ~cond
+            # null column value -> null cond -> invert's truth value;
+            # coalesced JVM-side so the mask lands as non-null booleans
+            # (a pandas-side fillna on an object column trips the silent-
+            # downcasting FutureWarning).
+            cond = F.coalesce(cond, F.lit(bool(invert)))
             pdf = self._df.select(cond.alias("m"), ROW_ID).orderBy(ROW_ID).toPandas()
-            return pdf["m"].fillna(bool(invert)).to_numpy(dtype=bool)
+            return pdf["m"].to_numpy(dtype=bool)
         if not assume_unique:
             hay_df = hay_df.distinct()  # guard row multiplication in the left join
         marked = self._df.select(ROW_ID, F.col(c).alias("__v__")).join(

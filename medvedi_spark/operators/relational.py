@@ -36,8 +36,12 @@ def asof_join(
     matched row) onto each left row. Every input row participates exactly
     once: no row-multiplying range join, so the cost is sort+scan even
     when each left row has millions of candidate right rows. With empty
-    ``by`` the window degenerates to a single partition (a global
-    merge-asof is an inherently serial scan); supply ``by`` keys at scale.
+    ``by`` the stream is RANGE-partitioned on the timestamp instead of
+    collapsing to one window partition: each range computes its local
+    running pick, a per-range last-right-payload table (rows = partition
+    count, not data rows) gets a running carry-in via one tiny window,
+    and broadcasts back — the global merge-asof parallelizes with only
+    the range exchange plus a partition-count-sized broadcast.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"bad direction={direction!r}")
@@ -66,11 +70,16 @@ def asof_join(
         order = [F.col("__ts__").asc_nulls_first(), F.col("__side__").asc()]
     else:
         order = [F.col("__ts__").desc_nulls_first(), F.col("__side__").asc()]
-    part = [F.col(k) for k in by] if by else [F.lit(0)]
-    w = Window.partitionBy(*part).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    out = unioned.withColumn("__pick__", F.last("__pay__", ignorenulls=True).over(w)).filter(
-        F.col("__side__") == 1
-    )
+    if by:
+        w = (
+            Window.partitionBy(*[F.col(k) for k in by])
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = unioned.withColumn("__pick__", F.last("__pay__", ignorenulls=True).over(w))
+    else:
+        out = _global_running_pick(unioned, order, direction)
+    out = out.filter(F.col("__side__") == 1)
     if tolerance_seconds is not None:
         gap = F.abs(F.col(left_ts).cast("long") - F.col("__pick__.__asof_ts__").cast("long"))
         out = out.withColumn("__pick__", F.when(gap <= tolerance_seconds, F.col("__pick__")))
@@ -78,6 +87,48 @@ def asof_join(
         *lcols,
         *[F.col(f"__pick__.{v}").alias(v) for v in values],
         F.col("__pick__.__asof_ts__").alias(f"asof_{right_ts}"),
+    )
+
+
+def _global_running_pick(unioned: DataFrame, order: list[Column], direction: str) -> DataFrame:
+    """Distributed global running-last for the empty-``by`` as-of join.
+
+    1. Range-partition the tagged stream on the scan order (timestamp,
+       then side so an equal-timestamp right row never lands AFTER its
+       left row's range) and compute the running pick inside each range —
+       windows bounded by range size, never SinglePartition over the
+       data.
+    2. Per range, take the scan-order-last RIGHT payload (max_by /
+       min_by on the timestamp — one row per range, null when the range
+       holds no right rows).
+    3. Running carry-in over that partition-count-sized table (the only
+       single-partition window; its input is #ranges rows) broadcasts
+       back; a row's pick = its local running pick, else the carry from
+       earlier ranges.
+    """
+    spark = unioned.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    rng = (
+        unioned.repartitionByRange(n_part, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid__", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("__pid__").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    rng = rng.withColumn("__pick_loc__", F.last("__pay__", ignorenulls=True).over(wloc))
+    # scan-order-last right payload per range; max_by/min_by skip null
+    # ordering keys, so left rows never win and empty ranges yield null
+    agg_fn = F.max_by if direction == "backward" else F.min_by
+    parts = rng.groupBy("__pid__").agg(
+        agg_fn("__pay__", F.when(F.col("__side__") == 0, F.col("__ts__"))).alias("__last__")
+    )
+    wcarry = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+    carry = parts.withColumn("__carry__", F.last("__last__", ignorenulls=True).over(wcarry)).select(
+        "__pid__", "__carry__"
+    )
+    return (
+        rng.join(F.broadcast(carry), "__pid__", "left")
+        .withColumn("__pick__", F.coalesce("__pick_loc__", "__carry__"))
+        .drop("__pid__", "__pick_loc__", "__carry__")
     )
 
 

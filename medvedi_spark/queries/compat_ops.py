@@ -501,8 +501,12 @@ def c13_mdf_fillna_astype(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fmt_tmp(sf_dir: str, tag: str) -> str:
     import tempfile
 
+    # pid-scoped: two concurrent harness runs over the same table must
+    # not race on the overwrite-then-read-back cycle (one run's delete
+    # landing mid-read in the other produced spurious failures).
     return os.path.join(
-        tempfile.gettempdir(), f"medvedi_spark_{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"medvedi_spark_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
 
 

@@ -69,10 +69,28 @@ def test_gate_window_composition():
         ]
         assert in_window, f"family {fam!r} lost its gate window slot"
 
-    # Extras must say which gated query proves their operator.
+    # Every out-of-window extra needs hard evidence on record: either its
+    # doc names the in-window query that proves its operator, or it holds
+    # a driver-verified green row from a previous round (the round-4
+    # rotation moved the r1-r3 gated set out of the window).
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    driver_green: set[str] = set()
+    for fn in sorted(os.listdir(root)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            try:
+                rec = json.load(open(os.path.join(root, fn)))
+            except Exception:
+                continue
+            for qn, row in rec.items():
+                if isinstance(row, dict) and row.get("hash_match") and row.get("rows_match"):
+                    driver_green.add(qn)
     for n in names[GATE_WINDOW:]:
         assert not QUERIES[n].gate
-        assert "Gate duplicate" in QUERIES[n].doc or "proven" in QUERIES[n].doc, n
+        documented = "Gate duplicate" in QUERIES[n].doc or "proven" in QUERIES[n].doc
+        assert documented or n in driver_green, n
 
 
 def test_gated_queries_all_have_oracles():

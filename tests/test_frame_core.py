@@ -265,10 +265,65 @@ def test_sample_weighted_column_distributed(spark):
     assert sum(1 for i in ids if i < 10) >= 8
 
 
-def test_sample_weighted_column_replace_raises(spark):
+def test_sample_weighted_column_replace_distributed(spark):
+    """Weighted WITH-replacement sampling on a column: n independent
+    inverse-CDF draws — every draw lands on a positive-weight row, heavy
+    rows dominate, duplicates are allowed, n is exact."""
+    n_rows = 200
+    m = MDF(
+        {
+            "id": np.arange(n_rows),
+            "w": np.where(np.arange(n_rows) < 5, 1000.0, np.where(np.arange(n_rows) < 100, 1.0, 0.0)),
+        },
+        spark=spark,
+    )
+    out = m.sample(n=120, weights="w", replace=True)
+    ids = out["id"]
+    assert len(ids) == 120  # exactly n draws, with multiplicity
+    assert all(i < 100 for i in ids)  # zero-weight rows never sampled
+    # ~98% of the mass sits on the 5 heavy rows
+    assert sum(1 for i in ids if i < 5) >= 100
+    assert len(set(ids)) <= 100  # replacement: duplicates expected
+
+
+def test_sample_weighted_replace_small_and_empty(spark):
     m = MDF({"id": [1, 2], "w": [1.0, 2.0]}, spark=spark)
-    with pytest.raises(NotImplementedError):
-        m.sample(n=2, weights="w", replace=True)
+    assert len(m.sample(n=5, weights="w", replace=True)) == 5  # n > len OK with replace
+    assert len(m.sample(n=0, weights="w", replace=True)) == 0
+    zero_w = MDF({"id": [1, 2], "w": [0.0, 0.0]}, spark=spark)
+    with pytest.raises(ValueError):
+        zero_w.sample(n=1, weights="w", replace=True)
+
+
+def test_sample_replace_empty_frame_raises(spark):
+    """np.random.choice on an empty arange raises for n>0
+    (`medvedi/dataframe.py:545`)."""
+    m = MDF({"id": np.array([], dtype=np.int64)}, spark=spark)
+    with pytest.raises(ValueError):
+        m.sample(n=2, replace=True)
+
+
+def test_sample_numpy_weights_reference_errors(spark):
+    """The numpy compat path surfaces np.random.choice's own errors:
+    length mismatch, non-normalized weights; and n=0 returns empty."""
+    m = MDF({"id": [1, 2, 3]}, spark=spark)
+    with pytest.raises(ValueError):
+        m.sample(n=1, weights=[0.5, 0.5])  # shorter than the frame
+    with pytest.raises(ValueError):
+        m.sample(n=1, weights=[1.0, 2.0, 3.0])  # does not sum to 1
+    assert len(m.sample(frac=0.1, weights=[0.2, 0.3, 0.5])) == 0  # int(3*0.1)==0
+
+
+def test_init_mapping_with_columns_raises_even_empty(spark):
+    """ANY mapping combined with columns= raises — including {}
+    (`medvedi/dataframe.py:348-350`); only data=None synthesizes an
+    empty typed frame."""
+    with pytest.raises(ValueError):
+        MDF({}, columns=["a"], spark=spark)
+    with pytest.raises(ValueError):
+        MDF({"a": [1]}, columns=["a"], spark=spark)
+    empty = MDF(None, columns=["a", "b"], spark=spark)
+    assert tuple(empty.columns) == ("a", "b") and len(empty) == 0
 
 
 def test_iloc_scalar_matches_positions(spark):

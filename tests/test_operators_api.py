@@ -64,6 +64,51 @@ def test_asof_merge_plan_agrees_with_rangejoin(spark):
             assert ra == rb, f"direction={direction} tol={tol}"
 
 
+def test_asof_join_global_empty_by_agrees_with_rangejoin(spark):
+    """The empty-``by`` (global) as-of join — range-partitioned with
+    per-range carry-in — must agree with the range-join comparand across
+    directions and tolerances, including duplicate left rows, pre-first
+    left rows, and rows landing in different range partitions."""
+    import random
+
+    rng = random.Random(11)
+    hours = rng.sample(range(1, 24 * 30), 60)  # unique right timestamps
+    quotes = [(dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), float(i)) for i, h in enumerate(hours)]
+    trades = [(dt.datetime(2024, 1, 1) + dt.timedelta(hours=rng.randrange(0, 24 * 31), minutes=30),) for _ in range(50)]
+    trades += trades[:5]
+    q = spark.createDataFrame(quotes, "qts timestamp, px double")
+    t = spark.createDataFrame(trades, "tts timestamp")
+    for direction in ("backward", "forward"):
+        for tol in (None, 3600 * 12):
+            a = relational.asof_join(
+                t, q, "tts", "qts", by=(), value_cols=["px"], direction=direction, tolerance_seconds=tol
+            )
+            b = relational.asof_join_rangejoin(
+                t, q, "tts", "qts", by=(), value_cols=["px"], direction=direction, tolerance_seconds=tol
+            )
+            key = lambda r: (r.tts, r.px if r.px is not None else -1.0, r.asof_qts or _ts(0))
+            ra, rb = sorted(a.collect(), key=key), sorted(b.collect(), key=key)
+            assert len(ra) == len(rb) == len(trades)
+            assert ra == rb, f"direction={direction} tol={tol}"
+
+
+def test_asof_join_global_no_single_partition_window(spark):
+    """by=() must not plan a SinglePartition exchange over the data —
+    the only single-partition stage is the partition-count-sized carry
+    table."""
+    q = spark.createDataFrame([(_ts(9), 1.0)], "qts timestamp, px double")
+    t = spark.createDataFrame([(_ts(10),)], "tts timestamp")
+    out = relational.asof_join(t, q, "tts", "qts", by=(), value_cols=["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, "global asof must range-partition the stream"
+    # the data-bearing window partitions on __pid__, not SinglePartition;
+    # the carry window's SinglePartition input is the #ranges-row table
+    import re
+
+    for m in re.finditer(r"Window \[[^\n]*__pick_loc__[^\n]*", plan):
+        assert "__pid__" in m.group(0)
+
+
 def test_asof_join_forward(spark):
     ref = spark.createDataFrame([(1, _ts(12), "x")], "k int, rts timestamp, v string")
     probe = spark.createDataFrame([(1, _ts(10)), (1, _ts(13))], "k int, pts timestamp")
