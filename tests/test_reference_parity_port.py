@@ -120,6 +120,14 @@ def test_iloc_zero_range_keeps_schema(spark):
     assert out.index.names == df.index.names
 
 
+def test_iloc_range_returns_frame(spark):
+    """ref test_iloc_range (`tests/test_iloc.py:28-33`)."""
+    df = MDF({"a": [1, 2], "b": [3, 4]}, spark=spark)
+    out = df.iloc[1:2]
+    assert isinstance(out, MDF)
+    assert list(out["a"]) == [2] and list(out["b"]) == [4]
+
+
 # -- test_isin.py error cases ---------------------------------------------
 
 
@@ -160,6 +168,36 @@ def test_rename_inplace_and_mapping(spark):
     assert set(out.columns) >= {"x", "b"}
     df.rename(columns={"a": "x"}, inplace=True)
     assert "x" in df.columns and "a" not in df.columns
+
+
+def test_rename_follows_index_names(spark):
+    """ref test_rename_inplace (`tests/test_rename.py:8-18`): index names
+    track the rename; non-inplace leaves the origin untouched."""
+    df = MDF({"a": [0, 1, 2]}, index="a", spark=spark)
+    out = df.rename({"a": "b"})
+    assert tuple(out.columns) == ("b",)
+    assert list(out["b"]) == [0, 1, 2]
+    assert out.index.names == ("b",)
+    assert tuple(df.columns) == ("a",) and df.index.names == ("a",)
+    same = df.rename({"a": "b"}, inplace=True)
+    assert same is df and df.index.names == ("b",)
+
+
+def test_rename_errors_raise_and_ignore(spark):
+    """ref test_rename_errors (`tests/test_rename.py:21-27`)."""
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    with pytest.raises(KeyError):
+        df.rename({"a": "b", "b": "c"}, errors="raise")
+    out = df.rename({"a": "b", "b": "c"}, errors="ignore")
+    assert tuple(out.columns) == ("b",)
+    assert list(out["b"]) == [0, 1, 2]
+
+
+def test_rename_non_mapping_raises(spark):
+    """ref test_rename_mapping (`tests/test_rename.py:30-33`)."""
+    df = MDF({"a": [0, 1, 2]}, spark=spark)
+    with pytest.raises(TypeError):
+        df.rename([("a", "b")])
 
 
 # -- test_index.py (monotonic family beyond existing coverage) -------------
