@@ -106,6 +106,24 @@ def test_duplicate_spans_unchanged_semantics(spark):
     assert rows[1].spans.startswith("1-")  # shared prefix span in doc 1
 
 
+# ------------------------------------------------- weighted replace-sampling
+
+
+def test_weighted_replace_draws_join_is_broadcast(spark):
+    """The draw→row match must be a broadcast equi-join on the bucket key
+    (draws table is n rows); the corpus side never shuffles for the
+    match itself — its only exchanges are the partition-cumsum window."""
+    from medvedi_spark.frame import MDF
+
+    import numpy as np
+
+    m = MDF({"id": np.arange(500), "w": np.ones(500)}, spark=spark)
+    out = m.sample(n=50, weights="w", replace=True)
+    plan = out._df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 # ----------------------------------------------------------------- PQ dense
 
 
