@@ -639,3 +639,60 @@ def c17_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = upd.unionByName(dele).unionByName(ins)
     return upsert(base, changes, ["o_orderkey"], op_col="op")
+
+
+# --------------------------------------------------------------------------
+# c18 — bucketed co-located join: both sides are written bucketBy the
+# join key (the pay-the-shuffle-ONCE-at-ingest pattern for a fact table
+# joined repeatedly), then the join AND the groupBy on that key read
+# co-located buckets and plan ZERO exchanges
+# (tests/test_scale_fixes_r4.py pins the shape with broadcast disabled;
+# at 100 TB this turns every downstream run's biggest shuffle into a
+# local merge). Managed-table data lands under an explicit pid-scoped
+# tmp path so the query is independent of the harness cwd and safe
+# under concurrent runs.
+# --------------------------------------------------------------------------
+
+
+def _c18_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    from medvedi_spark.sources import readers
+
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}".replace(".", "_").replace("-", "_")
+    tli, tod = f"c18_li_{tag}", f"c18_od_{tag}"
+    li = MDF.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), spark=spark)
+    od = MDF.read_parquet(os.path.join(sf_dir, "orders.parquet"), spark=spark)
+    li_sub = MDF.from_spark(li.df.select("l_orderkey", "l_quantity", ROW_ID))
+    od_sub = MDF.from_spark(od.df.select("o_orderkey", "o_totalprice", ROW_ID))
+    readers.write_bucketed(
+        li_sub, tli, ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"],
+        path=_fmt_tmp(sf_dir, "c18li"),
+    )
+    readers.write_bucketed(
+        od_sub, tod, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
+        path=_fmt_tmp(sf_dir, "c18od"),
+    )
+    return tli, tod
+
+
+@register(
+    "c18_bucketed_join",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(*) AS n_items, MIN(o.o_totalprice) AS o_totalprice
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+    tags=("compat", "sources", "bucketing", "join"),
+    doc="Scale pattern: bucketed ingest makes the repeated fact-table "
+        "join AND its groupBy exchange-free. Join/agg semantics are "
+        "driver-gated via q3/q1; bucketing itself proven by the same "
+        "oracle harness locally plus the zero-exchange plan test.",
+    gate=False,
+)
+def c18_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tli, tod = _c18_tables(spark, sf_dir)
+    li, od = spark.table(tli), spark.table(tod)
+    return (
+        od.join(li, od["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.min("o_totalprice").alias("o_totalprice"))
+    )

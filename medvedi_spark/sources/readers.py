@@ -86,16 +86,22 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table: rows hash-partition into ``n_buckets``
-    files by ``bucket_cols`` at WRITE time, so every later join or
-    aggregation on those keys reads co-located data and skips its
-    shuffle entirely (verified by tests/test_scale_utils.py). This is
-    the 100 TB answer for a fact table joined repeatedly on one key:
-    pay the shuffle once at ingest, never again."""
+    """Bucketed table: rows hash-partition into ``n_buckets`` files by
+    ``bucket_cols`` at WRITE time, so every later join or aggregation on
+    those keys reads co-located data and skips its shuffle entirely
+    (verified by tests/test_scale_utils.py). This is the 100 TB answer
+    for a fact table joined repeatedly on one key: pay the shuffle once
+    at ingest, never again. ``path`` makes the table EXTERNAL at that
+    location (otherwise data lands under the session's warehouse dir,
+    which defaults to the process cwd — pass a path when the caller
+    can't control the cwd)."""
     w = df.df.drop(ROW_ID).write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

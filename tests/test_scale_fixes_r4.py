@@ -124,6 +124,27 @@ def test_weighted_replace_draws_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+# --------------------------------------------------------- bucketed join
+
+
+def test_c18_bucketed_join_and_agg_zero_exchange(spark, sf_dir):
+    """With broadcast disabled, the bucketed fact-table join AND the
+    groupBy on the bucket key must plan ZERO exchanges — the entire point
+    of paying the shuffle once at ingest."""
+    from tools.explain_audit import plan_facts
+
+    from medvedi_spark.queries.compat_ops import c18_bucketed_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        facts = plan_facts(c18_bucketed_join(spark, sf_dir))
+        assert facts["exch"] == 0, "bucketed join/agg must not shuffle"
+        assert facts["smj"] >= 1  # co-located sort-merge join, not broadcast
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 # ----------------------------------------------------------------- PQ dense
 
 
