@@ -414,3 +414,202 @@ def st9_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["content_hash"])
     )
     return run_to_memory(gated, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st10 — streaming DEDUP-ON-INGEST against a static MinHash-LSH corpus
+# index: arriving documents (the doc_id % 10 == 0 slice, streamed) are
+# shingled and minhashed ROW-WISE, band-joined against the pre-built
+# corpus band table (stream-static, stateless), and verified by exact
+# hash-set Jaccard — the production pattern for rejecting near-dups at
+# the door instead of re-running corpus-wide dedup.
+#
+# Scale shape: the corpus index is the BATCH d3 pipeline (explode + ONE
+# groupBy exchange); the stream side cannot put an aggregation before a
+# stream-static join, so its 16 minhash mins fold in ONE capture-free
+# `aggregate(harr, .., finish=bands)` expression — the hash array is the
+# aggregate's subject (evaluated once) and `acc`/`h`/`i` are lambda
+# VARIABLES, not captured subexpressions, so nothing re-evaluates
+# per-element. The md5 shingle hashing runs twice per arriving doc (once
+# for the signature fold, once for the verify token set) — a 2x constant
+# on the SMALL side of the join, the price of statelessness before the
+# join. Verification joins the static signature table on the candidate
+# id; the only stateful operator is the final pair dropDuplicates.
+# --------------------------------------------------------------------------
+
+_ST10_THRESH = 0.8
+
+
+def _st10_row_minhash_bands(harr):
+    """(band_idx, band_val) structs from a token-hash ARRAY — the
+    row-wise equivalent of `minhash_agg_cols` + d3's band assembly."""
+    from medvedi_spark.functions.hashing import MINHASH_COEFFS, MINHASH_PRIME
+
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("bigint")] * len(MINHASH_COEFFS))
+    aa = F.array(*[F.lit(a).cast("bigint") for a, _ in MINHASH_COEFFS])
+    bb = F.array(*[F.lit(b).cast("bigint") for _, b in MINHASH_COEFFS])
+    return F.aggregate(
+        harr,
+        init,
+        lambda acc, h: F.transform(
+            acc,
+            lambda x, i: F.least(
+                x,
+                (F.element_at(aa, i + F.lit(1)) * h + F.element_at(bb, i + F.lit(1)))
+                % F.lit(MINHASH_PRIME),
+            ),
+        ),
+        lambda acc: F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.struct(
+                i.cast("int").alias("band_idx"),
+                F.concat_ws(
+                    ",",
+                    F.element_at(acc, 2 * i + F.lit(1)),
+                    F.element_at(acc, 2 * i + F.lit(2)),
+                ).alias("band_val"),
+            ),
+        ),
+    )
+
+
+@register(
+    "st10_stream_lsh_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    zipped AS (SELECT doc_id, unnest(l) AS w1, unnest(l[2:]) AS w2 FROM toks),
+    shingles AS (
+      SELECT DISTINCT doc_id, w1 || ' ' || w2 AS s
+      FROM zipped WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''
+    ),
+    hashed AS (SELECT doc_id, (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS h FROM shingles),
+    sigs AS (
+      SELECT doc_id, MIN((1083116687 * h + 906378984) % 2147483647) AS m0,
+       MIN((277691716 * h + 11814260) % 2147483647) AS m1,
+       MIN((663920010 * h + 488240551) % 2147483647) AS m2,
+       MIN((1767612842 * h + 265308615) % 2147483647) AS m3,
+       MIN((1121143854 * h + 70759107) % 2147483647) AS m4,
+       MIN((1146561109 * h + 1522665269) % 2147483647) AS m5,
+       MIN((1671573737 * h + 1804750926) % 2147483647) AS m6,
+       MIN((604645167 * h + 129730950) % 2147483647) AS m7,
+       MIN((699148992 * h + 1320412537) % 2147483647) AS m8,
+       MIN((1927927229 * h + 1052486461) % 2147483647) AS m9,
+       MIN((1988192828 * h + 1986119057) % 2147483647) AS m10,
+       MIN((1545949896 * h + 530925211) % 2147483647) AS m11,
+       MIN((861973162 * h + 370983704) % 2147483647) AS m12,
+       MIN((174916747 * h + 525484404) % 2147483647) AS m13,
+       MIN((174403173 * h + 286741785) % 2147483647) AS m14,
+       MIN((1362309592 * h + 1074030877) % 2147483647) AS m15
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, band_idx,
+             CASE band_idx
+               WHEN 0 THEN m0 || ',' || m1   WHEN 1 THEN m2 || ',' || m3
+               WHEN 2 THEN m4 || ',' || m5   WHEN 3 THEN m6 || ',' || m7
+               WHEN 4 THEN m8 || ',' || m9   WHEN 5 THEN m10 || ',' || m11
+               WHEN 6 THEN m12 || ',' || m13 WHEN 7 THEN m14 || ',' || m15
+             END AS band_val
+      FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band_idx)
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    hset AS (SELECT DISTINCT doc_id, h FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hset GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_id, c.dup_of, COUNT(*) AS n_shared
+      FROM candidates c
+      JOIN hset x ON x.doc_id = c.doc_id
+      JOIN hset y ON y.doc_id = c.dup_of AND y.h = x.h
+      GROUP BY c.doc_id, c.dup_of
+    )
+    SELECT v.doc_id, v.dup_of,
+           CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.doc_id
+    JOIN sizes sb ON sb.doc_id = v.dup_of
+    WHERE CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared) >= {_ST10_THRESH}
+    """,
+    tags=("streaming", "dedup", "minhash", "lsh", "llm"),
+    doc="Gate duplicate: the MinHash-LSH kernel is driver-gated via d3 and "
+        "streaming statefulness via st3/st6; st10 composes them into "
+        "dedup-on-ingest, proven by the same oracle harness locally.",
+    gate=False,
+)
+def st10_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.catalog import load
+    from medvedi_spark.functions.hashing import minhash_agg_cols, token_hash
+
+    # ---- static corpus index (batch d3 pipeline over the % 10 != 0 slice)
+    corpus = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    ctoks = corpus.select("doc_id", F.split("text", " ").alias("l"))
+    cbigrams = F.zip_with(
+        F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
+        F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    cshingles = (
+        ctoks.select("doc_id", F.explode(cbigrams).alias("s"))
+        .filter(~F.col("s").contains("  ") & (F.col("s") != "") & ~F.col("s").startswith(" ") & ~F.col("s").endswith(" "))
+        .distinct()
+    )
+    chashed = cshingles.select("doc_id", token_hash(F.col("s")).alias("h"))
+    csigs = chashed.groupBy("doc_id").agg(
+        *minhash_agg_cols("h"),
+        F.array_distinct(F.sort_array(F.collect_list("h"))).alias("toks_c"),
+    )
+    cband_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.concat_ws(",", F.col(f"m{2 * i}"), F.col(f"m{2 * i + 1}")).alias("band_val"),
+            )
+            for i in range(8)
+        ]
+    )
+    c_bands = csigs.select(F.col("doc_id").alias("dup_of"), F.explode(cband_structs).alias("bd")).select(
+        "dup_of", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
+    )
+    c_toks = csigs.select(F.col("doc_id").alias("dup_of"), "toks_c")
+
+    # ---- arriving documents: row-wise shingle -> hash -> minhash bands
+    stream = _read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    sl = F.split(F.col("text"), " ")
+    sbigrams = F.zip_with(
+        F.slice(sl, 1, F.greatest(F.size(sl) - 1, F.lit(0))),
+        F.slice(sl, 2, F.greatest(F.size(sl) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    sshingles = F.array_distinct(
+        F.filter(
+            sbigrams,
+            lambda s: ~s.contains("  ") & (s != "") & ~s.startswith(" ") & ~s.endswith(" "),
+        )
+    )
+    feats = stream.select(
+        "doc_id", F.transform(sshingles, lambda s: token_hash(s)).alias("harr")
+    ).select(
+        "doc_id",
+        F.array_distinct(F.sort_array(F.col("harr"))).alias("toks"),
+        _st10_row_minhash_bands(F.col("harr")).alias("bands"),
+    )
+    cand = feats.select("doc_id", "toks", F.explode("bands").alias("bd")).select(
+        "doc_id", "toks", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
+    )
+    # stream-static band join (stateless) + static verify join; exact
+    # hash-set Jaccard decides, bands only propose
+    shared = F.size(F.array_intersect("toks", "toks_c"))
+    union = F.size("toks") + F.size("toks_c") - shared
+    out = (
+        cand.join(c_bands, ["band_idx", "band_val"])
+        .join(c_toks, "dup_of")
+        .withColumn("jaccard", shared.cast("double") / union)
+        .filter(F.col("jaccard") >= _ST10_THRESH)
+        .select("doc_id", "dup_of", "jaccard")
+        .dropDuplicates(["doc_id", "dup_of"])
+    )
+    return run_to_memory(out, output_mode="append")

@@ -57,3 +57,47 @@ def test_run_to_parquet_append_partitioned(spark, sf_dir, tmp_path):
     # re-draining from the same checkpoint appends NOTHING (exactly-once)
     run_to_parquet(agg, out_dir, partition_by=("day",))
     assert spark.read.parquet(out_dir).count() == len(want)
+
+
+def test_st10_rowwise_minhash_equals_batch_aggregate(spark):
+    """The capture-free row-wise minhash fold (stream side of st10) must
+    produce the same 8 band values as the batch explode+groupBy
+    aggregation (d3 / corpus side) for the same document."""
+    from pyspark.sql import functions as F
+
+    from medvedi_spark.functions.hashing import minhash_agg_cols, token_hash
+    from medvedi_spark.queries.stream_ops import _st10_row_minhash_bands
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "a a a b b c")],
+        "doc_id int, text string",
+    )
+    l = F.split("text", " ")
+    big = F.zip_with(
+        F.slice(l, 1, F.greatest(F.size(l) - 1, F.lit(0))),
+        F.slice(l, 2, F.greatest(F.size(l) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    shing = F.array_distinct(
+        F.filter(big, lambda s: ~s.contains("  ") & (s != "") & ~s.startswith(" ") & ~s.endswith(" "))
+    )
+    rowwise = {
+        (r.doc_id, r.bd.band_idx): r.bd.band_val
+        for r in docs.select(
+            "doc_id",
+            F.explode(_st10_row_minhash_bands(F.transform(shing, lambda s: token_hash(s)))).alias("bd"),
+        ).collect()
+    }
+    hashed = (
+        docs.select("doc_id", F.explode(big).alias("s"))
+        .filter(~F.col("s").contains("  ") & (F.col("s") != "") & ~F.col("s").startswith(" ") & ~F.col("s").endswith(" "))
+        .distinct()
+        .select("doc_id", token_hash(F.col("s")).alias("h"))
+    )
+    sigs = {r.doc_id: r for r in hashed.groupBy("doc_id").agg(*minhash_agg_cols("h")).collect()}
+    for doc_id, sig in sigs.items():
+        for i in range(8):
+            expect = f"{sig[f'm{2 * i}']},{sig[f'm{2 * i + 1}']}"
+            assert rowwise[(doc_id, i)] == expect, (doc_id, i)
