@@ -123,3 +123,93 @@ def test_pack_sequences_matches_reference_next_fit(spark, n, cap):
             b += 1 if i > 0 else 0
             fill = s
         assert got[i] == (b, fill), (i, n, cap, got)
+
+
+# -- round-4 additions: global asof join and duplicate spans ----------------
+
+
+@given(
+    lts=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=8),
+    rts=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=8, unique=True),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 50]),
+)
+@settings(**SETTINGS)
+def test_global_asof_matches_pandas_merge_asof(spark, lts, rts, direction, tol):
+    """asof_join(by=()) — the range-partitioned carry-in path — must match
+    pandas.merge_asof exactly (right timestamps unique so every engine's
+    tie handling is irrelevant)."""
+    import datetime as dt
+
+    from medvedi_spark.operators.relational import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(base + dt.timedelta(hours=h),) for h in lts]
+    rrows = [(base + dt.timedelta(hours=h), float(i)) for i, h in enumerate(rts)]
+    left = spark.createDataFrame(lrows, "tts timestamp")
+    right = spark.createDataFrame(rrows, "qts timestamp, px double")
+    got = asof_join(
+        left, right, "tts", "qts", by=(), value_cols=["px"],
+        direction=direction, tolerance_seconds=tol,
+    ).collect()
+    lp = pd.DataFrame({"tts": [r[0] for r in lrows]}).sort_values("tts")
+    rp = pd.DataFrame({"qts": [r[0] for r in rrows], "px": [r[1] for r in rrows]}).sort_values("qts")
+    exp = pd.merge_asof(
+        lp, rp, left_on="tts", right_on="qts", direction=direction,
+        tolerance=(pd.Timedelta(seconds=tol) if tol is not None else None),
+    )
+    key = lambda t, p: (t, -1.0 if p is None or p != p else p)
+    got_s = sorted(key(r.tts, r.px) for r in got)
+    exp_s = sorted(
+        key(t.to_pydatetime(), (None if pd.isna(p) else p))
+        for t, p in zip(exp["tts"], exp["px"])
+    )
+    assert got_s == exp_s
+
+
+def _brute_duplicate_spans(docs, k):
+    grams: dict[str, set] = {}
+    for d, t in docs:
+        for i in range(len(t) - k + 1):
+            grams.setdefault(t[i : i + k], set()).add(d)
+    out = {}
+    for d, t in docs:
+        pos = [i + 1 for i in range(len(t) - k + 1) if len(grams[t[i : i + k]]) > 1]
+        if not pos:
+            continue
+        spans, start, prev = [], pos[0], pos[0]
+        for p in pos[1:]:
+            if p > prev + k:
+                spans.append((start, prev + k - 1))
+                start = p
+            prev = p
+        spans.append((start, prev + k - 1))
+        out[d] = (
+            len(spans),
+            sum(e - s + 1 for s, e in spans),
+            ";".join(f"{s}-{e}" for s, e in spans),
+        )
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=24), min_size=2, max_size=4
+    )
+)
+@settings(**SETTINGS)
+def test_duplicate_spans_matches_bruteforce(spark, texts):
+    """The aggregate+semi-join shape must produce exactly the brute-force
+    cross-doc duplicate spans on adversarial tiny-alphabet corpora."""
+    from medvedi_spark.operators.llm import duplicate_spans
+
+    k = 4
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.dup_chars, r.spans)
+        for r in duplicate_spans(df, "doc_id", "text", k=k).collect()
+    }
+    grams_present = any(len(t) >= k for t in texts)
+    expected = _brute_duplicate_spans(docs, k) if grams_present else {}
+    assert got == expected
