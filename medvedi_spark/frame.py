@@ -843,10 +843,12 @@ class MDF:
         Scale shape: each row's interval ``[lo, hi)`` comes from a
         per-partition cumulative sum (window bounded by partition size)
         plus broadcast partition offsets — the `_attach_positions`
-        pattern, no global window. Per-partition totals are the MAX of
-        that same sequential cumsum (not a separate aggregate, whose
-        float rounding could differ and open boundary gaps), so the
-        intervals tile ``[0, total)`` exactly. The draw→row match is an
+        pattern, no global window. Every boundary float is SHARED, never
+        re-derived: ``lo`` is the neighbor's cumsum via ``lag`` (a fresh
+        ``hi - w`` rounds differently by an ulp — gap/overlap), and
+        per-partition totals are the MAX of the same sequential cumsum
+        (not a separate aggregate), so the intervals tile ``[0, total)``
+        exactly. The draw→row match is an
         EQUI-join on a bucket key (each row explodes only to the buckets
         its interval overlaps — ~1 + B·wᵢ/total each), never a
         nested-loop range join over corpus × draws. Only the scalar
@@ -878,12 +880,25 @@ class MDF:
         total = tot_row[0]
         if total is None or total <= 0:
             raise ValueError("cannot draw a weighted sample: no rows with positive weight")
-        n_buckets = max(64, int(n))
+        # Bucket count scales with n (keeps draws-per-bucket ~1) but is
+        # CAPPED: a row holding weight fraction f explodes into ~f*B
+        # bucket entries, so an uncapped B = n would build an n-element
+        # array for a dominant-weight row. At the cap the per-bucket
+        # draw count grows to n/2^20 instead — more join pairs, but
+        # distributed ones, not a single-row memory spike.
+        n_buckets = min(max(64, int(n)), 1 << 20)
         width = total / n_buckets
+        # __lo__ must be the PREVIOUS row's cumsum (lag), never
+        # __hi__ - w: that re-rounding differs from the neighbor's cumsum
+        # by an ulp, opening micro-gaps (dropped draws) and micro-overlaps
+        # (duplicated draws) between adjacent intervals. With lag, adjacent
+        # boundaries share the identical float and the tiling is exact.
+        wlag = Window.partitionBy("__pid__").orderBy(ROW_ID)
         rows = (
-            base.join(F.broadcast(offsets.select("__pid__", "__woff__")), "__pid__")
+            base.withColumn("__lo0__", F.coalesce(F.lag("__hi0__").over(wlag), F.lit(0.0)))
+            .join(F.broadcast(offsets.select("__pid__", "__woff__")), "__pid__")
             .withColumn("__hi__", F.col("__woff__") + F.col("__hi0__"))
-            .withColumn("__lo__", F.col("__hi__") - F.col(weights))
+            .withColumn("__lo__", F.col("__woff__") + F.col("__lo0__"))
             .withColumn(
                 "__b__",
                 F.explode(
@@ -893,7 +908,7 @@ class MDF:
                     )
                 ),
             )
-            .drop("__pid__", "__woff__", "__hi0__")
+            .drop("__pid__", "__woff__", "__hi0__", "__lo0__")
         )
         draws = (
             spark.range(n)
@@ -902,8 +917,12 @@ class MDF:
                 "__b__", F.least(F.floor(F.col("__u__") / width), F.lit(n_buckets - 1)).cast("long")
             )
         )
+        # broadcast only a broadcast-SIZED draws table; a huge n falls
+        # back to an unhinted join (AQE picks the strategy) instead of
+        # shipping gigabytes through the driver
+        draws_side = F.broadcast(draws) if n <= 2_000_000 else draws
         out = (
-            rows.join(F.broadcast(draws), "__b__")
+            rows.join(draws_side, "__b__")
             .filter((F.col("__u__") >= F.col("__lo__")) & (F.col("__u__") < F.col("__hi__")))
             .drop("__b__", "__u__", "__lo__", "__hi__", ROW_ID)
             .withColumnRenamed("__draw__", ROW_ID)

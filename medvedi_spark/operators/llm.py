@@ -404,6 +404,61 @@ def _jaccard_prefix_filter(tok: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def minhash_band_index(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Corpus MinHash-LSH index (Broder 1997): bigram shingles →
+    md5-derived token hashes → 16 minhash mins + the distinct hash set,
+    in ONE groupBy pass — then 8 two-min bands for candidate blocking.
+
+    Returns ``(sigs, bands)``: ``sigs`` is ``(doc_id, m0..m15, toks)``
+    (``toks`` = sorted distinct hash set, the exact-verify payload) and
+    ``bands`` is ``(doc_id, band_idx, band_val)``. Shared by the batch
+    pairwise dedup (d3) and the streaming dedup-on-ingest corpus side
+    (st10) so shingling rules, the hash family, and band assembly can
+    never drift apart.
+    """
+    from medvedi_spark.functions.hashing import MINHASH_COEFFS, minhash_agg_cols, token_hash
+
+    toks = df.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("l"))
+    bigrams = F.zip_with(
+        F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
+        F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    shingles = (
+        toks.select("doc_id", F.explode(bigrams).alias("s"))
+        .filter(
+            ~F.col("s").contains("  ")
+            & (F.col("s") != "")
+            & ~F.col("s").startswith(" ")
+            & ~F.col("s").endswith(" ")
+        )
+        .distinct()
+    )
+    hashed = shingles.select("doc_id", token_hash(F.col("s")).alias("h"))
+    # ONE aggregation produces both the minhash mins and the full hash
+    # set per doc — the groupBy exchange computes once and every branch
+    # (banding, verification) reuses it instead of re-running the
+    # shingle explode+distinct pipeline.
+    sigs = hashed.groupBy("doc_id").agg(
+        *minhash_agg_cols("h"),
+        F.array_distinct(F.sort_array(F.collect_list("h"))).alias("toks"),
+    )
+    n_bands = len(MINHASH_COEFFS) // 2
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.concat_ws(",", F.col(f"m{2 * i}"), F.col(f"m{2 * i + 1}")).alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bd")).select(
+        "doc_id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
+    )
+    return sigs, bands
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
     """SimHash near-dup: 32-bit signature per doc in one aggregate pass;
     byte-block LSH is EXACT for hamming <= n_blocks - 1 by pigeonhole.

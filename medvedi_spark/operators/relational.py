@@ -47,7 +47,14 @@ def asof_join(
         raise ValueError(f"bad direction={direction!r}")
     values = value_cols if value_cols is not None else [c for c in right.columns if c != right_ts and c not in by]
     payload = F.struct(*([F.col(v).alias(v) for v in values] + [F.col(right_ts).alias("__asof_ts__")]))
-    r_pay = right.select(*by, F.col(right_ts).alias("__ts__"), payload.alias("__pay__"))
+    # a null right timestamp can never be "at-or-before/after" anything
+    # (pandas.merge_asof rejects null keys outright; the range-join
+    # comparand's <=/>= is false on null) — drop such rows up front so
+    # BOTH window paths agree with that contract instead of null-ts
+    # payloads sorting first and leaking into the running pick.
+    r_pay = right.filter(F.col(right_ts).isNotNull()).select(
+        *by, F.col(right_ts).alias("__ts__"), payload.alias("__pay__")
+    )
     pay_type = r_pay.schema["__pay__"].dataType
     lcols = list(left.columns)
     by_set = set(by)

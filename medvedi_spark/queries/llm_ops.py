@@ -152,38 +152,9 @@ _D3_SHINGLES_SQL = """
 )
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("l"))
-    bigrams = F.zip_with(
-        F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
-        F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
-        lambda x, y: F.concat_ws(" ", x, y),
-    )
-    shingles = (
-        toks.select("doc_id", F.explode(bigrams).alias("s"))
-        .filter(~F.col("s").contains("  ") & (F.col("s") != "") & ~F.col("s").startswith(" ") & ~F.col("s").endswith(" "))
-        .distinct()
-    )
-    hashed = shingles.select("doc_id", token_hash(F.col("s")).alias("h"))
-    # ONE aggregation produces both the 16 minhash mins and the full hash
-    # set per doc — the groupBy exchange computes once and every branch
-    # (banding, verification) reuses it instead of re-running the
-    # shingle explode+distinct pipeline.
-    sigs = hashed.groupBy("doc_id").agg(
-        *minhash_agg_cols("h"),
-        F.array_distinct(F.sort_array(F.collect_list("h"))).alias("toks"),
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.concat_ws(",", F.col(f"m{2 * i}"), F.col(f"m{2 * i + 1}")).alias("band_val"),
-            )
-            for i in range(8)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bd")).select(
-        "doc_id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
-    )
+    # shared shingle→hash→signature→band pipeline (also the st10 corpus
+    # index) — see operators.llm.minhash_band_index for the plan notes
+    sigs, bands = ops.minhash_band_index(docs, "doc_id", "text")
     ba, bb = bands.alias("ba"), bands.alias("bb")
     candidates = (
         ba.join(

@@ -448,6 +448,7 @@ def _st10_row_minhash_bands(harr):
     init = F.array(*[F.lit(MINHASH_PRIME).cast("bigint")] * len(MINHASH_COEFFS))
     aa = F.array(*[F.lit(a).cast("bigint") for a, _ in MINHASH_COEFFS])
     bb = F.array(*[F.lit(b).cast("bigint") for _, b in MINHASH_COEFFS])
+    n_bands = len(MINHASH_COEFFS) // 2  # two-min bands, same as minhash_band_index
     return F.aggregate(
         harr,
         init,
@@ -460,7 +461,7 @@ def _st10_row_minhash_bands(harr):
             ),
         ),
         lambda acc: F.transform(
-            F.sequence(F.lit(0), F.lit(7)),
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
             lambda i: F.struct(
                 i.cast("int").alias("band_idx"),
                 F.concat_ws(
@@ -542,39 +543,16 @@ def _st10_row_minhash_bands(harr):
 )
 def st10_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from medvedi_spark.catalog import load
-    from medvedi_spark.functions.hashing import minhash_agg_cols, token_hash
+    from medvedi_spark.functions.hashing import token_hash
+    from medvedi_spark.operators.llm import minhash_band_index
 
-    # ---- static corpus index (batch d3 pipeline over the % 10 != 0 slice)
+    # ---- static corpus index: the SAME shingle→hash→signature→band
+    # pipeline as d3 (shared helper, so stream-vs-corpus band agreement
+    # can't drift), over the % 10 != 0 slice
     corpus = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
-    ctoks = corpus.select("doc_id", F.split("text", " ").alias("l"))
-    cbigrams = F.zip_with(
-        F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
-        F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
-        lambda x, y: F.concat_ws(" ", x, y),
-    )
-    cshingles = (
-        ctoks.select("doc_id", F.explode(cbigrams).alias("s"))
-        .filter(~F.col("s").contains("  ") & (F.col("s") != "") & ~F.col("s").startswith(" ") & ~F.col("s").endswith(" "))
-        .distinct()
-    )
-    chashed = cshingles.select("doc_id", token_hash(F.col("s")).alias("h"))
-    csigs = chashed.groupBy("doc_id").agg(
-        *minhash_agg_cols("h"),
-        F.array_distinct(F.sort_array(F.collect_list("h"))).alias("toks_c"),
-    )
-    cband_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.concat_ws(",", F.col(f"m{2 * i}"), F.col(f"m{2 * i + 1}")).alias("band_val"),
-            )
-            for i in range(8)
-        ]
-    )
-    c_bands = csigs.select(F.col("doc_id").alias("dup_of"), F.explode(cband_structs).alias("bd")).select(
-        "dup_of", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
-    )
-    c_toks = csigs.select(F.col("doc_id").alias("dup_of"), "toks_c")
+    csigs, cbands = minhash_band_index(corpus, "doc_id", "text")
+    c_bands = cbands.withColumnRenamed("doc_id", "dup_of")
+    c_toks = csigs.select(F.col("doc_id").alias("dup_of"), F.col("toks").alias("toks_c"))
 
     # ---- arriving documents: row-wise shingle -> hash -> minhash bands
     stream = _read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
