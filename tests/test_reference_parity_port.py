@@ -976,3 +976,23 @@ def test_join_outer_with_empty_left(spark):
     )
     assert sorted(np.asarray(out["a"])) == [0, 1]
     assert sorted(np.asarray(out["b"])) == [4, 5]
+
+
+# -- test_serialization.py truncation fuzz ----------------------------------
+
+
+def test_deserialize_unsafe_rejects_every_truncation(spark):
+    """ref `tests/test_serialization.py:92-97`: every strict prefix of a
+    serialized buffer must raise (the reference raises CorruptedBuffer;
+    our Arrow-IPC replacement raises pyarrow's invalid-stream error),
+    never silently return a wrong frame. Sampled prefixes keep the fuzz
+    fast; the boundary cases (0, 1, len-1) are always included."""
+    m = MDF({"a": [1, 2, 3], "b": ["x", "y", "z"]}, index="a", spark=spark)
+    blob = m.serialize_unsafe()
+    assert len(blob) > 8
+    cuts = sorted({0, 1, 7, len(blob) // 3, len(blob) // 2, len(blob) - 1})
+    for cut in cuts:
+        with pytest.raises(Exception):
+            MDF.deserialize_unsafe(blob[:cut], spark=spark)
+    back = MDF.deserialize_unsafe(blob, spark=spark)  # full buffer still OK
+    assert list(back["b"]) == ["x", "y", "z"] and back.index.names == ("a",)
