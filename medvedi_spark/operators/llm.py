@@ -404,6 +404,70 @@ def _jaccard_prefix_filter(tok: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def gram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT |G(A)∩G(B)| / |G(A)| ≥ ``threshold``
+    over word n-gram sets — the quotation / subset-document detector
+    (a doc whose grams mostly appear in another is a quote, an excerpt,
+    or a superseded revision; Jaccard misses these when the container is
+    much longer). Set-similarity-join prefix filtering (Chaudhuri et
+    al., ICDE 2006), asymmetric form:
+
+    - the CONTAINED side ships only its ``m - ceil(t*m) + 1`` rarest
+      grams (document-frequency ascending — a qualifying pair must share
+      at least one of them) into the candidate join;
+    - the CONTAINER side cannot be pruned (asymmetry) and stays a full
+      inverted index — the join is prefix × index, shuffled on the gram
+      hash (AQE sizes it; the gram df table is corpus-sized, so it is
+      joined, never broadcast);
+    - verification is an exact ``array_intersect`` over md5-derived
+      gram-hash sets — both engines build the identical integer sets, so
+      parity is exact (same ruling as d3's hashed-set Jaccard).
+
+    Returns ``(doc_a, doc_b, containment)`` with doc_a the contained doc.
+    """
+    from medvedi_spark.functions.hashing import token_hash
+
+    toks = df.select(F.col(id_col).alias("doc_id"), F.filter(F.split(text_col, " "), lambda t: t != "").alias("l"))
+    grams = (
+        toks.select("doc_id", F.explode(word_ngrams_of(F.col("l"), n)).alias("g"))
+        .select("doc_id", token_hash(F.col("g")).alias("h"))
+        .distinct()
+    )
+    gram_df = grams.groupBy("h").agg(F.count(F.lit(1)).alias("gram_df"))
+    w = Window.partitionBy("doc_id").orderBy("gram_df", "h")
+    w_sz = Window.partitionBy("doc_id")
+    prefix = (
+        grams.join(gram_df, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(w_sz))
+        .filter(F.col("rn") <= F.col("m") - F.ceil(F.lit(threshold) * F.col("m")) + 1)
+        .select("doc_id", "h")
+    )
+    candidates = (
+        prefix.alias("pa")
+        .join(grams.alias("pb"), (F.col("pa.h") == F.col("pb.h")) & (F.col("pa.doc_id") != F.col("pb.doc_id")))
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    gram_sets = grams.groupBy("doc_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    ga = gram_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    gb = gram_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    shared = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        candidates.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("containment", shared.cast("double") / F.size("hs_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def minhash_band_index(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame]:
     """Corpus MinHash-LSH index (Broder 1997): bigram shingles →
     md5-derived token hashes → 16 minhash mins + the distinct hash set,

@@ -922,3 +922,52 @@ _D11_K = 20
 def d11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return ops.duplicate_spans(docs, "doc_id", "text", k=_D11_K)
+
+
+# --------------------------------------------------------------------------
+# d12 — asymmetric n-gram containment: docs whose gram set mostly lives
+# inside ANOTHER doc (quotes, excerpts, superseded revisions — pairs a
+# symmetric Jaccard threshold misses when the container is much longer).
+# Prefix-filtered set-similarity join; oracle = the unfiltered quadratic
+# replay over the same md5 gram hashes.
+# --------------------------------------------------------------------------
+
+_D12_N = 5
+_D12_T = 0.8
+
+
+@register(
+    "d12_gram_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             (CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 2147483647) AS h
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(l) - {_D12_N - 2}),
+                              i -> array_to_string(l[i:i+{_D12_N - 1}], ' ')) AS gs
+        FROM toks
+      ), LATERAL (SELECT unnest(gs) AS g)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS m FROM grams GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS sh
+      FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, CAST(s.sh AS DOUBLE) / sa.m AS containment
+    FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a
+    WHERE CAST(s.sh AS DOUBLE) / sa.m >= {_D12_T}
+    """,
+    tags=("dedup", "containment", "ssjoin", "llm"),
+    doc="Gate duplicate: the token-set join machinery is driver-gated via "
+        "d2/d7; d12 adds the asymmetric containment (quotation) detector, "
+        "proven by the same oracle harness locally.",
+    gate=False,
+)
+def d12_gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ops.gram_containment_pairs(docs, "doc_id", "text", n=_D12_N, threshold=_D12_T)

@@ -347,3 +347,18 @@ def test_pq_encode_matches_numpy(spark, sf_dir):
         for s in range(8):
             d2 = ((X[i, s * 8 : s * 8 + 8] - C[:, s * 8 : s * 8 + 8]) ** 2).sum(axis=1)
             assert got[r.vec_id][s] == int(d2.argmin()), (r.vec_id, s)
+
+
+def test_gram_containment_detects_subset_doc(spark):
+    """A doc whose grams all appear in a longer container must surface as
+    contained (containment 1.0) while symmetric-jaccard-dissimilar; the
+    reverse direction must NOT qualify."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    container = base + " " + "iota kappa lamda mu nu xi omicron pi rho sigma tau upsilon"
+    df = spark.createDataFrame(
+        [(1, base), (2, container), (3, "totally different words here entirely now")],
+        "doc_id int, text string",
+    )
+    rows = {(r.doc_a, r.doc_b): r.containment for r in
+            llm.gram_containment_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()}
+    assert rows == {(1, 2): 1.0}  # contained→container only, not reversed
