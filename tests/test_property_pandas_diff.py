@@ -213,3 +213,47 @@ def test_duplicate_spans_matches_bruteforce(spark, texts):
     grams_present = any(len(t) >= k for t in texts)
     expected = _brute_duplicate_spans(docs, k) if grams_present else {}
     assert got == expected
+
+
+def _brute_containment(docs, n, t):
+    gsets = {}
+    for d, text in docs:
+        toks = [w for w in text.split(" ") if w]
+        gsets[d] = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    out = {}
+    for a, ga in gsets.items():
+        if not ga:
+            continue
+        for b, gb in gsets.items():
+            if a == b:
+                continue
+            c = len(ga & gb) / len(ga)
+            if c >= t:
+                out[(a, b)] = round(c, 9)
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=4,
+    ),
+    t=st.sampled_from([0.5, 0.8, 1.0]),
+)
+@settings(**SETTINGS)
+def test_gram_containment_matches_bruteforce(spark, texts, t):
+    """The SSJoin prefix filter must lose NO qualifying pair (an
+    off-by-one in the m - ceil(t*m) + 1 prefix size silently drops
+    candidates) — brute-force containment over tiny-alphabet corpora is
+    the ground truth."""
+    from medvedi_spark.operators.llm import gram_containment_pairs
+
+    n = 2
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r.doc_a, r.doc_b): round(r.containment, 9)
+        for r in gram_containment_pairs(df, "doc_id", "text", n=n, threshold=t).collect()
+    }
+    assert got == _brute_containment(docs, n, t)
