@@ -143,7 +143,18 @@ def _jaccard_adaptive(
     the compare is routed to the popcount-banded SHUFFLED self-join instead
     (`_jaccard_bitset_wide_shuffled`) — same output, no broadcast of a
     corpus-proportional table.
+
+    The distinct-gram table is PERSISTED for the plan's lifetime: it is
+    consumed three times (stats, vocab/bit assignment, mask build), each
+    recompute paying the tokenize+explode+DISTINCT shuffle again —
+    measured 11.9s → 4.7s on d7 at sf0.1. At corpus scale the
+    MEMORY_AND_DISK copy is still cheaper than three shuffling
+    recomputes; eviction is LRU (the stats ``.first()`` below populates
+    the cache eagerly, so the later consumers always hit it).
     """
+    from pyspark import StorageLevel
+
+    tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
     stats = tok.agg(
         F.countDistinct("t").alias("n_vocab"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -199,7 +210,7 @@ def _expand_mask_groups(groups: DataFrame, near: DataFrame) -> DataFrame:
 
 
 def _jaccard_bitset(tok: DataFrame, vocab: DataFrame, threshold: float) -> DataFrame:
-    bits = vocab.select("t", (F.row_number().over(Window.orderBy("t")) - 1).alias("bit"))
+    bits = vocab.select("t", (F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("t")) - 1).alias("bit"))
     masks = (
         tok.join(F.broadcast(bits), "t")
         .groupBy("doc_id")
@@ -225,7 +236,7 @@ def _wide_mask_groups(tok: DataFrame, vocab: DataFrame, vocab_size: int) -> Data
     grams), grouped by identical mask → (mask, ids). Shared by the
     broadcast and shuffled wide-bitset compare strategies."""
     nwords = (vocab_size + 63) // 64
-    bits = vocab.select("t", (F.row_number().over(Window.orderBy("t")) - 1).alias("bit"))
+    bits = vocab.select("t", (F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("t")) - 1).alias("bit"))
     word_masks = (
         tok.join(F.broadcast(bits), "t")
         .groupBy("doc_id", F.expr("bit DIV 64").alias("w"))
