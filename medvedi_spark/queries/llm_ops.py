@@ -785,6 +785,109 @@ def s5_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# s6 — IVFADC (Jégou et al., TPAMI 2011): the composition that makes PQ
+# search scale. s5's flat ADC scan scores every corpus code per query —
+# corpus-linear work × Q queries, the one ANN scale-killer left after
+# round 4. Here queries route through the s2/s3-style coarse quantizer
+# first (argmin-L2 cells, broadcast codebook) and ADC-score ONLY the
+# codes in their nprobe nearest cells: candidate generation becomes a
+# broadcast hash join on the cell id, and per-query work drops to
+# nprobe/n_cells of the corpus. The oracle replays the identical coarse
+# assignment + LUT arithmetic with the same shared-cell filter.
+# --------------------------------------------------------------------------
+
+_S6_COARSE = 8
+_S6_NPROBE = 2
+
+
+@register(
+    "s6_ivfadc_topk",
+    oracle=f"""
+    WITH ccent AS (
+      SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < {_S6_COARSE}
+    ),
+    capairs AS (
+      SELECT e.vec_id, c.cent_id, unnest(e.embedding) AS xa, unnest(c.c) AS xb
+      FROM embeddings e CROSS JOIN ccent c
+    ),
+    cad AS (
+      SELECT vec_id, cent_id, {_S4_DEC_D2} AS d2
+      FROM capairs GROUP BY vec_id, cent_id
+    ),
+    car AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+      FROM cad
+    ),
+    assign AS (SELECT vec_id, cent_id AS cell FROM car WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM car
+      WHERE vec_id < {_S5_PROBES} AND rn <= {_S6_NPROBE}
+    ),
+    cent AS (
+      SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < {_S4_K}
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_S4_SUBS - 1})) AS s),
+    pairs AS (
+      SELECT e.vec_id, cent.cent_id, sub.s,
+             unnest(e.embedding[sub.s * {_S4_SUBDIM} + 1 : sub.s * {_S4_SUBDIM} + {_S4_SUBDIM}]) AS xa,
+             unnest(cent.c[sub.s * {_S4_SUBDIM} + 1 : sub.s * {_S4_SUBDIM} + {_S4_SUBDIM}]) AS xb
+      FROM embeddings e, cent, sub
+    ),
+    d AS (
+      SELECT vec_id, cent_id, s, {_S4_DEC_D2} AS d2
+      FROM pairs GROUP BY vec_id, cent_id, s
+    ),
+    codes AS (
+      SELECT vec_id AS neighbor_id, s, cent_id AS code
+      FROM (SELECT vec_id, s, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+            FROM d)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, cent_id AS code, s, d2
+      FROM d WHERE vec_id < {_S5_PROBES}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(CAST(SUM(CAST(l.d2 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS d2_approx
+      FROM cand c
+      JOIN codes k ON k.neighbor_id = c.neighbor_id
+      JOIN lut l ON l.query_id = c.query_id AND l.s = k.s AND l.code = k.code
+      GROUP BY c.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, d2_approx FROM (
+      SELECT query_id, neighbor_id, d2_approx,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2_approx, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_S5_K}
+    """,
+    tags=("similarity", "ann", "quantization", "ivf", "llm"),
+    doc="IVFADC: IVF cell routing composed with ADC LUT scoring — the "
+        "scale fix for s5's flat corpus-per-query scan (VERDICT r4 "
+        "directive #2).",
+)
+def s6_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = emb.filter(F.col("vec_id") < _S6_COARSE).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    cent = emb.filter(F.col("vec_id") < _S4_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    return ops.ivfadc_topk(
+        emb, coarse, cent, "vec_id", "embedding",
+        probe=F.col("vec_id") < _S5_PROBES,
+        k=_S5_K, nprobe=_S6_NPROBE, n_subspaces=_S4_SUBS,
+    )
+
+
+# --------------------------------------------------------------------------
 # d10 — semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
 # embedding space (broadcast nearest-centroid assignment), then dedup by
 # exact cosine WITHIN clusters only. At 100 TB the cluster key bounds the

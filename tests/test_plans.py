@@ -221,6 +221,43 @@ def test_s5_adc_no_corpus_by_query_shuffle(spark, sf_dir, qmap):
     assert facts["exch"] <= 3
 
 
+def test_s6_ivfadc_cell_bounded(spark, sf_dir, qmap):
+    """IVFADC: the candidate join must be a broadcast HASH join on the
+    cell id (routing table = model state), never a corpus×queries cross
+    join; the scored candidate set is bounded by the probed cells'
+    contents, strictly below the flat scan's corpus × queries."""
+    df = qmap["s6_ivfadc_topk"](spark, sf_dir)
+    facts = plan_facts(df)
+    # BNLJs are codebook-sized only: coarse assign, pq_encode, LUT build
+    assert facts["bnlj"] >= 3, "coarse codebook + PQ codebook + LUT must broadcast"
+    assert facts["bhj"] >= 1, "candidate generation must be a hash join on cell"
+
+    # numeric cell-bounding: rank over ALL scored rows (k=corpus) must
+    # cover < n_queries * (corpus - 1) pairs — the flat scan's count
+    from pyspark.sql import functions as F
+
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators import llm as ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    n_queries = 5
+    coarse = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    all_scored = ops.ivfadc_topk(
+        emb, coarse, cent, "vec_id", "embedding",
+        probe=F.col("vec_id") < n_queries, k=n_corpus, nprobe=2, n_subspaces=8,
+    ).count()
+    assert all_scored < n_queries * (n_corpus - 1), (
+        f"IVFADC scored {all_scored} pairs — not cell-bounded vs flat "
+        f"{n_queries * (n_corpus - 1)}"
+    )
+
+
 def test_c17_upsert_changes_join(spark, sf_dir, qmap):
     """CDC merge: the anti join on the key must be a real join (broadcast
     or shuffled-by-key), and the union adds no exchange."""
