@@ -104,13 +104,55 @@ def st2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st3_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     tags=("streaming", "dedup"),
-    doc="FAILED the round-2 driver gate (events ts load bug): kept in-window so the fix is driver-proven, not just local.",
+    doc="FAILED the round-2 driver gate (events ts load bug): kept in-window so the fix is driver-proven, not just local. "
+        "STATE-BOUND NOTE: plain dropDuplicates keeps every key forever — "
+        "correct for this oracle's GLOBAL-distinct contract, but unbounded "
+        "state on an endless stream; st11 is the production watermarked "
+        "variant with bounded state.",
     gate=True,
 )
 def st3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     deduped = events.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     return run_to_memory(deduped, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st11 — WATERMARKED streaming dedup (VERDICT r4 directive #3, SURVEY
+# §2.9): `dropDuplicatesWithinWatermark` bounds dedup state — keys whose
+# event time falls behind the watermark by more than the delay are
+# EVICTED, so state is O(keys-per-watermark-window) instead of O(all
+# keys ever seen). On a 100 TB/day stream this is the only dedup that
+# survives; the price is that duplicates farther apart than the delay
+# re-emit (exactly the documented semantics). Deterministic here because
+# the availableNow drain reads the single events file in ONE micro-batch
+# — the watermark starts at epoch, nothing is evicted mid-batch, and the
+# within-batch dedup equals the global distinct, so the same SQL oracle
+# applies; output projects only the key columns so "which row was first"
+# never leaks into the result.
+# --------------------------------------------------------------------------
+
+
+def _st11_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming plan, pre-drain (shared with the state-operator test)."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+@register(
+    "st11_watermarked_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "watermark"),
+    doc="Bounded-state streaming dedup: dropDuplicatesWithinWatermark "
+        "evicts keys older than the 1h watermark delay (st3's plain "
+        "dropDuplicates keeps all keys forever).",
+)
+def st11_watermarked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(_st11_plan(spark, sf_dir), output_mode="append")
 
 
 # --------------------------------------------------------------------------

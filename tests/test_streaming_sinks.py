@@ -101,3 +101,33 @@ def test_st10_rowwise_minhash_equals_batch_aggregate(spark):
         for i in range(8):
             expect = f"{sig[f'm{2 * i}']},{sig[f'm{2 * i + 1}']}"
             assert rowwise[(doc_id, i)] == expect, (doc_id, i)
+
+
+def test_st11_state_operator_is_within_watermark(spark, sf_dir):
+    """st11's dedup must lower to the WATERMARK-EVICTING state operator
+    (DeduplicateWithinWatermark), not plain Deduplicate whose state grows
+    forever — the bounded-state guarantee is the point of the query."""
+    from medvedi_spark.queries.stream_ops import _st11_plan, st3_stream_dedup  # noqa: F401
+
+    plan = _st11_plan(spark, sf_dir)._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan
+    # and the watermark column is attached ahead of it
+    assert "EventTimeWatermark" in plan, plan
+
+
+def test_st11_matches_batch_distinct(spark, sf_dir):
+    """Single-batch availableNow drain: within-batch watermarked dedup
+    equals the batch global distinct."""
+    from medvedi_spark.catalog import load
+    from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    got = {
+        (r.user_id, r.event_type)
+        for r in QUERIES["st11_watermarked_dedup"].builder(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_type)
+        for r in load(spark, sf_dir, "events").select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
