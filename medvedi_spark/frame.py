@@ -119,6 +119,18 @@ def _renumber_by(df: DataFrame, *order_exprs: Column) -> DataFrame:
     )
 
 
+def _positive_weight(weights: str) -> Column:
+    """Weight-column sampling filter: keep rows with a finite positive
+    weight. NaN must be excluded EXPLICITLY — Spark orders NaN greater
+    than any number, so ``w > 0`` alone lets NaN through, where it
+    poisons the cumulative sums of the inverse-CDF sampler (total becomes
+    NaN and every draw silently misses). NaN/null/nonpositive rows are
+    the probability-0 analog of ``np.random.choice`` dropping them; the
+    driver-side numpy compat path raises instead, matching the reference."""
+    w = F.col(weights).cast("double")
+    return (w > 0) & ~F.isnan(w)
+
+
 def _numpy_to_spark_type(arr: np.ndarray) -> T.DataType:
     kind = arr.dtype.kind
     if kind == "b":
@@ -146,23 +158,37 @@ def _infer_object_type(arr: np.ndarray) -> T.DataType:
     and pick the narrowest Spark type. A column mixing list payloads with
     scalars is typed as an array; the scalars wrap into one-element lists
     at construction, which is exactly what makes ``explode`` keep them as
-    single rows (`medvedi/dataframe.py:581-606`)."""
+    single rows (`medvedi/dataframe.py:581-606`).
+
+    Heterogeneous element types RAISE: the reference's serializer
+    (`medvedi/io.pyx:195-343`) measures every element and rejects a
+    column whose payloads disagree (e.g. ``[[1, 2], "a"]``); Spark
+    columns are single-typed, so silently coercing here would corrupt
+    data the reference round-trips as an error."""
     elem: T.DataType | None = None
     has_list = False
     for v in arr:
         if v is None:
             continue
         if isinstance(v, dict):
-            elem = elem or T.StringType()  # JSON payload convention (ODT_JSON)
+            t: T.DataType = T.StringType()  # JSON payload convention (ODT_JSON)
         elif isinstance(v, (list, tuple, np.ndarray)):
             has_list = True
             if len(v) == 0:
                 continue  # empty list says nothing about the element type
             inner = np.asarray(v)
-            if elem is None:
-                elem = T.StringType() if inner.dtype.kind == "O" else _numpy_to_spark_type(inner)
-        elif elem is None:
-            elem = _scalar_spark_type(v)
+            t = T.StringType() if inner.dtype.kind == "O" else _numpy_to_spark_type(inner)
+        else:
+            t = _scalar_spark_type(v)
+        if elem is None:
+            elem = t
+        elif elem != t:
+            raise TypeError(
+                f"object column mixes value types {elem.simpleString()} and "
+                f"{t.simpleString()}; the reference serializer rejects "
+                "heterogeneous object columns (medvedi/io.pyx:195-343) — "
+                "cast payloads to one type first"
+            )
     if has_list:
         return T.ArrayType(elem or T.StringType())
     return elem or T.StringType()
@@ -790,7 +816,7 @@ class MDF:
                 if replace:
                     return self._sample_weighted_replace(weights, n, ignore_index)
                 keyed = (
-                    self._df.filter(F.col(weights) > 0)
+                    self._df.filter(_positive_weight(weights))
                     .withColumn("__wkey__", -F.log(F.rand()) / F.col(weights))
                 )
                 out = keyed.orderBy(F.col("__wkey__").asc()).limit(n).drop("__wkey__")
@@ -862,7 +888,7 @@ class MDF:
                 out0 = out0.drop(ROW_ID)
             return MDF._from_spark(out0, keep)
         base = (
-            self._df.filter(F.col(weights) > 0)
+            self._df.filter(_positive_weight(weights))
             .withColumn("__pid__", F.spark_partition_id())
             .withColumn(
                 "__hi0__",

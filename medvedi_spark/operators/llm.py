@@ -18,6 +18,14 @@ from pyspark.sql.window import Window
 from medvedi_spark.functions.hashing import minhash_agg_cols, simhash_col, token_hash
 from medvedi_spark.queries._det import DEC
 
+# Tracked operator-lifetime persists (shared with operators.relational);
+# sessions running many queries reclaim blocks with release_persisted().
+from medvedi_spark.operators._persist import (  # noqa: F401  (re-export)
+    _PERSISTED,
+    persist_tracked as _persist_tracked,
+    release_persisted,
+)
+
 
 def dot_dec(a: Column | str, b: Column | str) -> Column:
     """Exact-decimal dot product of two double arrays (order-free sum,
@@ -150,11 +158,11 @@ def _jaccard_adaptive(
     measured 11.9s → 4.7s on d7 at sf0.1. At corpus scale the
     MEMORY_AND_DISK copy is still cheaper than three shuffling
     recomputes; eviction is LRU (the stats ``.first()`` below populates
-    the cache eagerly, so the later consumers always hit it).
+    the cache eagerly, so the later consumers always hit it). The persist
+    is TRACKED — sessions running many queries reclaim the blocks with
+    :func:`release_persisted` once the returned plan has materialized.
     """
-    from pyspark import StorageLevel
-
-    tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+    tok = _persist_tracked(tok)
     stats = tok.agg(
         F.countDistinct("t").alias("n_vocab"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -1558,7 +1566,7 @@ def bpe_learn(
     text_col: str,
     n_merges: int = 3,
     min_count: int = 1,
-    max_vocab: int = 1_000_000,
+    max_vocab: int | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], dict[str, tuple[str, ...]]]:
     """Byte-pair-encoding merge learning (Sennrich et al. 2016,
     arXiv:1508.07909) — the tokenizer-training kernel.
@@ -1569,15 +1577,18 @@ def bpe_learn(
     table, which is MODEL state (same ruling as ``kmeans_lloyd``'s
     centroids). On web-scale corpora the raw space-split "word" universe
     is NOT bounded (URLs, typos, punctuation-glued tokens reach 10^9+
-    distinct strings on 100 TB), so the collect is bounded by two
+    distinct strings on 100 TB), so scale callers OPT IN to two
     distributed prunes, exactly as production trainers do: a ``min_count``
     frequency floor and a deterministic ``max_vocab`` top-M cap (count
     desc, word asc — Spark plans the ordered limit as
     TakeOrderedAndProject: per-partition partial top-M, only M rows ever
-    reach the driver, no single-partition sort). Pruned tail words carry
-    negligible pair mass by construction (each contributes < min_count or
-    ranks below M); with the defaults nothing is pruned at test scale, so
-    oracle answers are unchanged. Ties in merge selection break
+    reach the driver, no single-partition sort). Both default OFF
+    (exact full-vocabulary counts, matching the reference aggregation);
+    when a ``max_vocab`` cap actually prunes, a ``UserWarning`` signals
+    that merge counts diverge from the full aggregation (round-4
+    ADVICE). Pruned tail words carry negligible pair mass by
+    construction (each contributes < min_count or ranks below M).
+    Ties in merge selection break
     deterministically (count desc, then pair lexicographic).
     Returns (merges [(iteration, left, right, count)], final
     segmentation per word).
@@ -1591,8 +1602,25 @@ def bpe_learn(
     if min_count > 1:
         wf = wf.filter(F.col("f") >= min_count)
     if max_vocab is not None:
-        wf = wf.orderBy(F.col("f").desc(), F.col("w").asc()).limit(max_vocab)
-    freq = {r.w: r.f for r in wf.collect()}  # pruned, vocabulary-sized model state
+        # deterministic top-M (count desc, word asc) — lowers to
+        # TakeOrderedAndProject; fetch M+1 rows so an ACTUAL prune is
+        # detectable without a second count job, and warn (merge counts
+        # then diverge from the uncapped aggregation — round-4 ADVICE)
+        rows = wf.orderBy(F.col("f").desc(), F.col("w").asc()).limit(max_vocab + 1).collect()
+        if len(rows) > max_vocab:
+            import warnings
+
+            warnings.warn(
+                f"bpe_learn: max_vocab={max_vocab} pruned the vocabulary — "
+                "merge counts will diverge from a full-vocabulary "
+                "aggregation (pruned tail words carry < the cap's rank mass)",
+                UserWarning,
+                stacklevel=2,
+            )
+            rows = rows[:max_vocab]
+        freq = {r.w: r.f for r in rows}  # pruned, vocabulary-sized model state
+    else:
+        freq = {r.w: r.f for r in wf.collect()}  # full-vocabulary model state
     segs: dict[str, tuple[str, ...]] = {w: tuple(w) for w in freq}
     merges: list[tuple[int, str, str, int]] = []
     for it in range(1, n_merges + 1):

@@ -115,7 +115,20 @@ def _global_running_pick(unioned: DataFrame, order: list[Column], direction: str
     """
     spark = unioned.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    rng = (
+    # The carry table below re-references `rng`, and correctness near
+    # range boundaries requires both references to see the SAME boundary
+    # sampling. The planner does NOT dedupe them (column pruning makes
+    # the two exchange subtrees non-identical — verified: two separate
+    # rangepartitioning exchanges, no ReusedExchange), so the shared
+    # partitioning is made EXPLICIT with a tracked persist: both branches
+    # read the one materialized InMemoryTableScan, and even a
+    # block-eviction recompute reproduces identical boundaries because
+    # range sampling is seed-deterministic for a given input. Pinned by
+    # tests/test_scale_fixes_r5.py. Bonus: the union+shuffle is computed
+    # once, not twice.
+    from medvedi_spark.operators._persist import persist_tracked
+
+    rng = persist_tracked(
         unioned.repartitionByRange(n_part, *order)
         .sortWithinPartitions(*order)
         .withColumn("__pid__", F.spark_partition_id())

@@ -475,14 +475,29 @@ def test_concat_empty_typed_tail_keeps_dtype(spark):
 # -- test_explode.py -------------------------------------------------------
 
 
+def test_mixed_value_type_object_column_raises(spark):
+    """ref `medvedi/io.pyx:195-343` `_measure_object_column` — the
+    serializer measures every payload and REJECTS a column whose element
+    types disagree. Spark columns are single-typed, so construction
+    raises the same contract violation instead of silently coercing
+    (round-4 residual #1, now asserted behavior)."""
+    with pytest.raises(TypeError, match="mixes value types"):
+        MDF({"a": np.array([[1, 2], "a", [3]], dtype=object)}, spark=spark)
+    with pytest.raises(TypeError, match="mixes value types"):
+        MDF({"a": np.array([1, "x", 2], dtype=object)}, spark=spark)
+    with pytest.raises(TypeError, match="mixes value types"):
+        MDF({"a": np.array([[1, 2], ["x"]], dtype=object)}, spark=spark)
+
+
 def test_explode_ignore_index_forms(spark):
     """ref test_explode_ignore_index — scalar-mixed object column,
     sibling replication, index kept or dropped.
 
     Delta vs the reference: its numpy object column also mixes value
-    TYPES ([1,2] and "a" together); Spark columns are typed, so the
-    ruled representation for such payloads is a single consistent
-    element type (mixed list/scalar SHAPES are supported 1:1)."""
+    TYPES ([1,2] and "a" together); such payloads now RAISE (see
+    test_mixed_value_type_object_column_raises), so this port uses a
+    single consistent element type (mixed list/scalar SHAPES are
+    supported 1:1)."""
     df = MDF(
         {"a": np.array([[1, 2], [3], [4, 5, 6], 7, 8], dtype=object), "b": [9, 8, 7, 6, 5]},
         index="b",
