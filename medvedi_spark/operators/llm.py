@@ -1502,7 +1502,12 @@ def duplicate_spans(
     ``k`` substitute a 128-bit md5 key to bound shuffle width, which
     keeps collisions below 10^-18 per corpus.
     """
-    anchors = (
+    # The anchor table is consumed TWICE (gram-verdict agg + join-back
+    # left side); persisting it trades one MEMORY_AND_DISK copy for a
+    # second posexplode+scan pass — the same ruling as d7's gram persist
+    # (measured at sf0.1: warm min 5.6 s re-derived → 4.6 s persisted).
+    # Tracked: bench/long sessions reclaim via release_persisted().
+    anchors = _persist_tracked(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t__"))
         .filter(F.length("__t__") >= k)
         .select(
@@ -1525,9 +1530,7 @@ def duplicate_spans(
     # to the anchors is a shuffle join AQE's skew-join CAN split.
     # (A gram-keyed window was ~2× faster at sf0.1 on uniform data but
     # has an unbounded straggler ceiling; this shape trades that constant
-    # for scale safety. The anchors are re-derived for the join's left
-    # side — a codegen-linear posexplode pass, cheaper at corpus scale
-    # than persisting the anchor set.)
+    # for scale safety.)
     cross = (
         anchors.groupBy("gram")
         .agg((F.min("doc_id") != F.max("doc_id")).alias("__cross__"))
