@@ -34,48 +34,54 @@ __all__ = ["QUERIES", "Query", "register", "queries", "oracle_sql"]
 # check_oracle, they just don't spend gate budget.
 GATE_WINDOW = 50
 
-# Round-4 gate rotation (VERDICT r3 directive #2). Rounds 1-3 drove the same
-# 50 queries through the driver oracle; all 50 are green in
-# CORRECTNESS_r03.json, so they rotate OUT and the 55 queries that so far had
-# only local check_oracle evidence rotate IN. The window holds 50, so 5
-# extras whose operator family is redundantly covered inside the new window
-# stay local-only: m7 (aHash near-dup; m4 gates the same aHash kernel),
-# q7 (duplicated() pairs; driver-green via c5 in r1-r3), q15 (cube; q14
-# rollup + q24 grouping-sets gate the same expansion), q30 (plain
-# groupBy-agg; q23/q28/q29 gate the family), c10 (non-strict concat fills;
-# c8/c9 gate the same fill/scatter path and q9 gated strict concat in r1-r3).
-# Membership here OVERRIDES the per-registration ``gate=`` flag, which now
+# Round-5 gate rotation (VERDICT r4 directive #1). Rotation history:
+# r1-r3 drove one 50-query window (all green, CORRECTNESS_r03.json);
+# GATE_ROTATION_R4 drove the 50 that until then had only local evidence
+# (all green, CORRECTNESS_r04.json). R5 completes full-coverage — after
+# this round EVERY registered query has had a driver-green row — and
+# re-proves everything whose code changed this round:
+# - the 5 queries with no driver row yet (the r4 rotation comment's
+#   planned set): st10, c18, d12, m7, c10;
+# - the 2 new r5 queries: s6_ivfadc_topk, st11_watermarked_dedup;
+# - the 7 whose plans changed in r5: d2/d7 (tracked gram persist),
+#   d11 (anchor persist), p8/p9 (bpe max_vocab default), s5 (LUT
+#   refactor shared with s6), q17 (as-of module's persist change);
+# - the 3 r4-excluded extras whose driver rows date to r1-r3: q7, q15,
+#   q30;
+# - 33 fill slots re-verifying the stalest r1-r3 evidence (c1-c7,
+#   d1/d3-d6, s1/s2, the q relational long tail, t1 for the t family).
+# Membership here OVERRIDES the per-registration ``gate=`` flag, which
 # records only the round-1 layout.
-GATE_ROTATION_R4 = frozenset(
+GATE_ROTATION_R5 = frozenset(
     {
-        # compat surface never driver-verified before r4
-        "c8_join_fill_defaults", "c9_join_last_wins", "c11_mdf_dedup_pipeline",
-        "c12_mdf_explode", "c13_mdf_fillna_astype", "c14_csv_roundtrip",
-        "c15_json_roundtrip", "c16_orc_roundtrip", "c17_upsert_merge",
-        # dedup / similarity
-        "d8_edit_distance", "d9_decontamination", "d10_semantic_dedup",
-        "d11_duplicate_spans", "s3_kmeans_assign", "s4_pq_encode",
-        "s5_pq_adc_topk",
-        # relational
-        "q2_top_orders", "q14_rollup", "q22_exists_semijoin", "q23_custdist",
-        "q24_grouping_sets", "q25_above_brand_avg", "q28_local_supplier_volume",
-        "q29_returned_items", "q32_array_roundtrip", "q33_datetime_surface",
-        "q34_string_surface", "q36_unpivot_metrics", "q37_ranking_windows",
-        "q38_multires_rollup",
-        # streaming
-        "st8_stream_static_join", "st9_stream_ingest",
-        # text analysis
-        "t5_winnow_fingerprint", "t6_repetition", "t7_tfidf_topterms",
-        "t8_collocations", "t9_pii_redaction", "t10_boilerplate_filter",
-        # pipeline
-        "p1_corpus_clean", "p2_stratified_sample", "p3_pack_sequences",
-        "p4_training_pipeline", "p5_shard_shuffle", "p6_chunk_overlap",
-        "p7_domain_mixing", "p8_bpe_merges", "p9_bpe_segment",
-        # multimodal
-        "m4_image_ahash_dedup", "m5_audio_fingerprint_dedup",
-        "m6_video_scene_cuts",
+        # never driver-proven before r5
+        "st10_stream_lsh_dedup", "c18_bucketed_join", "d12_gram_containment",
+        "m7_image_ahash_neardup", "c10_concat_fill_defaults",
+        # new in r5
+        "s6_ivfadc_topk", "st11_watermarked_dedup",
+        # code changed in r5 — re-prove through the driver
+        "d2_token_jaccard", "d7_ngram_jaccard", "d11_duplicate_spans",
+        "p8_bpe_merges", "p9_bpe_segment", "s5_pq_adc_topk", "q17_asof_join",
+        # r4-excluded extras (driver rows from r1-r3 only)
+        "q7_duplicated_pairs", "q15_cube", "q30_shipmode_priority",
+        # stalest r1-r3 evidence
+        "c1_arrow_roundtrip", "c2_iloc_slice", "c3_sort_index_rank",
+        "c4_index_diff", "c5_duplicated_mask", "c6_index_accessors",
+        "c7_grouped_map",
+        "d1_exact_dedup", "d3_minhash_lsh", "d4_simhash",
+        "d5_embedding_neardup", "d6_dedup_clusters",
+        "s1_cosine_topk", "s2_ann_ivf",
+        "q1_pricing_summary", "q3_revenue_by_nation", "q4_project_cast_rename",
+        "q5_distinct_segments", "q6_dedup_keep_first", "q8_semi_anti_membership",
+        "q9_concat_union", "q10_explode_tokens", "q11_fillna_isnull_json",
+        "q12_sort_nulls_topk", "q13_window_funcs", "q16_setops",
+        "q18_pivot", "q19_sessionize", "q20_nonemin_nonemax",
+        "q21_range_join", "q26_approx_sketches", "q27_sql_shipping_priority",
+        "t1_langid",
     }
 )
+# The active rotation (tests reference this alias, not the round name).
+GATE_ROTATION = GATE_ROTATION_R5
 
 
 @dataclass
@@ -136,5 +142,5 @@ def _ensure_loaded() -> None:
     from medvedi_spark.queries import compat_ops, llm_ops, relational, stream_ops, text_ops  # noqa: F401
 
     for q in QUERIES.values():
-        q.gate = q.name in GATE_ROTATION_R4
+        q.gate = q.name in GATE_ROTATION
     _LOADED = True

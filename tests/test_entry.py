@@ -52,14 +52,14 @@ def test_gate_window_composition():
     from medvedi_spark.queries.registry import GATE_WINDOW, QUERIES, _ensure_loaded
 
     _ensure_loaded()
-    from medvedi_spark.queries.registry import GATE_ROTATION_R4
+    from medvedi_spark.queries.registry import GATE_ROTATION
 
     names = list(entry_mod.queries())
     gated = [n for n in names if QUERIES[n].gate]
     # a typo'd / renamed entry in the rotation set would silently shrink
     # the driver gate below the window — pin exact membership and count
-    assert GATE_ROTATION_R4 <= set(QUERIES), sorted(GATE_ROTATION_R4 - set(QUERIES))
-    assert len(gated) == min(GATE_WINDOW, len(GATE_ROTATION_R4))
+    assert GATE_ROTATION <= set(QUERIES), sorted(GATE_ROTATION - set(QUERIES))
+    assert len(gated) == min(GATE_WINDOW, len(GATE_ROTATION))
     assert names[: len(gated)] == gated, "gated queries must sort first"
 
     window = set(names[:GATE_WINDOW])
