@@ -1417,6 +1417,54 @@ def ivfadc_topk(
     )
 
 
+def ivfadc_rerank_topk(
+    emb: DataFrame,
+    coarse_centroids: DataFrame,
+    pq_centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe,
+    k: int = 10,
+    shortlist: int = 30,
+    nprobe: int = 2,
+    n_subspaces: int = 8,
+) -> DataFrame:
+    """Two-stage IVFADC search: ADC shortlists ``shortlist`` candidates
+    per query (cell-bounded, compressed-domain — :func:`ivfadc_topk`),
+    then ONLY those candidates are re-scored against the ORIGINAL
+    full-precision vectors and re-ranked to ``k`` — the standard
+    production serving shape (FAISS's IVFADC + refine stage): quantization
+    error decides nothing final, yet the expensive exact distance touches
+    ``shortlist`` rows per query instead of a corpus scan.
+
+    Plan shape: the shortlist is (queries × shortlist) rows — model-state
+    sized, so the exact-rescore join brings the CANDIDATES to the corpus
+    vectors by neighbor id (one shuffle keyed on the id, or broadcast
+    when the shortlist fits); query vectors broadcast. The exact distance
+    is the same order-free decimal ``sqdist_dec`` the oracle replays.
+
+    Returns ``(query_id, neighbor_id, rank, d2)`` with exact distances.
+    """
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    cand = ivfadc_topk(
+        emb, coarse_centroids, pq_centroids, id_col, vec_col, probe,
+        k=shortlist, nprobe=nprobe, n_subspaces=n_subspaces,
+    ).select("query_id", "neighbor_id")
+    q = e.filter(probe).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+    rescored = (
+        cand.join(n, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("d2", sqdist_dec(F.col("q_emb"), F.col("n_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: DataFrame,

@@ -799,11 +799,10 @@ def s5_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S6_COARSE = 8
 _S6_NPROBE = 2
 
-
-@register(
-    "s6_ivfadc_topk",
-    oracle=f"""
-    WITH ccent AS (
+# Shared oracle CTE chain (coarse assignment → routing → PQ codes → LUT →
+# cell-bounded ADC scores); s6 ranks it directly, s7 re-scores a
+# shortlist of it exactly.
+_S6_CTES = f"""ccent AS (
       SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < {_S6_COARSE}
     ),
     capairs AS (
@@ -860,7 +859,13 @@ _S6_NPROBE = 2
       JOIN codes k ON k.neighbor_id = c.neighbor_id
       JOIN lut l ON l.query_id = c.query_id AND l.s = k.s AND l.code = k.code
       GROUP BY c.query_id, c.neighbor_id
-    )
+    )"""
+
+
+@register(
+    "s6_ivfadc_topk",
+    oracle=f"""
+    WITH {_S6_CTES}
     SELECT query_id, neighbor_id, rank, d2_approx FROM (
       SELECT query_id, neighbor_id, d2_approx,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2_approx, neighbor_id) AS rank
@@ -884,6 +889,65 @@ def s6_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, coarse, cent, "vec_id", "embedding",
         probe=F.col("vec_id") < _S5_PROBES,
         k=_S5_K, nprobe=_S6_NPROBE, n_subspaces=_S4_SUBS,
+    )
+
+
+# --------------------------------------------------------------------------
+# s7 — IVFADC + exact refine (FAISS's refine stage): the ADC shortlist
+# (compressed-domain, cell-bounded) is re-scored against the ORIGINAL
+# full-precision vectors and re-ranked, so quantization error never
+# decides the final top-k while exact distance touches only
+# shortlist-per-query rows instead of the corpus. The two-stage shape is
+# how billion-scale ANN actually serves. Oracle = s6's CTE chain +
+# shortlist cut + exact-decimal L2 re-rank.
+# --------------------------------------------------------------------------
+
+_S7_SHORTLIST = 30
+
+
+@register(
+    "s7_ivfadc_rerank",
+    oracle=f"""
+    WITH {_S6_CTES},
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2_approx, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_S7_SHORTLIST}
+    ),
+    xpairs AS (
+      SELECT s.query_id, s.neighbor_id, unnest(q.embedding) AS xa, unnest(nn.embedding) AS xb
+      FROM shortlist s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings nn ON nn.vec_id = s.neighbor_id
+    ),
+    xd AS (
+      SELECT query_id, neighbor_id, {_S4_DEC_D2} AS d2
+      FROM xpairs GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, d2 FROM (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+      FROM xd
+    ) WHERE rank <= {_S5_K}
+    """,
+    tags=("similarity", "ann", "quantization", "ivf", "rerank", "llm"),
+    doc="Two-stage ANN serving: IVFADC shortlist + exact full-precision "
+        "re-rank (quantization never decides the final top-k).",
+)
+def s7_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = emb.filter(F.col("vec_id") < _S6_COARSE).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    cent = emb.filter(F.col("vec_id") < _S4_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    return ops.ivfadc_rerank_topk(
+        emb, coarse, cent, "vec_id", "embedding",
+        probe=F.col("vec_id") < _S5_PROBES,
+        k=_S5_K, shortlist=_S7_SHORTLIST, nprobe=_S6_NPROBE, n_subspaces=_S4_SUBS,
     )
 
 

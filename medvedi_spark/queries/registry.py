@@ -42,13 +42,14 @@ GATE_WINDOW = 50
 # re-proves everything whose code changed this round:
 # - the 5 queries with no driver row yet (the r4 rotation comment's
 #   planned set): st10, c18, d12, m7, c10;
-# - the 2 new r5 queries: s6_ivfadc_topk, st11_watermarked_dedup;
+# - the 4 new r5 queries: s6_ivfadc_topk, s7_ivfadc_rerank,
+#   st11_watermarked_dedup, q39_percentile_disc;
 # - the 7 whose plans changed in r5: d2/d7 (tracked gram persist),
 #   d11 (anchor persist), p8/p9 (bpe max_vocab default), s5 (LUT
 #   refactor shared with s6), q17 (as-of module's persist change);
 # - the 3 r4-excluded extras whose driver rows date to r1-r3: q7, q15,
 #   q30;
-# - 33 fill slots re-verifying the stalest r1-r3 evidence (c1-c7,
+# - 31 fill slots re-verifying the stalest r1-r3 evidence (c1-c7,
 #   d1/d3-d6, s1/s2, the q relational long tail, t1 for the t family).
 # Membership here OVERRIDES the per-registration ``gate=`` flag, which
 # records only the round-1 layout.
@@ -58,7 +59,8 @@ GATE_ROTATION_R5 = frozenset(
         "st10_stream_lsh_dedup", "c18_bucketed_join", "d12_gram_containment",
         "m7_image_ahash_neardup", "c10_concat_fill_defaults",
         # new in r5
-        "s6_ivfadc_topk", "st11_watermarked_dedup",
+        "s6_ivfadc_topk", "st11_watermarked_dedup", "s7_ivfadc_rerank",
+        "q39_percentile_disc",
         # code changed in r5 — re-prove through the driver
         "d2_token_jaccard", "d7_ngram_jaccard", "d11_duplicate_spans",
         "p8_bpe_merges", "p9_bpe_segment", "s5_pq_adc_topk", "q17_asof_join",
@@ -71,12 +73,12 @@ GATE_ROTATION_R5 = frozenset(
         "d1_exact_dedup", "d3_minhash_lsh", "d4_simhash",
         "d5_embedding_neardup", "d6_dedup_clusters",
         "s1_cosine_topk", "s2_ann_ivf",
-        "q1_pricing_summary", "q3_revenue_by_nation", "q4_project_cast_rename",
+        "q1_pricing_summary", "q3_revenue_by_nation",
         "q5_distinct_segments", "q6_dedup_keep_first", "q8_semi_anti_membership",
         "q9_concat_union", "q10_explode_tokens", "q11_fillna_isnull_json",
         "q12_sort_nulls_topk", "q13_window_funcs", "q16_setops",
         "q18_pivot", "q19_sessionize", "q20_nonemin_nonemax",
-        "q21_range_join", "q26_approx_sketches", "q27_sql_shipping_priority",
+        "q21_range_join", "q27_sql_shipping_priority",
         "t1_langid",
     }
 )

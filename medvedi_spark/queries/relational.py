@@ -1468,3 +1468,46 @@ def q38_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "value_sum",
     )
+
+
+# --------------------------------------------------------------------------
+# q39 — EXACT order-statistic percentiles (PERCENTILE_DISC WITHIN GROUP):
+# the analytic companion to q26's approximate sketches. percentile_disc
+# returns an actual data element (the smallest value whose cumulative
+# distribution reaches the fraction), so results hash-match bit-for-bit
+# across engines with no interpolation arithmetic. The oracle replays
+# the SQL-standard definition via CUME_DIST explicitly (DuckDB's
+# quantile_disc uses floor-index interpolation, which DIFFERS from the
+# standard at e.g. n=7, q=0.9 — replaying cume_dist sidesteps that).
+# Scale note: exact percentiles sort within the aggregate; at 100 TB use
+# q26's approx_percentile sketches unless exactness is contractual.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q39_percentile_disc",
+    oracle="""
+    WITH cd AS (
+      SELECT l_returnflag, l_linestatus, l_extendedprice,
+             CUME_DIST() OVER (PARTITION BY l_returnflag, l_linestatus
+                               ORDER BY l_extendedprice) AS c
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           MIN(CASE WHEN c >= 0.5 THEN l_extendedprice END) AS p50_price,
+           MIN(CASE WHEN c >= 0.9 THEN l_extendedprice END) AS p90_price,
+           MIN(CASE WHEN c >= 0.99 THEN l_extendedprice END) AS p99_price,
+           COUNT(*) AS n
+    FROM cd
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "percentile", "order-statistic"),
+)
+def q39_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50_price"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p90_price"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p99_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
