@@ -1114,6 +1114,18 @@ def sqdist_dec(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def sqdist_double(a: Column | str, b: Column | str) -> Column:
+    """Plain double squared-L2 — fast pre-filter only (order-dependent
+    last bits, so never emitted in results; pairs with _refine_topk)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def kmeans_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -1383,10 +1395,17 @@ def ivfadc_topk(
     # coarse routing: every vector's argmin-L2 cell (broadcast codebook);
     # queries take their nprobe nearest cells from the same ranking so
     # corpus assignment and query routing can never disagree on ties.
+    # Cell scoring runs in fast double first; exact decimal only for the
+    # ~nprobe surviving cells per vector (lossless — see _refine_topk;
+    # negated distance because the refiner keeps top-k DESCENDING).
     c = coarse_centroids.select(F.col("cent_id"), F.col("c_emb"))
+    fast_cells = e.crossJoin(F.broadcast(c)).withColumn(
+        "nd2_fast", -sqdist_double(F.col("embedding"), F.col("c_emb"))
+    )
+    cand_cells = _refine_topk(fast_cells, "vec_id", "nd2_fast", max(nprobe, 1))
     w_cell = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
     ranked = (
-        e.crossJoin(F.broadcast(c))
+        cand_cells
         .withColumn("d2", sqdist_dec(F.col("embedding"), F.col("c_emb")))
         .withColumn("__rn__", F.row_number().over(w_cell))
     )
