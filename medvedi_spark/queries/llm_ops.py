@@ -799,10 +799,11 @@ def s5_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S6_COARSE = 8
 _S6_NPROBE = 2
 
-# Shared oracle CTE chain (coarse assignment → routing → PQ codes → LUT →
-# cell-bounded ADC scores); s6 ranks it directly, s7 re-scores a
-# shortlist of it exactly.
-_S6_CTES = f"""ccent AS (
+# Shared oracle CTE chains. _COARSE_CTES: coarse assignment + query
+# routing (s6/s7/s8). _S6_CTES adds raw-vector PQ codes → LUT →
+# cell-bounded ADC scores; s6 ranks it directly, s7 re-scores a
+# shortlist of it exactly, s8 swaps in residual encoding.
+_COARSE_CTES = f"""ccent AS (
       SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < {_S6_COARSE}
     ),
     capairs AS (
@@ -822,7 +823,9 @@ _S6_CTES = f"""ccent AS (
     probes AS (
       SELECT vec_id AS query_id, cent_id AS cell FROM car
       WHERE vec_id < {_S5_PROBES} AND rn <= {_S6_NPROBE}
-    ),
+    )"""
+
+_S6_CTES = f"""{_COARSE_CTES},
     cent AS (
       SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < {_S4_K}
     ),
@@ -948,6 +951,109 @@ def s7_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, coarse, cent, "vec_id", "embedding",
         probe=F.col("vec_id") < _S5_PROBES,
         k=_S5_K, shortlist=_S7_SHORTLIST, nprobe=_S6_NPROBE, n_subspaces=_S4_SUBS,
+    )
+
+
+# --------------------------------------------------------------------------
+# s8 — RESIDUAL IVFADC (Jégou et al. §IV, the faithful published form):
+# PQ encodes x − coarse_centroid(x) instead of the raw vector, spending
+# the codebook's bits on the within-cell remainder (residual norms are
+# much smaller than vector norms → lower quantization error at the same
+# code budget). The query LUT becomes per-(query, cell) — still model
+# state, queries × nprobe rows. Every residual subtraction is one IEEE
+# double op (bit-identical across engines), so the oracle replays the
+# whole pipeline exactly.
+# --------------------------------------------------------------------------
+
+_S8_DEC_D2 = (
+    "CAST(CAST(SUM(CAST(((CAST(xa AS DOUBLE) - CAST(xc AS DOUBLE)) - CAST(xb AS DOUBLE))"
+    " * ((CAST(xa AS DOUBLE) - CAST(xc AS DOUBLE)) - CAST(xb AS DOUBLE))"
+    " AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+)
+
+
+@register(
+    "s8_ivfadc_residual",
+    oracle=f"""
+    WITH {_COARSE_CTES},
+    cent AS (
+      SELECT e.vec_id AS cent_id,
+             list_transform(list_zip(e.embedding, cc.c),
+                            p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS c
+      FROM embeddings e
+      JOIN assign a ON a.vec_id = e.vec_id
+      JOIN ccent cc ON cc.cent_id = a.cell
+      WHERE e.vec_id < {_S4_K}
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_S4_SUBS - 1})) AS s),
+    rpairs AS (
+      SELECT e.vec_id, a.cell, cent.cent_id, sub.s,
+             unnest(e.embedding[sub.s * {_S4_SUBDIM} + 1 : sub.s * {_S4_SUBDIM} + {_S4_SUBDIM}]) AS xa,
+             unnest(cc.c[sub.s * {_S4_SUBDIM} + 1 : sub.s * {_S4_SUBDIM} + {_S4_SUBDIM}]) AS xc,
+             unnest(cent.c[sub.s * {_S4_SUBDIM} + 1 : sub.s * {_S4_SUBDIM} + {_S4_SUBDIM}]) AS xb
+      FROM embeddings e
+      JOIN assign a ON a.vec_id = e.vec_id
+      JOIN ccent cc ON cc.cent_id = a.cell
+      CROSS JOIN cent CROSS JOIN sub
+    ),
+    rd AS (
+      SELECT vec_id, cell, cent_id, s, {_S8_DEC_D2} AS d2
+      FROM rpairs GROUP BY vec_id, cell, cent_id, s
+    ),
+    rcodes AS (
+      SELECT vec_id AS neighbor_id, cell, s, cent_id AS code
+      FROM (SELECT vec_id, cell, s, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+            FROM rd)
+      WHERE rn = 1
+    ),
+    qpairs AS (
+      SELECT p.query_id, p.cell, cent.cent_id, sub.s,
+             unnest(q.embedding[sub.s * {_S4_SUBDIM} + 1 : sub.s * {_S4_SUBDIM} + {_S4_SUBDIM}]) AS xa,
+             unnest(cc.c[sub.s * {_S4_SUBDIM} + 1 : sub.s * {_S4_SUBDIM} + {_S4_SUBDIM}]) AS xc,
+             unnest(cent.c[sub.s * {_S4_SUBDIM} + 1 : sub.s * {_S4_SUBDIM} + {_S4_SUBDIM}]) AS xb
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN ccent cc ON cc.cent_id = p.cell
+      CROSS JOIN cent CROSS JOIN sub
+    ),
+    qlut AS (
+      SELECT query_id, cell, cent_id AS code, s, {_S8_DEC_D2} AS d2
+      FROM qpairs GROUP BY query_id, cell, cent_id, s
+    ),
+    scored AS (
+      SELECT l.query_id, c.neighbor_id,
+             CAST(CAST(SUM(CAST(l.d2 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS d2_approx
+      FROM rcodes c
+      JOIN qlut l ON l.cell = c.cell AND l.s = c.s AND l.code = c.code
+      WHERE c.neighbor_id <> l.query_id
+      GROUP BY l.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, d2_approx FROM (
+      SELECT query_id, neighbor_id, d2_approx,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2_approx, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_S5_K}
+    """,
+    tags=("similarity", "ann", "quantization", "ivf", "residual", "llm"),
+    doc="Residual IVFADC: PQ over x − coarse_centroid(x), per-(query, "
+        "cell) LUT — the faithful Jégou et al. composition; proven by "
+        "the same oracle harness as the driver-gated s6 (identical "
+        "protocol, local row).",
+)
+def s8_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = emb.filter(F.col("vec_id") < _S6_COARSE).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    # codebook = RESIDUALS of the first 16 vectors (residual-domain, see
+    # operator docstring); derived inside the operator so the oracle's
+    # list_zip subtraction replays the identical IEEE arithmetic
+    return ops.ivfadc_residual_topk(
+        emb, coarse, None, "vec_id", "embedding",
+        probe=F.col("vec_id") < _S5_PROBES,
+        k=_S5_K, nprobe=_S6_NPROBE, n_subspaces=_S4_SUBS,
+        pq_centroid_filter=F.col("vec_id") < _S4_K,
     )
 
 
