@@ -633,3 +633,78 @@ def st10_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id", "dup_of"])
     )
     return run_to_memory(out, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st12 — watermarked stream-stream LEFT OUTER interval join: st7's
+# view→purchase attribution, plus an outer NULL row for every view whose
+# match window has fully expired past the watermark — the production
+# "unconverted session" feed. Outer emission semantics (verified with a
+# boundary-row probe, pinned by the unit test):
+#   * global watermark = MIN of the two sides' (max event time − delay);
+#   * an unmatched view emits (user_id, view_ts, NULL) iff
+#     view_ts + join_window < watermark — STRICTLY (a view whose window
+#     end equals the watermark stays in state, not emitted);
+#   * matched pairs emit immediately, independent of the watermark.
+# The oracle replays exactly that: inner pairs UNION unmatched views
+# older than LEAST(max_view, max_purchase) − delay − window.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "st12_stream_outer_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(view_ts) FROM v), (SELECT MAX(purchase_ts) FROM p))
+             - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+      SELECT v.user_id, v.view_ts, p.purchase_ts
+      FROM v JOIN p ON p.user_id = v.user_id
+       AND p.purchase_ts >= v.view_ts
+       AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    ),
+    unmatched AS (
+      SELECT v.user_id, v.view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+      FROM v
+      LEFT JOIN (SELECT DISTINCT user_id, view_ts FROM matched) m
+        ON m.user_id = v.user_id AND m.view_ts = v.view_ts
+      WHERE m.user_id IS NULL
+        AND v.view_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    )
+    SELECT user_id, view_ts, purchase_ts FROM matched
+    UNION ALL
+    SELECT user_id, view_ts, purchase_ts FROM unmatched
+    """,
+    tags=("streaming", "join", "interval", "outer", "watermark"),
+    doc="Watermarked stream-stream LEFT OUTER interval join; the inner "
+        "kernel is driver-gated via st7, outer-emission semantics proven "
+        "by the same oracle harness locally + a boundary-row unit test.",
+)
+def st12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("user_id", "view_ts", "purchase_ts")
+    return run_to_memory(joined, output_mode="append")

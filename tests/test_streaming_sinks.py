@@ -131,3 +131,56 @@ def test_st11_matches_batch_distinct(spark, sf_dir):
         for r in load(spark, sf_dir, "events").select("user_id", "event_type").distinct().collect()
     }
     assert got == want
+
+
+def test_st12_outer_emission_boundary_semantics(spark, tmp_path):
+    """Pin the outer-join emission rule the st12 oracle encodes:
+    global watermark = MIN of both sides' (max event time − delay); an
+    unmatched left row emits a null match iff its join window end is
+    STRICTLY before the watermark (end == watermark stays in state)."""
+    import pandas as pd
+
+    from medvedi_spark.streaming.ops import run_to_memory
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    H = pd.Timedelta(hours=1)
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 2, 3, 9, 8],
+            "event_type": ["view", "view", "view", "view", "purchase"],
+            "ts": [base, base + 2 * H, base + 3 * H, base + 5 * H, base + 5 * H],
+            "value": [1.0] * 5,
+        }
+    )
+    # wm = min(max_view, max_purchase) - 1h = 4h. user 1 (end 1h) and
+    # user 2 (end 3h) expire -> null rows; user 3 (end 4h == wm) is the
+    # BOUNDARY -> held; user 9 (end 6h) held.
+    p = str(tmp_path / "events.parquet")
+    rows.to_parquet(p)
+    schema = spark.read.parquet(p).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(str(tmp_path))
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts/1000 AS LONG))"))
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purch = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purch,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("user_id", "view_ts", "purchase_ts")
+    out = run_to_memory(joined, output_mode="append").toPandas()
+    assert sorted(out.user_id) == [1, 2], out
+    assert out.purchase_ts.isna().all()
