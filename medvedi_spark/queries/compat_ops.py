@@ -696,3 +696,50 @@ def c18_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n_items"), F.min("o_totalprice").alias("o_totalprice"))
     )
+
+
+# --------------------------------------------------------------------------
+# c19 — partitioned-layout write + PARTITION-PRUNED scan: the storage-side
+# twin of c18's bucketing. Documents are written partitioned by lang
+# (`partitionBy` directories); the read-back filter on lang then never
+# touches the other languages' files — at 100 TB this is the difference
+# between scanning one partition and scanning the corpus. The pruning is
+# pinned by a plan test (PartitionFilters on the scan, pruned file count);
+# the oracle just filters the source table.
+# --------------------------------------------------------------------------
+
+
+def _c19_path(spark: SparkSession, sf_dir: str) -> str:
+    path = _fmt_tmp(sf_dir, "c19part")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    (
+        docs.select("doc_id", "text", "source", "n_chars", "lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    return path
+
+
+@register(
+    "c19_partition_pruned_scan",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE lang = 'en'
+    """,
+    tags=("compat", "sources", "partitioning", "pruning"),
+    doc="Scale pattern: lang-partitioned layout + partition-pruned scan "
+        "(the filter never opens other partitions' files). Filter/scan "
+        "semantics are driver-gated across the q-suite; the pruned "
+        "layout itself proven by the same oracle harness locally plus "
+        "the PartitionFilters plan test.",
+    gate=False,
+)
+def c19_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _c19_path(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang", "n_chars")
+    )

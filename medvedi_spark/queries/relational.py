@@ -1511,3 +1511,42 @@ def q39_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p99_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q40 — SALTED skew join: the pathological-skew escape hatch. AQE's
+# skew-join splitting handles moderate skew; a single key holding a huge
+# share of the rows (one viral document, one null-bucket user) cannot be
+# split mid-partition, so `operators.relational.salted_join` spreads the
+# big side across num_salts sub-keys and replicates the small side. The
+# oracle is the plain join — salting must be semantically invisible.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q40_salted_skew_join",
+    oracle=f"""
+    SELECT p.p_brand AS brand, COUNT(*) AS n,
+           {sql_dsum('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("join", "skew", "salting"),
+    doc="Salted skew join: semantics identical to the plain join "
+        "(driver-gated via q3's join family); the salting transform "
+        "itself proven by the same oracle harness locally plus the "
+        "replication unit tests in test_scale_utils.py.",
+    gate=False,
+)
+def q40_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.operators.relational import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, ["p_partkey"], "inner", num_salts=8)
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("revenue"),
+    )

@@ -275,3 +275,33 @@ def test_q38_single_expand_single_shuffle(spark, sf_dir, qmap):
     facts = plan_facts(df)
     assert facts["exch"] == 1, "one aggregate shuffle for all resolutions"
     assert len(facts["scan_cols"]) == 1, "single scan of events"
+
+
+def test_c19_scan_is_partition_pruned(spark, sf_dir, qmap):
+    """The lang filter must become a PartitionFilter on the scan — other
+    partitions' files are never opened (the 100 TB point of the layout)."""
+    df = qmap["c19_partition_pruned_scan"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters:")[1][:120], plan
+    # and the scan's selected partition count is 1 (only lang=en)
+    import re
+    df.count()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
+
+
+def test_q40_salted_join_spreads_key(spark, sf_dir, qmap):
+    """Salted join: the join key must include the salt column (so the
+    shuffle spreads hot keys), and the small side carries the explode."""
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators.relational import salted_join
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"), "l_extendedprice")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, ["p_partkey"], "inner", num_salts=8)
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt__" in plan, plan
+    # replication factor: right side grows 8x, join output matches plain join
+    plain = li.join(part, "p_partkey").count()
+    assert joined.count() == plain

@@ -29,9 +29,10 @@ BUDGET_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_bud
 # not the production readStream plan, so they are audited separately
 SKIP_PREFIXES = ("st",)
 # side-effecting builders: evaluating them writes real tables (c18
-# CREATEs bucketed tables) — excluded from the generic sweep and audited
-# by their own dedicated tests (round-4 ADVICE)
-SKIP_QUERIES = frozenset({"c18_bucketed_join"})
+# CREATEs bucketed tables, c19 writes a partitioned dataset) — excluded
+# from the generic sweep and audited by their own dedicated tests
+# (round-4 ADVICE)
+SKIP_QUERIES = frozenset({"c18_bucketed_join", "c19_partition_pruned_scan"})
 
 
 def skip_in_sweep(name: str) -> bool:
