@@ -433,7 +433,11 @@ _ST9_COUNTS_SQL = ",\n             ".join(
     doc="Gate duplicate: streaming dedup state is driver-gated via st3, "
         "the langid/quality kernels via t1/t2; st9 composes them into the "
         "streaming ingest shape, proven by the same oracle harness "
-        "locally.",
+        "locally. STATE-BOUND NOTE: the content-hash dedup state is "
+        "global BY SPEC (a re-ingested document is a duplicate no matter "
+        "how old the original); bounding it means sharding the hash space "
+        "or a TTL policy chosen by the pipeline owner — st11 shows the "
+        "watermarked form when recency-bounded dedup is acceptable.",
     gate=False,
 )
 def st9_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1843,3 +1843,56 @@ def p9_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"), F.sum("n_sub").alias("n_bpe_tokens"))
     )
+
+
+# --------------------------------------------------------------------------
+# p10 — training-ready JSONL export: the LAST step of the pipeline
+# (clean → dedup → mix → pack → EXPORT). Documents are written as
+# lang-partitioned, size-bounded, gzip-compressed JSON-lines shards —
+# the layout a training loader consumes (each shard small enough to
+# stream, partition dirs give per-language sampling for free) — then
+# read back for the oracle comparison, so the round trip proves the
+# export is lossless (unicode text included). maxRecordsPerFile bounds
+# shard size WITHOUT a repartition (file rotation inside each task);
+# the shard-count invariant is pinned by a unit test.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p10_export_jsonl",
+    oracle="""
+    SELECT doc_id, lang, text, n_chars
+    FROM documents
+    WHERE n_chars >= 10
+    """,
+    tags=("pipeline", "export", "sink", "jsonl", "llm"),
+    doc="Gate duplicate: JSON round-trip fidelity is driver-gated via "
+        "c15, filters via the q-suite; p10 composes them into the "
+        "sharded training-export sink, proven by the same oracle "
+        "harness locally plus the shard-size unit test.",
+    gate=False,
+)
+def p10_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"medvedi_spark_p10_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}".replace(".", "_"),
+    )
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 10)
+    (
+        docs.select("doc_id", "text", "n_chars", "lang")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 200)
+        .option("compression", "gzip")
+        .partitionBy("lang")
+        .json(path)
+    )
+    out = spark.read.json(path)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )

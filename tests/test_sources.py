@@ -84,3 +84,32 @@ def test_text_whole_file(spark, tmp_path):
     (tmp_path / "docs" / "a.txt").write_text("line1\nline2")
     back = src.read_text(str(tmp_path / "docs"), whole_text=True, spark=spark)
     assert back["value"].tolist() == ["line1\nline2"]
+
+
+def test_p10_export_shard_size_bound(spark, sf_dir):
+    """p10's maxRecordsPerFile must bound every shard to <= 200 rows
+    without a repartition (task-internal file rotation)."""
+    import glob
+    import gzip
+    import json
+    import os
+    import tempfile
+
+    from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    QUERIES["p10_export_jsonl"].builder(spark, sf_dir).count()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"medvedi_spark_p10_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}".replace(".", "_"),
+    )
+    shards = glob.glob(os.path.join(path, "lang=*", "*.json.gz"))
+    assert shards, f"no gzip jsonl shards under {path}"
+    for s in shards:
+        with gzip.open(s, "rt") as fh:
+            rows = [json.loads(line) for line in fh if line.strip()]
+        assert len(rows) <= 200, f"{s} has {len(rows)} rows"
+        assert all("doc_id" in r and "text" in r for r in rows[:1])
+    # partition dirs give per-language sampling for free
+    langs = {os.path.basename(os.path.dirname(s)) for s in shards}
+    assert len(langs) >= 2, langs
