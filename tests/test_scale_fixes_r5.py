@@ -140,3 +140,37 @@ def test_bpe_learn_warns_when_cap_prunes(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         bpe_learn(docs, "text", n_merges=1, max_vocab=10)
+
+
+# --------------------------------------------- IVFADC consistency
+
+
+def test_ivfadc_with_all_cells_equals_flat_adc(spark, sf_dir):
+    """Routing must only SKIP work, never change scores: with
+    nprobe = n_cells every query scores the whole corpus, so IVFADC's
+    result must equal the flat ADC scan on the same PQ codebook."""
+    from pyspark.sql import functions as F
+
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators import llm as ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_cells = 4
+    coarse = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    probe = F.col("vec_id") < 3
+    flat = {
+        (r.query_id, r.rank): (r.neighbor_id, r.d2_approx)
+        for r in ops.pq_adc_topk(emb, cent, "vec_id", "embedding", probe, k=5).collect()
+    }
+    routed = {
+        (r.query_id, r.rank): (r.neighbor_id, r.d2_approx)
+        for r in ops.ivfadc_topk(
+            emb, coarse, cent, "vec_id", "embedding", probe, k=5, nprobe=n_cells
+        ).collect()
+    }
+    assert routed == flat
