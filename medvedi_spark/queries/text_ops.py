@@ -1896,3 +1896,121 @@ def p10_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.col("n_chars").cast("long").alias("n_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# t11 — RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+# Extraction from Individual Documents"): candidate phrases are maximal
+# stopword-free word runs; word score = degree/frequency within the
+# document (degree = sum of lengths of phrases containing the word);
+# phrase score = sum of member-occurrence scores; emit each document's
+# top phrase. Every step is relational (posexplode → stopword-island
+# window → three grouped joins), zero UDFs. Scoring is INTEGER-exact
+# cross-engine: score = (degree * 10^6) DIV frequency — floor division
+# of bigints, no float or decimal rounding anywhere, so the oracle
+# hash-matches bit-for-bit. Tie-breaks: higher score, then lexicographic
+# phrase.
+# --------------------------------------------------------------------------
+
+_T11_STOPS = ("the", "a", "is", "of", "and", "to", "in")
+_T11_STOPS_SQL = ", ".join(f"'{w}'" for w in _T11_STOPS)
+
+
+@register(
+    "t11_rake_keywords",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, w
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    flagged AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w IN ({_T11_STOPS_SQL}) THEN 1 ELSE 0 END AS is_stop
+      FROM words
+    ),
+    islands AS (
+      SELECT doc_id, pos, w, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS pid
+      FROM flagged
+    ),
+    content AS (SELECT doc_id, pid, pos, w FROM islands WHERE is_stop = 0),
+    plen AS (SELECT doc_id, pid, COUNT(*) AS plen FROM content GROUP BY doc_id, pid),
+    wstat AS (
+      SELECT c.doc_id, c.w,
+             CAST(SUM(p.plen) AS BIGINT) AS deg, COUNT(*) AS freq
+      FROM content c JOIN plen p ON p.doc_id = c.doc_id AND p.pid = c.pid
+      GROUP BY c.doc_id, c.w
+    ),
+    wscore AS (
+      SELECT doc_id, w, CAST((deg * 1000000) // freq AS BIGINT) AS ws FROM wstat
+    ),
+    pscore AS (
+      SELECT c.doc_id, c.pid,
+             CAST(SUM(s.ws) AS BIGINT) AS score_scaled,
+             string_agg(c.w, ' ' ORDER BY c.pos) AS phrase
+      FROM content c JOIN wscore s ON s.doc_id = c.doc_id AND s.w = c.w
+      GROUP BY c.doc_id, c.pid
+    )
+    SELECT doc_id, phrase AS top_phrase, score_scaled,
+           CAST(n_phrases AS BIGINT) AS n_phrases
+    FROM (
+      SELECT doc_id, phrase, score_scaled,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_phrases,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_scaled DESC, phrase) AS rn
+      FROM pscore
+    ) WHERE rn = 1
+    """,
+    tags=("text", "keywords", "rake", "llm"),
+    doc="RAKE keyword extraction — stopword-island phrases, integer-exact "
+        "degree/frequency scoring; the window/join kernels are "
+        "driver-gated across q13/q19/t-suite, the composition proven by "
+        "the same oracle harness locally.",
+    gate=False,
+)
+def t11_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda t: t != "")).alias("pos", "w"),
+    )
+    is_stop = F.col("w").isin(*_T11_STOPS).cast("int")
+    w_run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    islands = words.withColumn("is_stop", is_stop).withColumn("pid", F.sum("is_stop").over(w_run))
+    content = islands.filter(F.col("is_stop") == 0).select("doc_id", "pid", "pos", "w")
+    plen = content.groupBy("doc_id", "pid").agg(F.count(F.lit(1)).alias("plen"))
+    wstat = (
+        content.join(plen, ["doc_id", "pid"])
+        .groupBy("doc_id", "w")
+        .agg(F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq"))
+    )
+    wscore = wstat.select(
+        "doc_id", "w", F.expr("(deg * 1000000) DIV freq").alias("ws")
+    )
+    pscore = (
+        content.join(wscore, ["doc_id", "w"])
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.sum("ws").alias("score_scaled"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda x: x["w"]),
+                " ",
+            ).alias("phrase"),
+        )
+    )
+    w_top = Window.partitionBy("doc_id").orderBy(F.desc("score_scaled"), F.asc("phrase"))
+    w_cnt = Window.partitionBy("doc_id")
+    return (
+        pscore.withColumn("n_phrases", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("phrase").alias("top_phrase"), "score_scaled",
+                F.col("n_phrases").cast("long").alias("n_phrases"))
+    )
