@@ -743,3 +743,50 @@ def c19_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang") == "en")
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# c20 — SCHEMA EVOLUTION read: two parquet batches written at different
+# pipeline generations (the second adds o_orderpriority) merge into one
+# scan with `mergeSchema` — missing columns read as NULL. This is the
+# production reality of any long-lived dataset: ingest code changes,
+# history doesn't get rewritten. The oracle unions the two generations
+# with an explicit NULL for the missing column.
+# --------------------------------------------------------------------------
+
+
+def _c20_path(spark: SparkSession, sf_dir: str) -> str:
+    path = _fmt_tmp(sf_dir, "c20evo")
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    gen1 = od.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    gen2 = od.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    return path
+
+
+@register(
+    "c20_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    tags=("compat", "sources", "schema-evolution"),
+    doc="Schema-evolution scan: mergeSchema unions two parquet "
+        "generations, older rows NULL-filling the added column. Scan/"
+        "union semantics driver-gated across the c/q suites; the merged "
+        "read proven by the same oracle harness locally.",
+    gate=False,
+)
+def c20_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _c20_path(spark, sf_dir)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )

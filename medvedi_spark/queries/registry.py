@@ -42,17 +42,17 @@ GATE_WINDOW = 50
 # re-proves everything whose code changed this round:
 # - the 5 queries with no driver row yet (the r4 rotation comment's
 #   planned set): st10, c18, d12, m7, c10;
-# - the 10 new r5 queries (IVFADC family s6/s7/s8, st11/st12, q39/q40,
-#   c19, p10, t11) — first driver proof for each;
+# - the 12 new r5 queries (IVFADC family s6/s7/s8, st11/st12,
+#   q39/q40/q41, c19/c20, p10, t11) — first driver proof for each;
 # - the 7 whose plans changed in r5: d2/d7 (tracked gram persist),
 #   d11 (anchor persist), p8/p9 (bpe max_vocab default), s5 (LUT
 #   refactor shared with s6), q17 (as-of module's persist change);
 # - the 3 r4-excluded extras whose driver rows date to r1-r3: q7, q15,
 #   q30;
-# - 25 fill slots re-verifying the stalest r1-r3 evidence (c7,
-#   d1/d3-d6, s1/s2, the q relational long tail, t1 for the t family;
-#   c1-c6 ceded their slots to the new queries — all r1-r3-green, and
-#   the c family stays in-window via c7/c10/c18).
+# - 23 fill slots re-verifying the stalest r1-r3 evidence (c7,
+#   d3-d6, s1/s2, the q relational long tail, t1 for the t family;
+#   c1-c6/d1/q5 ceded their slots to the new queries — all r1-r3-green,
+#   and every family stays in-window).
 # Membership here OVERRIDES the per-registration ``gate=`` flag, which
 # records only the round-1 layout.
 GATE_ROTATION_R5 = frozenset(
@@ -64,7 +64,8 @@ GATE_ROTATION_R5 = frozenset(
         "s6_ivfadc_topk", "st11_watermarked_dedup", "s7_ivfadc_rerank",
         "q39_percentile_disc", "s8_ivfadc_residual", "st12_stream_outer_join",
         "c19_partition_pruned_scan", "q40_salted_skew_join",
-        "p10_export_jsonl", "t11_rake_keywords",
+        "p10_export_jsonl", "t11_rake_keywords", "q41_range_frame_window",
+        "c20_schema_evolution",
         # code changed in r5 — re-prove through the driver
         "d2_token_jaccard", "d7_ngram_jaccard", "d11_duplicate_spans",
         "p8_bpe_merges", "p9_bpe_segment", "s5_pq_adc_topk", "q17_asof_join",
@@ -72,11 +73,11 @@ GATE_ROTATION_R5 = frozenset(
         "q7_duplicated_pairs", "q15_cube", "q30_shipmode_priority",
         # stalest r1-r3 evidence
         "c7_grouped_map",
-        "d1_exact_dedup", "d3_minhash_lsh", "d4_simhash",
+        "d3_minhash_lsh", "d4_simhash",
         "d5_embedding_neardup", "d6_dedup_clusters",
         "s1_cosine_topk", "s2_ann_ivf",
         "q1_pricing_summary", "q3_revenue_by_nation",
-        "q5_distinct_segments", "q6_dedup_keep_first", "q8_semi_anti_membership",
+        "q6_dedup_keep_first", "q8_semi_anti_membership",
         "q9_concat_union", "q10_explode_tokens", "q11_fillna_isnull_json",
         "q12_sort_nulls_topk", "q13_window_funcs", "q16_setops",
         "q18_pivot", "q19_sessionize", "q20_nonemin_nonemax",

@@ -1550,3 +1550,41 @@ def q40_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("l_extendedprice").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# q41 — RANGE-frame window aggregates: a true time-based sliding frame
+# (all events within the preceding hour, however many rows that is) —
+# the frame type q13/q37's ROWS-frame and rank-function coverage does
+# not touch. Frames are anchored on microsecond epoch longs on BOTH
+# engines (Spark truncates CAST(ts AS LONG) to seconds while DuckDB's
+# epoch() keeps fractional seconds — unix_micros/epoch_us sidestep that
+# dialect trap); sums are exact-decimal so frame order can't matter.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q41_range_frame_window",
+    oracle="""
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           COUNT(*) OVER w AS n_1h,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("events", "window", "range-frame"),
+)
+def q41_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("string").cast("double").alias("sum_1h"),
+    )

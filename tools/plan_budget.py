@@ -32,7 +32,9 @@ SKIP_PREFIXES = ("st",)
 # CREATEs bucketed tables, c19 writes a partitioned dataset) — excluded
 # from the generic sweep and audited by their own dedicated tests
 # (round-4 ADVICE)
-SKIP_QUERIES = frozenset({"c18_bucketed_join", "c19_partition_pruned_scan", "p10_export_jsonl"})
+SKIP_QUERIES = frozenset(
+    {"c18_bucketed_join", "c19_partition_pruned_scan", "p10_export_jsonl", "c20_schema_evolution"}
+)
 
 
 def skip_in_sweep(name: str) -> bool:
