@@ -1256,6 +1256,7 @@ def _pq_lut(
     centroids: DataFrame,
     n_subspaces: int,
     key_cols: tuple[str, ...] = ("query_id",),
+    n_codes: int | None = None,
 ):
     """Shared ADC machinery for :func:`pq_adc_topk` / :func:`ivfadc_topk`:
     build the per-query dense LUT array (one flat ``array<double>`` per
@@ -1269,7 +1270,12 @@ def _pq_lut(
     c = centroids.select(F.col("cent_id"), F.col("c_emb")).withColumn(
         "cidx", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("cent_id")) - 1
     )
-    n_codes = c.count()  # codebook size — the only model state collected
+    if n_codes is None:
+        # codebook size — the only model state collected. Pass n_codes
+        # when the codebook is a DERIVED plan (s8's residual codebook):
+        # counting such a plan executes its whole upstream pipeline as an
+        # extra job at build time (round-5 code-review catch).
+        n_codes = c.count()
     n_dim_col = F.size(F.col("q_emb"))
     lut_rows = []
     lut = queries.crossJoin(F.broadcast(c))
@@ -1541,6 +1547,7 @@ def ivfadc_residual_topk(
         .join(F.broadcast(cc), "cell")
         .select("vec_id", "cell", residual.alias("residual"))
     )
+    n_codes = None
     if pq_centroids is None:
         # The sub-codebook must live in the RESIDUAL domain: residuals
         # cluster near zero, so quantizing them against raw-vector
@@ -1555,6 +1562,10 @@ def ivfadc_residual_topk(
         pq_centroids = res.filter(pq_centroid_filter).select(
             F.col("vec_id").alias("cent_id"), F.col("residual").alias("c_emb")
         )
+        # size the LUT from the CHEAP base filter, not the derived
+        # residual plan — counting the latter would execute the whole
+        # coarse-routing pipeline as an extra build-time job
+        n_codes = e.filter(pq_centroid_filter).count()
     codes = pq_encode(res, pq_centroids, "vec_id", "residual", n_subspaces=n_subspaces, dense=True)
     corpus = codes.withColumnRenamed("vec_id", "neighbor_id").join(
         assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
@@ -1564,7 +1575,9 @@ def ivfadc_residual_topk(
         .join(F.broadcast(cc), "cell")
         .select("query_id", "cell", residual.alias("q_emb"))
     )
-    lut_arr, d2_approx = _pq_lut(qres, pq_centroids, n_subspaces, key_cols=("query_id", "cell"))
+    lut_arr, d2_approx = _pq_lut(
+        qres, pq_centroids, n_subspaces, key_cols=("query_id", "cell"), n_codes=n_codes
+    )
     scored = (
         corpus.join(F.broadcast(lut_arr), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1663,12 +1676,7 @@ def duplicate_spans(
     ``k`` substitute a 128-bit md5 key to bound shuffle width, which
     keeps collisions below 10^-18 per corpus.
     """
-    # The anchor table is consumed TWICE (gram-verdict agg + join-back
-    # left side); persisting it trades one MEMORY_AND_DISK copy for a
-    # second posexplode+scan pass — the same ruling as d7's gram persist
-    # (measured at sf0.1: warm min 5.6 s re-derived → 4.6 s persisted).
-    # Tracked: bench/long sessions reclaim via release_persisted().
-    anchors = _persist_tracked(
+    anchors = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t__"))
         .filter(F.length("__t__") >= k)
         .select(
@@ -1681,6 +1689,21 @@ def duplicate_spans(
         )
         .select("doc_id", (F.col("p0") + 1).alias("pos"), F.col("gram"))
     )
+    # The anchor table is consumed TWICE (gram-verdict agg + join-back
+    # left side). Persisting it trades one MEMORY_AND_DISK copy for the
+    # second posexplode+scan pass (measured at sf0.1: warm min
+    # 5.6 s → 4.6 s) — but anchors are ~(k + overhead) ≈ 30× the input
+    # text bytes, so an unconditional persist at a 100 TB corpus would
+    # materialize a multi-PB cache. Guarded by Catalyst's free input-size
+    # estimate: below the cap the persist wins; above it the re-derived
+    # codegen-linear posexplode pass stays the corpus-scale plan.
+    _ANCHOR_PERSIST_INPUT_CAP = 1 << 30  # 1 GiB of source text ≈ 30 GiB cached
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — estimate unavailable → be conservative
+        est = _ANCHOR_PERSIST_INPUT_CAP + 1
+    if est <= _ANCHOR_PERSIST_INPUT_CAP:
+        anchors = _persist_tracked(anchors)
     # Cross-doc verdict via partial aggregation + join-back — NOT a
     # gram-partitioned window. A window partition is the GLOBAL
     # occurrence list of one gram: a boilerplate header repeated across a

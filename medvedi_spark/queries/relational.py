@@ -1492,6 +1492,7 @@ def q38_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CUME_DIST() OVER (PARTITION BY l_returnflag, l_linestatus
                                ORDER BY l_extendedprice) AS c
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
     )
     SELECT l_returnflag, l_linestatus,
            MIN(CASE WHEN c >= 0.5 THEN l_extendedprice END) AS p50_price,
@@ -1505,11 +1506,18 @@ def q38_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q39_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # NULL contract (round-5 code-review catch): percentile_disc IGNORES
+    # null measures, but a naive CUME_DIST replay counts them in the
+    # denominator — both sides therefore drop null measures up front
+    # (groups whose every price is null are not reported), and ``n`` is
+    # the non-null count, so the query stays oracle-aligned on nullable
+    # measures, not just on TPC-H's non-null prices.
+    li = li.filter(F.col("l_extendedprice").isNotNull())
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50_price"),
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p90_price"),
         F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p99_price"),
-        F.count(F.lit(1)).alias("n"),
+        F.count("l_extendedprice").alias("n"),
     )
 
 

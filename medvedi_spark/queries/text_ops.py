@@ -1873,13 +1873,9 @@ def p9_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate=False,
 )
 def p10_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
+    from medvedi_spark.queries.compat_ops import _fmt_tmp
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"medvedi_spark_p10_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}".replace(".", "_"),
-    )
+    path = _fmt_tmp(sf_dir, "p10")
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 10)
     (
         docs.select("doc_id", "text", "n_chars", "lang")

@@ -97,12 +97,11 @@ def test_p10_export_shard_size_bound(spark, sf_dir):
 
     from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
 
+    from medvedi_spark.queries.compat_ops import _fmt_tmp
+
     _ensure_loaded()
     QUERIES["p10_export_jsonl"].builder(spark, sf_dir).count()
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"medvedi_spark_p10_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}".replace(".", "_"),
-    )
+    path = _fmt_tmp(sf_dir, "p10")
     shards = glob.glob(os.path.join(path, "lang=*", "*.json.gz"))
     assert shards, f"no gzip jsonl shards under {path}"
     for s in shards:

@@ -24,7 +24,12 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bench = json.load(open(os.path.join(root, "BENCH_local.json")))
     engine = bench["queries"]
-    engine_min = bench.get("queries_min", {})
+    engine_min = bench.get("queries_min")
+    if not engine_min:
+        raise SystemExit(
+            "BENCH_local.json has no queries_min (pre-round-5 ledger?) — "
+            "re-run bench.py first; refusing to print a zeroed min column"
+        )
     _ensure_loaded()
     con = duckdb.connect()
     for name in TABLES:
@@ -46,7 +51,7 @@ def main() -> None:
     print("|---|---|---|---|")
     for name in engine:
         d = f"{duck[name]:.3f}" if name in duck else "—"
-        m = f"{engine_min.get(name, float('nan')):.3f}"
+        m = f"{engine_min[name]:.3f}" if name in engine_min else "—"
         print(f"| {name} | {engine[name]:.3f} | {m} | {d} |")
     print(
         f"\nengine total {sum(engine.values()):.1f} s "
