@@ -1244,3 +1244,55 @@ _D12_T = 0.8
 def d12_gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return ops.gram_containment_pairs(docs, "doc_id", "text", n=_D12_N, threshold=_D12_T)
+
+
+# --------------------------------------------------------------------------
+# d13 — corpus repeated-block REMOVAL (CCNet, Wenzek et al. 2020;
+# the rewrite half of Lee et al. 2021 whose detection half is d11):
+# every fixed-width word block whose exact text recurs in another
+# document is dropped and the survivors are stitched back in order —
+# the dedup that actually EDITS the training corpus rather than just
+# flagging it. Partial-agg verdict + shuffle join back: skew-proof on
+# boilerplate blocks repeated across the whole corpus. Oracle replays
+# the identical chop/verdict/reassembly with list functions.
+# --------------------------------------------------------------------------
+
+_D13_B = 4
+
+
+@register(
+    "d13_repeated_block_removal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[(i*{_D13_B}+1):(i*{_D13_B}+{_D13_B})], ' ') AS block
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(0,
+             CAST(ceil(len(t) / CAST({_D13_B} AS DOUBLE)) AS BIGINT) - 1)) AS i)
+      WHERE len(t) > 0
+    ),
+    dup AS (
+      SELECT block FROM blocks GROUP BY block HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    flagged AS (
+      SELECT b.doc_id, b.pos, b.block, (d.block IS NOT NULL) AS is_dup
+      FROM blocks b LEFT JOIN dup d USING (block)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(CASE WHEN NOT is_dup THEN block END, ' ' ORDER BY pos), '')
+             AS clean_text
+    FROM flagged GROUP BY doc_id
+    """,
+    tags=("dedup", "rewrite", "llm"),
+    doc="Corpus repeated-block removal (CCNet-style): drop every exact "
+        "word-block shared across documents and reassemble the corpus — "
+        "the dedup that edits training text, not just flags it.",
+)
+def d13_repeated_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ops.repeated_block_filter(docs, "doc_id", "text", block_words=_D13_B)

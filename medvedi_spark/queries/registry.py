@@ -42,8 +42,10 @@ GATE_WINDOW = 50
 # re-proves everything whose code changed this round:
 # - the 5 queries with no driver row yet (the r4 rotation comment's
 #   planned set): st10, c18, d12, m7, c10;
-# - the 12 new r5 queries (IVFADC family s6/s7/s8, st11/st12,
-#   q39/q40/q41, c19/c20, p10, t11) — first driver proof for each;
+# - the 14 new r5 queries (IVFADC family s6/s7/s8, st11/st12,
+#   q39/q40/q41/q42, c19/c20, p10, t11, d13) — first driver proof for
+#   each (q9/q16 ceded their re-verification slots to q42/d13 — both
+#   r1-r3 driver-green and unchanged);
 # - the 7 whose plans changed in r5: d2/d7 (tracked gram persist),
 #   d11 (anchor persist), p8/p9 (bpe max_vocab default), s5 (LUT
 #   refactor shared with s6), q17 (as-of module's persist change);
@@ -65,7 +67,8 @@ GATE_ROTATION_R5 = frozenset(
         "q39_percentile_disc", "s8_ivfadc_residual", "st12_stream_outer_join",
         "c19_partition_pruned_scan", "q40_salted_skew_join",
         "p10_export_jsonl", "t11_rake_keywords", "q41_range_frame_window",
-        "c20_schema_evolution",
+        "c20_schema_evolution", "q42_grouping_sets",
+        "d13_repeated_block_removal",
         # code changed in r5 — re-prove through the driver
         "d2_token_jaccard", "d7_ngram_jaccard", "d11_duplicate_spans",
         "p8_bpe_merges", "p9_bpe_segment", "s5_pq_adc_topk", "q17_asof_join",
@@ -78,8 +81,8 @@ GATE_ROTATION_R5 = frozenset(
         "s1_cosine_topk", "s2_ann_ivf",
         "q1_pricing_summary", "q3_revenue_by_nation",
         "q6_dedup_keep_first", "q8_semi_anti_membership",
-        "q9_concat_union", "q10_explode_tokens", "q11_fillna_isnull_json",
-        "q12_sort_nulls_topk", "q13_window_funcs", "q16_setops",
+        "q10_explode_tokens", "q11_fillna_isnull_json",
+        "q12_sort_nulls_topk", "q13_window_funcs",
         "q18_pivot", "q19_sessionize", "q20_nonemin_nonemax",
         "q21_range_join", "q27_sql_shipping_priority",
         "t1_langid",

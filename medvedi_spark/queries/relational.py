@@ -1596,3 +1596,39 @@ def q41_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(F.col("value").cast(DEC)).over(w).cast("string").cast("double").alias("sum_1h"),
     )
+
+
+# --------------------------------------------------------------------------
+# q42 — explicit GROUPING SETS with ASYMMETRIC sets: (flag, status),
+# (shipmode), and the grand total in ONE pass — the grouping-analytics
+# variant q14's ROLLUP and q15's CUBE (both hierarchical/exhaustive
+# lattices) cannot express. One scan expands to the three sets inside a
+# single Expand + hash aggregate — no self-union of three separate
+# aggregations, so the fact table is read once at 100 TB.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q42_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, l_linenumber,
+           GROUPING(l_returnflag, l_linestatus, l_linenumber) AS gid,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber), ())
+    """,
+    tags=("groupby", "grouping-sets", "sql"),
+)
+def q42_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, l_linenumber,
+               grouping_id(l_returnflag, l_linestatus, l_linenumber) AS gid,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS STRING) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber), ())
+    """)

@@ -155,3 +155,48 @@ def test_edit_distance_pairs_semantics(spark, tmp_path):
     out = edit_distance_pairs(df, "doc_id", "text", max_dist=2)
     got = {(r.doc_a, r.doc_b): r.dist for r in out.collect()}
     assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+
+def test_repeated_block_filter_semantics(spark):
+    """d13 kernel: shared blocks dropped, survivors reassembled in
+    order, all-boilerplate docs collapse to '' but keep their row."""
+    import pandas as pd
+
+    from medvedi_spark.operators.llm import repeated_block_filter
+
+    dup = "dup1 dup2 dup3 dup4"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                f"{dup} u11 u12 u13 u14",
+                f"{dup} u21 u22 u23 u24",
+                dup,                                  # only the shared block
+                "x1 x2 x3 x4 x5",                     # fully unique (partial tail block)
+                f"k1 k2 k3 k4 {dup} k5 k6 k7 k8",     # middle block dropped
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    got = {r.doc_id: r for r in repeated_block_filter(df, "doc_id", "text").collect()}
+    assert len(got) == 5
+    assert got[1].clean_text == "u11 u12 u13 u14"
+    assert (got[1].n_blocks, got[1].n_dropped) == (2, 1)
+    assert got[3].clean_text == "" and got[3].n_dropped == 1
+    assert got[4].clean_text == "x1 x2 x3 x4 x5" and got[4].n_dropped == 0
+    # order preservation across a dropped middle block
+    assert got[5].clean_text == "k1 k2 k3 k4 k5 k6 k7 k8"
+
+
+def test_repeated_block_filter_plan_skew_safe(spark, sf_dir):
+    """The cross-doc verdict must be a partial aggregate, never a
+    block-keyed window (a corpus-wide boilerplate block would land on
+    one task), and nothing row-at-a-time Python."""
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators.llm import repeated_block_filter
+
+    docs = load(spark, sf_dir, "documents")
+    plan = repeated_block_filter(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
