@@ -200,3 +200,56 @@ def test_repeated_block_filter_plan_skew_safe(spark, sf_dir):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_repeated_block_filter_property_vs_bruteforce(spark):
+    """Hypothesis: d13's distributed plan equals a row-by-row Python
+    brute force on arbitrary tiny corpora (empty texts, all-duplicate
+    corpora, partial tail blocks)."""
+    from collections import defaultdict
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from medvedi_spark.operators.llm import repeated_block_filter
+
+    B = 2
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=0, max_size=12)
+
+    def brute(texts):
+        split = {i: t.split(" ") for i, t in enumerate(texts)}
+        blocks = {
+            i: [" ".join(w[j : j + B]) for j in range(0, len(w), B)]
+            for i, w in split.items()
+        }
+        docs_of = defaultdict(set)
+        for i, bl in blocks.items():
+            for b in bl:
+                docs_of[b].add(i)
+        return {
+            i: (
+                len(bl),
+                sum(1 for b in bl if len(docs_of[b]) >= 2),
+                " ".join(b for b in bl if len(docs_of[b]) < 2),
+            )
+            for i, bl in blocks.items()
+        }
+
+    @given(docs=st.lists(doc, min_size=1, max_size=6))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    def check(docs):
+        texts = [" ".join(w) for w in docs]
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        out = repeated_block_filter(
+            spark.createDataFrame(pdf), "doc_id", "text", block_words=B
+        ).collect()
+        got = {r.doc_id: (r.n_blocks, r.n_dropped, r.clean_text) for r in out}
+        assert got == brute(texts)
+
+    check()
