@@ -31,7 +31,10 @@ def release_persisted() -> int:
     while _PERSISTED:
         df = _PERSISTED.pop()
         try:
-            df.unpersist()
+            # blocking: callers snapshot getPersistentRDDs for leak
+            # accounting right after this returns — the default async
+            # unpersist leaves entries draining and the count races
+            df.unpersist(blocking=True)
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release

@@ -458,6 +458,11 @@ def gram_containment_pairs(
         .select("doc_id", token_hash(F.col("g")).alias("h"))
         .distinct()
     )
+    # Five lineage branches consume the distinct-gram table, but an
+    # interleaved A/B at sf0.1 showed a tracked persist here is a WASH
+    # (the recomputed branches are cheap column-pruned scans of the same
+    # exchange, several of which ReuseExchange does dedupe) — unlike d3's
+    # signature table or s8's routing table, so no cache.
     gram_df = grams.groupBy("h").agg(F.count(F.lit(1)).alias("gram_df"))
     w = Window.partitionBy("doc_id").orderBy("gram_df", "h")
     w_sz = Window.partitionBy("doc_id")
@@ -526,6 +531,21 @@ def minhash_band_index(df: DataFrame, id_col: str, text_col: str) -> tuple[DataF
         *minhash_agg_cols("h"),
         F.array_distinct(F.sort_array(F.collect_list("h"))).alias("toks"),
     )
+    # The signature table feeds FOUR lineage branches (the band self-join
+    # references bands twice; the exact-verify joins toks once per pair
+    # side) whose pruned columns differ, so ReuseExchange does not dedupe
+    # them and the shingle explode+distinct+groupBy pipeline re-executes
+    # per consumer. The cache is corpus-proportional (~16 ints + the
+    # distinct hash set per doc ≈ 1.7× the input text bytes), so it gets
+    # the same Catalyst-estimate size guard as duplicate_spans' anchors:
+    # persist below 1 GiB of input, recompute (corpus-linear, shuffle-
+    # keyed) above it.
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — estimate unavailable → be conservative
+        est = (1 << 30) + 1
+    if est <= 1 << 30:
+        sigs = _persist_tracked(sigs)
     n_bands = len(MINHASH_COEFFS) // 2
     band_structs = F.array(
         *[

@@ -41,7 +41,12 @@ def test_jaccard_persist_released_after_queries(spark, sf_dir):
     released = ops.release_persisted()
     assert released >= 2
     assert not ops._PERSISTED
-    assert _persistent_rdd_count(spark) == before, "cache blocks lingered"
+    # <=, not ==: the ContextCleaner asynchronously drops persistent-RDD
+    # entries whose DataFrames earlier tests left to the garbage
+    # collector, so the registry can legitimately SHRINK mid-test; a
+    # lingering d2/d7 gram table would still push the count ABOVE the
+    # baseline (flaked order-dependently in the full suite on ==).
+    assert _persistent_rdd_count(spark) <= before, "cache blocks lingered"
 
 
 # ------------------------------------------------------------ NaN weights

@@ -27,9 +27,51 @@ from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
 from medvedi_spark.session import get_spark
 
 
+def _art_depth(line: str) -> int:
+    """Tree-art depth of a plan line (index of the first payload char)."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _dedupe_cached_subtrees(plan: str) -> str:
+    """Drop repeated prints of the SAME InMemoryRelation cached plan.
+
+    ``executedPlan().toString()`` re-prints a cached pipeline under every
+    InMemoryTableScan that references it, so a plan that persists one
+    subtree consumed N times textually shows N copies of the subtree's
+    exchanges/joins — while physically the cached pipeline runs ONCE.
+    Keep the first print of each distinct cached subtree (normalized of
+    tree art and expression ids) and cut the rest, so the counted facts
+    match executed work.
+    """
+    lines = plan.split("\n")
+    out: list[str] = []
+    seen: set[str] = set()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            depth = _art_depth(line)
+            j = i + 1
+            while j < len(lines) and lines[j].strip() and _art_depth(lines[j]) > depth:
+                j += 1
+            key = "\n".join(
+                re.sub(r"#\d+L?", "#", ln.lstrip(" :+-")) for ln in lines[i:j]
+            )
+            if key in seen:
+                i = j
+                continue
+            seen.add(key)
+            out.extend(lines[i:j])
+            i = j
+        else:
+            out.append(line)
+            i += 1
+    return "\n".join(out)
+
+
 def plan_facts(df) -> dict:
     qe = df._jdf.queryExecution()
-    plan = qe.executedPlan().toString()
+    plan = _dedupe_cached_subtrees(qe.executedPlan().toString())
     formatted = qe.explainString(df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     facts = {
         "exch": len(re.findall(r"\bExchange hashpartitioning", plan)),
