@@ -179,3 +179,41 @@ def test_ivfadc_with_all_cells_equals_flat_adc(spark, sf_dir):
         ).collect()
     }
     assert routed == flat
+
+
+# ----------------------------------------------- multi-consumer persists
+
+
+def test_multi_consumer_subplans_are_cached(spark, sf_dir):
+    """The measured round-5-close perf wins are persists of subplans
+    consumed by >= 3 differently-pruned lineage branches (ReuseExchange
+    cannot dedupe those): s8's IVF routing table and d3's MinHash
+    signature table. Pin InMemoryRelation in both plans so a refactor
+    can't silently reintroduce the 2-4x recompute; s6 measured a LOSS
+    from the same persist (2 consumers) and must stay uncached."""
+    from medvedi_spark.operators._persist import release_persisted
+    from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    try:
+        for name, cached in (
+            ("s8_ivfadc_residual", True),
+            ("d3_minhash_lsh", True),
+            ("s6_ivfadc_topk", False),
+        ):
+            # clean cache per query: the cache manager substitutes ANY
+            # matching subplan, so s8's persisted routing would (fine in
+            # production, wrong for this assertion) appear inside s6
+            release_persisted()
+            spark.catalog.clearCache()
+            plan = (
+                QUERIES[name]
+                .builder(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert ("InMemoryRelation" in plan) == cached, name
+    finally:
+        release_persisted()
+        spark.catalog.clearCache()
