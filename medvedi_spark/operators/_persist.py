@@ -23,6 +23,30 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+#: input-size ceiling for :func:`size_guarded_persist` — persists whose
+#: source exceeds this recompute instead of materializing a cache that
+#: is a multiple of a huge input (duplicate_spans' anchors are ~30x the
+#: source text; a 100 TB corpus would cache multi-PB)
+PERSIST_INPUT_CAP = 1 << 30
+
+
+def size_guarded_persist(source: DataFrame, df: DataFrame, cap: int = PERSIST_INPUT_CAP) -> DataFrame:
+    """Tracked-persist ``df`` only when Catalyst's free input-size
+    estimate of ``source`` stays under ``cap`` (conservative: estimate
+    unavailable → no persist). The shared ruling for operator-internal
+    caches that are proportional to the corpus (gram tables, anchor
+    tables, signature tables): below the cap the cache beats 2-5
+    shuffling recomputes; above it the recompute is the corpus-scale
+    plan."""
+    try:
+        est = int(source._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — estimate unavailable → be conservative
+        est = cap + 1
+    if est <= cap:
+        return persist_tracked(df)
+    return df
+
+
 def release_persisted() -> int:
     """Unpersist every operator-persisted DataFrame; returns the count.
     Safe once earlier plans are no longer needed — blocks drop, plans

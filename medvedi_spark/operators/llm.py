@@ -24,6 +24,7 @@ from medvedi_spark.operators._persist import (  # noqa: F401  (re-export)
     _PERSISTED,
     persist_tracked as _persist_tracked,
     release_persisted,
+    size_guarded_persist as _size_guarded_persist,
 )
 
 
@@ -535,17 +536,12 @@ def minhash_band_index(df: DataFrame, id_col: str, text_col: str) -> tuple[DataF
     # references bands twice; the exact-verify joins toks once per pair
     # side) whose pruned columns differ, so ReuseExchange does not dedupe
     # them and the shingle explode+distinct+groupBy pipeline re-executes
-    # per consumer. The cache is corpus-proportional (~16 ints + the
+    # per consumer (measured at sf0.1: d3 2.62 → 0.63 s, st10
+    # 3.88 → 2.48 s). The cache is corpus-proportional (~16 ints + the
     # distinct hash set per doc ≈ 1.7× the input text bytes), so it gets
-    # the same Catalyst-estimate size guard as duplicate_spans' anchors:
-    # persist below 1 GiB of input, recompute (corpus-linear, shuffle-
-    # keyed) above it.
-    try:
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # noqa: BLE001 — estimate unavailable → be conservative
-        est = (1 << 30) + 1
-    if est <= 1 << 30:
-        sigs = _persist_tracked(sigs)
+    # the shared Catalyst-estimate size guard: persist below the cap,
+    # recompute (corpus-linear, shuffle-keyed) above it.
+    sigs = _size_guarded_persist(df, sigs)
     n_bands = len(MINHASH_COEFFS) // 2
     band_structs = F.array(
         *[
@@ -1733,16 +1729,9 @@ def duplicate_spans(
     # second posexplode+scan pass (measured at sf0.1: warm min
     # 5.6 s → 4.6 s) — but anchors are ~(k + overhead) ≈ 30× the input
     # text bytes, so an unconditional persist at a 100 TB corpus would
-    # materialize a multi-PB cache. Guarded by Catalyst's free input-size
-    # estimate: below the cap the persist wins; above it the re-derived
-    # codegen-linear posexplode pass stays the corpus-scale plan.
-    _ANCHOR_PERSIST_INPUT_CAP = 1 << 30  # 1 GiB of source text ≈ 30 GiB cached
-    try:
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # noqa: BLE001 — estimate unavailable → be conservative
-        est = _ANCHOR_PERSIST_INPUT_CAP + 1
-    if est <= _ANCHOR_PERSIST_INPUT_CAP:
-        anchors = _persist_tracked(anchors)
+    # materialize a multi-PB cache; the shared size guard keeps the
+    # re-derived codegen-linear posexplode pass as the corpus-scale plan.
+    anchors = _size_guarded_persist(df, anchors)
     # Cross-doc verdict via partial aggregation + join-back — NOT a
     # gram-partitioned window. A window partition is the GLOBAL
     # occurrence list of one gram: a boilerplate header repeated across a
@@ -1836,12 +1825,7 @@ def repeated_block_filter(
     )
     # Consumed twice (verdict agg + join-back left side) — same
     # size-guarded persist ruling as duplicate_spans' anchor table.
-    try:
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # noqa: BLE001 — estimate unavailable → be conservative
-        est = (1 << 30) + 1
-    if est <= 1 << 30:
-        blocks = _persist_tracked(blocks)
+    blocks = _size_guarded_persist(df, blocks)
     shared = (
         blocks.groupBy("block")
         .agg((F.min("doc_id") != F.max("doc_id")).alias("__x__"))

@@ -51,7 +51,7 @@ GATE_WINDOW = 50
 #   refactor shared with s6), q17 (as-of module's persist change);
 # - the 3 r4-excluded extras whose driver rows date to r1-r3: q7, q15,
 #   q30;
-# - 23 fill slots re-verifying the stalest r1-r3 evidence (c7,
+# - 21 fill slots re-verifying the stalest r1-r3 evidence (c7,
 #   d3-d6, s1/s2, the q relational long tail, t1 for the t family;
 #   c1-c6/d1/q5 ceded their slots to the new queries — all r1-r3-green,
 #   and every family stays in-window).

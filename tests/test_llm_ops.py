@@ -2,10 +2,24 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from medvedi_spark.catalog import load
 from medvedi_spark.operators.llm import _jaccard_bitset, _jaccard_prefix_filter
+
+
+@pytest.fixture(autouse=True)
+def _release_tracked_persists():
+    """Operators here persist tracked intermediates (gram tables, d13
+    blocks — one per hypothesis example); drop them after every test so
+    cache entries can't accumulate in the shared session and flip plan
+    assertions in later test files (the cache manager substitutes
+    InMemoryRelation into any matching subplan)."""
+    yield
+    from medvedi_spark.operators._persist import release_persisted
+
+    release_persisted()
 
 
 def _tok(spark, sf_dir):

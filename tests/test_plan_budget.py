@@ -55,20 +55,25 @@ def test_plans_stay_within_budget(spark, sf_dir):
             UserWarning,
         )
         pytest.skip(f"budget snapshot sf_dir {snap_sf} != test sf_dir {sf_dir}")
-    # Budgets are defined against a CLEAN cache: earlier tests in the
-    # shared session leave tracked persists (gram tables, IVF routing),
-    # and Spark's cache manager substitutes InMemoryRelation into any
-    # matching subplan — whose stats can demote a broadcast join to a
-    # shuffle join and spuriously blow the budget (order-dependent
-    # failure seen in the full-suite run, absent standalone).
+    # Budgets are defined against a CLEAN cache PER QUERY: tests earlier
+    # in the shared session — and the budget loop's own builders — leave
+    # tracked persists (gram tables, IVF routing), and Spark's cache
+    # manager substitutes InMemoryRelation into any matching subplan,
+    # whose stats can demote a broadcast join to a shuffle join and
+    # spuriously blow the budget (order-dependent full-suite failure).
+    # Per query, not once upfront: this loop iterates alphabetically
+    # while the snapshot generator iterates in registration order, so a
+    # single upfront clear still leaves the two sides seeing different
+    # mid-loop cache states whenever two queries share a cacheable
+    # subplan and their relative order differs.
     from medvedi_spark.operators._persist import release_persisted
 
-    release_persisted()
-    spark.catalog.clearCache()
     over: list[str] = []
     for name, budget in snap["budgets"].items():
         if name not in QUERIES or skip_in_sweep(name):
             continue
+        release_persisted()
+        spark.catalog.clearCache()
         facts = plan_facts(QUERIES[name].builder(spark, sf_dir))
         got = {
             "exch": facts["exch"],

@@ -195,6 +195,21 @@ def test_multi_consumer_subplans_are_cached(spark, sf_dir):
     from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
 
     _ensure_loaded()
+    # the d3/st10 persist is size-guarded: at an sf_dir whose documents
+    # table Catalyst-estimates above the cap the operator CORRECTLY
+    # skips the cache — only assert where the guard admits it
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators._persist import PERSIST_INPUT_CAP
+
+    est = int(
+        load(spark, sf_dir, "documents")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .sizeInBytes()
+    )
+    if est > PERSIST_INPUT_CAP:
+        pytest.skip(f"documents estimate {est} exceeds the persist cap — guard disables the cache")
     try:
         for name, cached in (
             ("s8_ivfadc_residual", True),

@@ -32,7 +32,7 @@ def _art_depth(line: str) -> int:
     return len(line) - len(line.lstrip(" :+-"))
 
 
-def _dedupe_cached_subtrees(plan: str) -> str:
+def _dedupe_cached_subtrees(plan: str, cached_blocks: list[str] | None = None) -> str:
     """Drop repeated prints of the SAME InMemoryRelation cached plan.
 
     ``executedPlan().toString()`` re-prints a cached pipeline under every
@@ -61,6 +61,8 @@ def _dedupe_cached_subtrees(plan: str) -> str:
                 i = j
                 continue
             seen.add(key)
+            if cached_blocks is not None:
+                cached_blocks.append("\n".join(lines[i:j]))
             out.extend(lines[i:j])
             i = j
         else:
@@ -71,7 +73,8 @@ def _dedupe_cached_subtrees(plan: str) -> str:
 
 def plan_facts(df) -> dict:
     qe = df._jdf.queryExecution()
-    plan = _dedupe_cached_subtrees(qe.executedPlan().toString())
+    cached_blocks: list[str] = []
+    plan = _dedupe_cached_subtrees(qe.executedPlan().toString(), cached_blocks)
     formatted = qe.explainString(df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     facts = {
         "exch": len(re.findall(r"\bExchange hashpartitioning", plan)),
@@ -83,10 +86,22 @@ def plan_facts(df) -> dict:
         "arrow": len(re.findall(r"\bArrowEvalPython|\bFlatMapGroupsInPandas|\bMapInPandas", plan)),
         "wscg": len(set(re.findall(r"\*\((\d+)\)", plan))),
     }
+    # Scan facts need BOTH renderings: the formatted explain prints full
+    # (untruncated) ReadSchema but omits the cached pipeline under an
+    # InMemoryTableScan entirely — a fully-persisted query would falsely
+    # read push=N scans=[] — while toString includes cached FileScans
+    # but TRUNCATES long lines mid-schema. So: formatted for the
+    # uncached scans, plus each cached FileScan (appears once in the
+    # deduped toString) via its projected-column bracket list and
+    # PushedFilters, which survive truncation at realistic widths.
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
-    facts["push"] = any(p.strip() for p in pushed)
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
     facts["scan_cols"] = [len([c for c in s.split(",") if c]) for s in schemas]
+    for block in cached_blocks:
+        for cols in re.findall(r"FileScan \w+ \[([^\]]*)\]", block):
+            facts["scan_cols"].append(len([c for c in cols.split(",") if c]))
+        pushed += re.findall(r"PushedFilters: \[([^\]]*)\]", block)
+    facts["push"] = any(p.strip() for p in pushed)
     return facts
 
 

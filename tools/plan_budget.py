@@ -48,10 +48,18 @@ def snapshot(sf_dir: str) -> dict[str, dict[str, int]]:
     _ensure_loaded()
     spark = get_spark("plan-budget")
     spark.sparkContext.setLogLevel("ERROR")
+    from medvedi_spark.operators._persist import release_persisted
+
     out: dict[str, dict[str, int]] = {}
     for name, q in QUERIES.items():
         if skip_in_sweep(name):
             continue
+        # clean cache per query: builders leave tracked persists, and the
+        # cache manager substitutes InMemoryRelation into any matching
+        # later subplan — budgets must describe each query's standalone
+        # plan, in lockstep with test_plan_budget's per-query clear
+        release_persisted()
+        spark.catalog.clearCache()
         facts = plan_facts(q.builder(spark, sf_dir))
         out[name] = {
             "exch": facts["exch"],
