@@ -1332,6 +1332,7 @@ def pq_adc_topk(
     probe,
     k: int = 10,
     n_subspaces: int = 8,
+    n_codes: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k search over PQ codes: queries stay
     full-precision, the corpus is its PQ codes, and each candidate's
@@ -1359,7 +1360,7 @@ def pq_adc_topk(
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     codes = pq_encode(emb, centroids, id_col, vec_col, n_subspaces=n_subspaces, dense=True)
     queries = e.filter(probe).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    lut_arr, d2_approx = _pq_lut(queries, centroids, n_subspaces)
+    lut_arr, d2_approx = _pq_lut(queries, centroids, n_subspaces, n_codes=n_codes)
     scored = (
         codes.withColumnRenamed("vec_id", "neighbor_id")
         .crossJoin(F.broadcast(lut_arr))
@@ -1433,6 +1434,7 @@ def ivfadc_topk(
     k: int = 10,
     nprobe: int = 2,
     n_subspaces: int = 8,
+    n_codes: int | None = None,
 ) -> DataFrame:
     """IVFADC: inverted-file routing composed with ADC scoring (Jégou et
     al., TPAMI 2011 — the billion-scale ANN serving architecture). Fixes
@@ -1475,7 +1477,7 @@ def ivfadc_topk(
         assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
     )
     queries = e.filter(probe).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    lut_arr, d2_approx = _pq_lut(queries, pq_centroids, n_subspaces)
+    lut_arr, d2_approx = _pq_lut(queries, pq_centroids, n_subspaces, n_codes=n_codes)
     # routing × LUT = model state (queries × nprobe rows); broadcast hash
     # join on cell bounds scored rows to the probed cells' contents.
     routed = probe_cells.join(lut_arr, "query_id")
@@ -1503,6 +1505,7 @@ def ivfadc_rerank_topk(
     shortlist: int = 30,
     nprobe: int = 2,
     n_subspaces: int = 8,
+    n_codes: int | None = None,
 ) -> DataFrame:
     """Two-stage IVFADC search: ADC shortlists ``shortlist`` candidates
     per query (cell-bounded, compressed-domain — :func:`ivfadc_topk`),
@@ -1523,7 +1526,7 @@ def ivfadc_rerank_topk(
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     cand = ivfadc_topk(
         emb, coarse_centroids, pq_centroids, id_col, vec_col, probe,
-        k=shortlist, nprobe=nprobe, n_subspaces=n_subspaces,
+        k=shortlist, nprobe=nprobe, n_subspaces=n_subspaces, n_codes=n_codes,
     ).select("query_id", "neighbor_id")
     q = e.filter(probe).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))

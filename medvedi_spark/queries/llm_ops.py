@@ -781,6 +781,7 @@ def s5_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.pq_adc_topk(
         emb, cent, "vec_id", "embedding",
         probe=F.col("vec_id") < _S5_PROBES, k=_S5_K, n_subspaces=_S4_SUBS,
+        n_codes=_S4_K,  # known codebook size — skips the per-query count job
     )
 
 
@@ -892,6 +893,7 @@ def s6_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, coarse, cent, "vec_id", "embedding",
         probe=F.col("vec_id") < _S5_PROBES,
         k=_S5_K, nprobe=_S6_NPROBE, n_subspaces=_S4_SUBS,
+        n_codes=_S4_K,  # known codebook size — skips the per-query count job
     )
 
 
@@ -951,6 +953,7 @@ def s7_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, coarse, cent, "vec_id", "embedding",
         probe=F.col("vec_id") < _S5_PROBES,
         k=_S5_K, shortlist=_S7_SHORTLIST, nprobe=_S6_NPROBE, n_subspaces=_S4_SUBS,
+        n_codes=_S4_K,  # known codebook size — skips the per-query count job
     )
 
 
