@@ -982,6 +982,106 @@ def decontaminate(
     )
 
 
+def _bloom_pos(value: Column, i: int, m_bits: int) -> Column:
+    """Bit position ``i`` of ``value`` in an ``m_bits``-wide Bloom filter.
+
+    md5 → low 60 bits → mod m. The identical arithmetic is expressible in
+    ANSI SQL (``CAST('0x' || substr(md5(v || ':i'), 1, 15) AS BIGINT) %
+    m``), so oracles can replay membership bit-for-bit.
+    """
+    h = F.conv(F.substring(F.md5(F.concat(value, F.lit(f":{i}"))), 1, 15), 16, 10)
+    return h.cast("long") % m_bits
+
+
+def bloom_build_bits(
+    df: DataFrame, col: str, m_bits: int = 65536, k_hashes: int = 3
+) -> list[int]:
+    """Build a Bloom-filter bitmap over the distinct values of ``df[col]``.
+
+    Returns the filter as ``m_bits / 64`` signed 64-bit words — MODEL
+    STATE, like k-means centroids: the collect is bounded by ``m_bits``
+    distinct positions (8 KB of longs at the default), never by the data.
+    The position set is computed distributed (explode → distinct) so the
+    input side can be arbitrarily large.
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    pos_cols = [_bloom_pos(F.col(col), i, m_bits) for i in range(k_hashes)]
+    pos = df.select(F.explode(F.array(*pos_cols)).alias("p")).distinct()
+    words = [0] * (m_bits // 64)
+    for r in pos.collect():
+        words[r["p"] // 64] |= 1 << (r["p"] % 64)
+    # Spark long literals are signed; re-bias the high bit.
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_member(value: Column, bits: Column, m_bits: int, k_hashes: int) -> Column:
+    """Boolean membership test against a Bloom bitmap column/literal.
+
+    Pure projection — ``k_hashes`` md5s, an ``element_at`` word fetch and
+    a mask AND per hash; no join, no shuffle. ``bits`` should be an array
+    LITERAL (constant, not per-row construction) when the filter is model
+    state.
+    """
+    cond = None
+    for i in range(k_hashes):
+        p = _bloom_pos(value, i, m_bits)
+        word = F.element_at(bits, (p / F.lit(64)).cast("int") + 1)
+        c = F.bit_get(word, (p % 64).cast("int")) == 1
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter decontamination: :func:`decontaminate`'s at-scale form.
+
+    d9 broadcasts the eval set's exact ``(gram, eval_id)`` pairs; that
+    broadcast grows with the eval corpus. Here the eval grams are folded
+    into a fixed-size Bloom bitmap (default 64 Ki bits = 8 KB regardless
+    of eval size — the CCNet/Dolma-style prefilter), and the corpus side
+    becomes a ZERO-JOIN map-side projection: each doc counts its distinct
+    ``n``-grams whose ``k_hashes`` bit positions are all set. Returns
+    ``(doc_id, hit_grams)`` for flagged docs only.
+
+    Bloom guarantees no false negatives — every truly contaminated doc is
+    flagged (unit-tested against d9) — and a tunable false-positive tail
+    that a downstream exact pass (d9 itself) resolves. The only shuffle
+    anywhere is the eval-side distinct while BUILDING the filter.
+    """
+    bits = F.lit(
+        bloom_build_bits(
+            eval_df.select(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("__toks__")
+            )
+            .select(F.explode(F.array_distinct(word_ngrams_of(F.col("__toks__"), n))).alias("g"))
+            .distinct(),
+            "g",
+            m_bits,
+            k_hashes,
+        )
+    )
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    hits = F.size(
+        F.filter(
+            F.array_distinct(word_ngrams_of(F.col("__toks__"), n)),
+            lambda g: bloom_member(g, bits, m_bits, k_hashes),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"), toks.alias("__toks__"))
+        .select("doc_id", hits.cast("long").alias("hit_grams"))
+        .filter(F.col("hit_grams") > 0)
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

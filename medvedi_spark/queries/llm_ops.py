@@ -595,6 +595,70 @@ def d9_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# d14 — Bloom-filter decontamination: d9's at-scale prefilter form
+# (CCNet / Dolma-style). d9 broadcasts the eval set's exact gram pairs —
+# a broadcast that grows with the eval corpus; d14 folds the eval grams
+# into a FIXED 8 KB bitmap (64 Ki bits, 3 hashes) and the corpus side
+# becomes a zero-join map-side projection: per doc, count distinct
+# 4-grams whose 3 bit positions are all set. No false negatives (every
+# d9-contaminated doc is flagged — unit-tested); the deterministic
+# false-positive tail is part of the contract and the oracle replays it
+# exactly, because the bitmap IS the distinct position set, which SQL can
+# rebuild and semi-join. Same eval split and gram size as d9.
+# --------------------------------------------------------------------------
+
+_D14_M = 65536
+_D14_K = 3
+
+
+@register(
+    "d14_bloom_decontaminate",
+    oracle=f"""
+    WITH ctoks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_D9_N - 1}], ' ') AS g
+      FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(toks) - {_D9_N - 1})) AS i)
+    ),
+    idx AS (SELECT unnest(generate_series(0, {_D14_K - 1})) AS i),
+    pos AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(eg.g || ':' || idx.i), 1, 15) AS BIGINT) % {_D14_M} AS p
+      FROM (SELECT DISTINCT g FROM cg WHERE doc_id % 50 = 0) eg, idx
+    ),
+    hitg AS (
+      SELECT c.doc_id, c.g
+      FROM (SELECT doc_id, g FROM cg WHERE doc_id % 50 <> 0) c, idx
+      WHERE CAST('0x' || substr(md5(c.g || ':' || idx.i), 1, 15) AS BIGINT) % {_D14_M}
+            IN (SELECT p FROM pos)
+      GROUP BY c.doc_id, c.g
+      HAVING count(*) = {_D14_K}
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_grams
+    FROM hitg GROUP BY doc_id
+    """,
+    tags=("dedup", "decontamination", "bloom", "llm"),
+    doc="Bloom-bitmap decontamination prefilter: eval grams folded into a "
+        "fixed 8 KB filter (model state), corpus flagged in a zero-join "
+        "map-side projection; no false negatives, deterministic FP tail "
+        "replayed exactly by the oracle.",
+    gate=False,
+)
+def d14_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.llm.bloom_decontaminate (bloom_build_bits model-state
+    bitmap + bloom_member pure-projection membership)."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    return ops.bloom_decontaminate(
+        corpus, eval_df, "doc_id", "text",
+        n=_D9_N, m_bits=_D14_M, k_hashes=_D14_K,
+    )
+
+
+# --------------------------------------------------------------------------
 # s3 — nearest-centroid cluster assignment (the k-means E-step, and the
 # IVF cell-assignment kernel): every vector → argmin squared-L2 over a
 # broadcast centroid table (model state, k × dim doubles — broadcastable

@@ -306,6 +306,71 @@ def test_decontaminate_span_semantics(spark):
     assert llm.decontaminate(short, eval_df, "doc_id", "text", n=3).count() == 0
 
 
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """Bloom membership can only over-approximate: every doc the exact
+    d9-style decontaminate flags must also be flagged by the Bloom
+    prefilter, at ANY filter size."""
+    from medvedi_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    exact = {r.doc_id for r in llm.decontaminate(corpus, eval_df, "doc_id", "text", n=4).collect()}
+    for m_bits in (256, 65536):
+        bloom = {
+            r.doc_id: r.hit_grams
+            for r in llm.bloom_decontaminate(
+                corpus, eval_df, "doc_id", "text", n=4, m_bits=m_bits, k_hashes=3
+            ).collect()
+        }
+        assert exact <= set(bloom), f"false negatives at m_bits={m_bits}"
+    # At a deliberately-saturated 256-bit filter the deterministic
+    # false-positive tail must appear (that's the prefilter contract:
+    # recall 1.0, precision < 1.0, resolved by the exact pass downstream).
+    assert len(bloom := set(bloom)) >= len(exact)
+
+
+def test_bloom_member_matches_position_set(spark):
+    """bloom_member's bit arithmetic is exactly 'all k positions in the
+    distinct position set' — the property the SQL oracle relies on."""
+    vals = spark.createDataFrame([(f"tok{i}",) for i in range(64)], "v string")
+    m_bits, k = 512, 3
+    bits = llm.bloom_build_bits(vals.limit(20), "v", m_bits=m_bits, k_hashes=k)
+    pos = {
+        r.p
+        for r in vals.limit(20)
+        .select(F.explode(F.array(*[llm._bloom_pos(F.col("v"), i, m_bits) for i in range(k)])).alias("p"))
+        .collect()
+    }
+    got = {
+        r.v: r.m
+        for r in vals.select(
+            "v", llm.bloom_member(F.col("v"), F.lit(bits), m_bits, k).alias("m")
+        ).collect()
+    }
+    for r in vals.select("v", *[llm._bloom_pos(F.col("v"), i, m_bits).alias(f"p{i}") for i in range(k)]).collect():
+        expect = all(r[f"p{i}"] in pos for i in range(k))
+        assert got[r.v] == expect
+    assert any(got.values()) and not all(got.values())
+
+
+def test_bloom_decontaminate_plan_is_joinless(spark, sf_dir):
+    """The corpus side is a pure projection: no join operator anywhere in
+    the physical plan — the bitmap rides along as an 8 KB literal."""
+    from medvedi_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = llm.bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        "doc_id",
+        "text",
+        n=4,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
 def test_kmeans_lloyd_matches_numpy(spark, sf_dir):
     import numpy as np
     from medvedi_spark.catalog import load
