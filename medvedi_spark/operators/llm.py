@@ -1082,6 +1082,44 @@ def bloom_decontaminate(
     )
 
 
+def cross_group_overlap(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Pairwise overlap matrix between groups: for every unordered group
+    pair ``(a < b)``, how many distinct ``key_col`` values occur in both.
+
+    The dedup-analysis companion to :func:`exact_dedup`: run it on a
+    content fingerprint keyed by ``source``/``domain`` and the matrix
+    names WHERE the duplication lives (mirror sites, cross-source
+    scrapes) before any rows are dropped.
+
+    Plan shape: ONE aggregate shuffle on the key (``collect_set`` dedupes
+    map-side, so no separate distinct pass), then in-row expansion of the
+    sorted group set into ordered pairs and a matrix-sized aggregate —
+    no self-join. Per-key work is quadratic in the number of groups
+    sharing that key, so this form fits group columns with up to ~10^3
+    distinct values (sources, languages, shards); for millions of groups
+    (per-domain) use a fp-keyed self-join instead, which shuffles the
+    same pair multiset but never materializes a per-key group array.
+    """
+    arr = F.array_sort(F.collect_set(F.col(group_col)))
+    grouped = df.groupBy(F.col(key_col).alias("__k__")).agg(arr.alias("__gs__"))
+    gs = F.col("__gs__")
+    pairs = F.flatten(
+        F.transform(
+            gs,
+            lambda x, i: F.transform(
+                F.slice(gs, i + F.lit(2), F.greatest(F.size(gs) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("group_a"), y.alias("group_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.group_a", "p.group_b")
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("shared_keys"))
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

@@ -659,6 +659,57 @@ def d14_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# d15 — cross-source duplication matrix: for every source pair, how many
+# canonically-equivalent documents (t4's sorted-distinct-token
+# fingerprint) appear in BOTH. The dedup-analysis step a 100 TB pipeline
+# runs before dropping rows: the matrix names where duplication lives
+# (mirror sites, cross-source scrapes) and which source to keep as
+# canonical. One collect_set aggregate shuffle + in-row pair expansion —
+# no self-join; per-fingerprint work is quadratic in the number of
+# sources sharing it, bounded by the source cardinality (~20 here, fine
+# to ~10^3 — the operator docstring names the self-join form beyond).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d15_cross_source_overlap",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT
+             md5(array_to_string(list_sort(list_distinct(
+                 list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp,
+             source
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_keys
+    FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    tags=("dedup", "analysis", "llm"),
+    doc="Cross-source duplication matrix on the t4 canonical fingerprint: "
+        "one collect_set shuffle + in-row pair expansion, no self-join; "
+        "the oracle replays it as the classic fp-keyed self-join, proving "
+        "the two formulations equivalent.",
+    gate=False,
+)
+def d15_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.llm.cross_group_overlap (single-shuffle overlap
+    matrix; fingerprint = t4's sorted-distinct-token md5)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return (
+        ops.cross_group_overlap(docs.select(fp.alias("fp"), "source"), "source", "fp")
+        .select(
+            F.col("group_a").alias("source_a"),
+            F.col("group_b").alias("source_b"),
+            "shared_keys",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # s3 — nearest-centroid cluster assignment (the k-means E-step, and the
 # IVF cell-assignment kernel): every vector → argmin squared-L2 over a
 # broadcast centroid table (model state, k × dim doubles — broadcastable

@@ -371,6 +371,40 @@ def test_bloom_decontaminate_plan_is_joinless(spark, sf_dir):
     assert "Join" not in plan and "Exchange" not in plan
 
 
+def test_cross_group_overlap_matches_self_join(spark):
+    """The in-row pair expansion must equal the classic fp-keyed
+    self-join (which the SQL oracle uses), including keys in 1 group
+    (no pairs), all groups, and duplicate (key, group) rows."""
+    rows = [
+        ("k1", "a"), ("k1", "b"), ("k1", "c"),
+        ("k2", "a"), ("k2", "a"),            # dup rows: still 1 group -> no pair
+        ("k3", "b"), ("k3", "c"),
+        ("k4", "c"),
+    ]
+    df = spark.createDataFrame(rows, "k string, g string")
+    got = {
+        (r.group_a, r.group_b): r.shared_keys
+        for r in llm.cross_group_overlap(df, "g", "k").collect()
+    }
+    h = df.distinct()
+    ref = {
+        ((a, b) if a < b else (b, a))
+        for (ka, a) in h.collect()
+        for (kb, b) in h.collect()
+        if ka == kb and a < b
+    }
+    expect = {}
+    for (ka, a) in set(rows):
+        for (kb, b) in set(rows):
+            if ka == kb and a < b:
+                expect[(a, b)] = expect.get((a, b), 0) + 1
+    assert got == expect == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 2}
+    assert ref == set(expect)
+    # no self-join anywhere: one agg shuffle + the matrix agg
+    plan = llm.cross_group_overlap(df, "g", "k")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
 def test_kmeans_lloyd_matches_numpy(spark, sf_dir):
     import numpy as np
     from medvedi_spark.catalog import load
