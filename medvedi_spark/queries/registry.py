@@ -42,16 +42,16 @@ GATE_WINDOW = 50
 # re-proves everything whose code changed this round:
 # - the 5 queries with no driver row yet (the r4 rotation comment's
 #   planned set): st10, c18, d12, m7, c10;
-# - the 14 new r5 queries (IVFADC family s6/s7/s8, st11/st12,
-#   q39/q40/q41/q42, c19/c20, p10, t11, d13) — first driver proof for
-#   each (q9/q16 ceded their re-verification slots to q42/d13 — both
-#   r1-r3 driver-green and unchanged);
+# - the 16 new r5 queries (IVFADC family s6/s7/s8, st11/st12,
+#   q39/q40/q41/q42, c19/c20, p10, t11, d13, d14/d15) — first driver
+#   proof for each (q9/q16/q20/q27 ceded their re-verification slots to
+#   q42/d13/d14/d15 — all r1-r3 driver-green and unchanged);
 # - the 7 whose plans changed in r5: d2/d7 (tracked gram persist),
 #   d11 (anchor persist), p8/p9 (bpe max_vocab default), s5 (LUT
 #   refactor shared with s6), q17 (as-of module's persist change);
 # - the 3 r4-excluded extras whose driver rows date to r1-r3: q7, q15,
 #   q30;
-# - 21 fill slots re-verifying the stalest r1-r3 evidence (c7,
+# - 19 fill slots re-verifying the stalest r1-r3 evidence (c7,
 #   d3-d6, s1/s2, the q relational long tail, t1 for the t family;
 #   c1-c6/d1/q5 ceded their slots to the new queries — all r1-r3-green,
 #   and every family stays in-window).
@@ -68,7 +68,8 @@ GATE_ROTATION_R5 = frozenset(
         "c19_partition_pruned_scan", "q40_salted_skew_join",
         "p10_export_jsonl", "t11_rake_keywords", "q41_range_frame_window",
         "c20_schema_evolution", "q42_grouping_sets",
-        "d13_repeated_block_removal",
+        "d13_repeated_block_removal", "d14_bloom_decontaminate",
+        "d15_cross_source_overlap",
         # code changed in r5 — re-prove through the driver
         "d2_token_jaccard", "d7_ngram_jaccard", "d11_duplicate_spans",
         "p8_bpe_merges", "p9_bpe_segment", "s5_pq_adc_topk", "q17_asof_join",
@@ -83,8 +84,8 @@ GATE_ROTATION_R5 = frozenset(
         "q6_dedup_keep_first", "q8_semi_anti_membership",
         "q10_explode_tokens", "q11_fillna_isnull_json",
         "q12_sort_nulls_topk", "q13_window_funcs",
-        "q18_pivot", "q19_sessionize", "q20_nonemin_nonemax",
-        "q21_range_join", "q27_sql_shipping_priority",
+        "q18_pivot", "q19_sessionize",
+        "q21_range_join",
         "t1_langid",
     }
 )
