@@ -13,19 +13,62 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python WORKERS resolve imports from their own cwd/PYTHONPATH, not the
+# driver's sys.path — a mapInPandas/applyInPandas closure that pickles a
+# reference into medvedi_spark fails on workers when this file is loaded
+# by path from another cwd. Exporting PYTHONPATH here covers sessions
+# created AFTER this import; _ship_package covers pre-existing ones.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-from medvedi_spark.queries import registry as _registry
+from medvedi_spark.queries import registry as _registry  # noqa: E402
+
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``medvedi_spark`` importable on this session's Python workers
+    regardless of the driver's cwd: zip the package once and addPyFile it
+    (idempotent per session)."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    _SHIPPED.add(key)
+    try:
+        import tempfile
+        import zipfile
+
+        zpath = os.path.join(tempfile.gettempdir(), "medvedi_spark_pkg.zip")
+        if not os.path.exists(zpath):
+            pkg = os.path.join(_REPO, "medvedi_spark")
+            with zipfile.ZipFile(zpath, "w") as zf:
+                for root, _dirs, files in os.walk(pkg):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            zf.write(full, os.path.relpath(full, _REPO))
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # noqa: BLE001 — best effort; PYTHONPATH usually suffices
+        pass
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
-    qs = _registry.queries()
+    qs = queries()
     return qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _registry.queries()
+    return {name: _wrap(fn) for name, fn in _registry.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -897,6 +897,9 @@ def s5_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, cent, "vec_id", "embedding",
         probe=F.col("vec_id") < _S5_PROBES, k=_S5_K, n_subspaces=_S4_SUBS,
         n_codes=_S4_K,  # known codebook size — skips the per-query count job
+        # base-table codebook -> safe to collect as model state; encode
+        # becomes one zero-shuffle Arrow pass, codes bit-identical
+        vectorized_encode=True,
     )
 
 
@@ -1009,6 +1012,7 @@ def s6_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe=F.col("vec_id") < _S5_PROBES,
         k=_S5_K, nprobe=_S6_NPROBE, n_subspaces=_S4_SUBS,
         n_codes=_S4_K,  # known codebook size — skips the per-query count job
+        vectorized_encode=True,  # base-table codebook: see s5
     )
 
 
@@ -1069,6 +1073,7 @@ def s7_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe=F.col("vec_id") < _S5_PROBES,
         k=_S5_K, shortlist=_S7_SHORTLIST, nprobe=_S6_NPROBE, n_subspaces=_S4_SUBS,
         n_codes=_S4_K,  # known codebook size — skips the per-query count job
+        vectorized_encode=True,  # base-table codebook: see s5
     )
 
 

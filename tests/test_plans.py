@@ -228,9 +228,14 @@ def test_s6_ivfadc_cell_bounded(spark, sf_dir, qmap):
     contents, strictly below the flat scan's corpus × queries."""
     df = qmap["s6_ivfadc_topk"](spark, sf_dir)
     facts = plan_facts(df)
-    # BNLJs are codebook-sized only: coarse assign, pq_encode, LUT build
-    assert facts["bnlj"] >= 3, "coarse codebook + PQ codebook + LUT must broadcast"
+    # BNLJs are codebook-sized only: coarse assign + LUT build. The PQ
+    # codebook no longer broadcasts at all — pq_encode(vectorized=True)
+    # collects it as model state and encodes in one zero-shuffle Arrow
+    # pass (MapInPandas), so the corpus side of encoding never joins.
+    assert facts["bnlj"] >= 2, "coarse codebook + LUT must broadcast"
     assert facts["bhj"] >= 1, "candidate generation must be a hash join on cell"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, "PQ encode must be the vectorized Arrow pass"
 
     # numeric cell-bounding: rank over ALL scored rows (k=corpus) must
     # cover < n_queries * (corpus - 1) pairs — the flat scan's count
