@@ -1306,6 +1306,100 @@ def kmeans_assign(
     )
 
 
+def sq8_minmax(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension (min, max) training stats for SQ8 scalar
+    quantization (the FAISS ``SQ8`` codec's trained range). Plan shape:
+    posexplode → groupBy(dim) with min/max PARTIAL-AGGREGATED map-side,
+    so the shuffle carries partitions × dims rows, never corpus × dims;
+    the result is MODEL STATE (dims rows) like a k-means codebook.
+    min/max involve no arithmetic, so the values are engine-exact.
+    Returns ``(dim, vmin, vmax)`` with 1-based dims."""
+    return (
+        emb.select(F.posexplode(vec_col).alias("d0", "x"))
+        .select((F.col("d0") + 1).alias("dim"), F.col("x").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+    )
+
+
+def _sq8_code(vec: Column, vmin_lit: Column, vmax_lit: Column) -> Column:
+    """Affine int8 codes: round((x − vmin) · 255 / (vmax − vmin)), a
+    fixed IEEE-double op sequence both engines execute identically;
+    ``round`` is half-away-from-zero in Spark and DuckDB alike, and the
+    operands are nonnegative, so codes are bit-exactly replayable.
+    Constant dimensions (vmax == vmin) code to 0. The range is trained
+    on the corpus itself, so values never leave [vmin, vmax] and no
+    clamp is needed."""
+    return F.transform(
+        vec,
+        lambda x, i: F.when(
+            F.element_at(vmax_lit, i + 1) > F.element_at(vmin_lit, i + 1),
+            F.round(
+                (x.cast("double") - F.element_at(vmin_lit, i + 1))
+                * F.lit(255.0)
+                / (F.element_at(vmax_lit, i + 1) - F.element_at(vmin_lit, i + 1))
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe,
+    k: int = 10,
+) -> DataFrame:
+    """SQ8 scalar-quantized L2 top-k: the OTHER standard production
+    quantizer next to PQ (FAISS ``IndexScalarQuantizer``/SQ8) — every
+    float32 dimension becomes one affine int8 code, a fixed 4× data
+    reduction with near-exact recall, and distances become INTEGER
+    arithmetic: d2 = Σ (c_i − q_i)², each term ≤ 255² and the sum far
+    inside int64, so scoring is EXACT in both engines — no decimal
+    machinery needed at all, the strongest oracle-replay story in the
+    ANN family.
+
+    Plan shape: the stats pass is one partial-aggregated shuffle to
+    dims rows (:func:`sq8_minmax`, collected as model state); encoding
+    is a zero-shuffle projection against the broadcast range literals;
+    scoring joins corpus codes × broadcast quantized probes and folds
+    the integer distance in one codegen-friendly pass; top-k is the
+    usual per-query window. Corpus-linear per query like the s1 exact
+    baseline — SQ8's production win is the 4× smaller scan (and at
+    100 TB you compose it with IVF routing exactly like s6 composes
+    PQ). Returns ``(query_id, neighbor_id, rank, d2)``.
+    """
+    stats = sq8_minmax(emb, vec_col).orderBy("dim").collect()  # model state: dims rows
+    vmin_lit = F.lit([r["vmin"] for r in stats])
+    vmax_lit = F.lit([r["vmax"] for r in stats])
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    codes = e.select("vec_id", _sq8_code(F.col("embedding"), vmin_lit, vmax_lit).alias("codes"))
+    qcodes = (
+        e.filter(probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _sq8_code(F.col("embedding"), vmin_lit, vmax_lit).alias("qcodes"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("codes", "qcodes", lambda a, b: ((a - b) * (a - b)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(qcodes))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2")
+    )
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     id_col: str,

@@ -1181,6 +1181,58 @@ def s8_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# s9 — SQ8 scalar quantization (FAISS IndexScalarQuantizer): the other
+# standard production quantizer next to PQ. Every float32 dimension
+# becomes one affine int8 code against per-dimension corpus min/max
+# (model state), and L2 distances become pure INTEGER arithmetic —
+# bit-exact in any engine, the strongest oracle story in the family.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s9_sq8_topk",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ),
+    stats AS (SELECT i AS dim, MIN(x) AS vmin, MAX(x) AS vmax FROM pairs GROUP BY i),
+    codes AS (
+      SELECT p.vec_id, p.i,
+             CASE WHEN s.vmax > s.vmin
+                  THEN CAST(round((p.x - s.vmin) * 255.0 / (s.vmax - s.vmin)) AS INT)
+                  ELSE 0 END AS c
+      FROM pairs p JOIN stats s ON p.i = s.dim
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST((c.c - q.c) * (c.c - q.c) AS BIGINT)) AS BIGINT) AS d2
+      FROM codes c JOIN codes q ON c.i = q.i
+      WHERE q.vec_id < {_S5_PROBES} AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, d2 FROM (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_S5_K}
+    """,
+    tags=("similarity", "ann", "quantization", "llm"),
+    doc="SQ8 scalar-quantized L2 top-k: per-dimension corpus min/max "
+        "(model state, partial-aggregated), affine int8 codes in a "
+        "zero-shuffle projection, INTEGER-exact distances both engines "
+        "replay bit-for-bit; the 4x-smaller-scan production codec next "
+        "to PQ (compose with IVF routing at scale exactly like s6).",
+    gate=False,
+)
+def s9_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.llm.sq8_topk (sq8_minmax model-state range +
+    _sq8_code affine projection + integer-exact scoring)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ops.sq8_topk(emb, "vec_id", "embedding", probe=F.col("vec_id") < _S5_PROBES, k=_S5_K)
+
+
+# --------------------------------------------------------------------------
 # d10 — semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
 # embedding space (broadcast nearest-centroid assignment), then dedup by
 # exact cosine WITHIN clusters only. At 100 TB the cluster key bounds the

@@ -54,7 +54,9 @@ GATE_WINDOW = 50
 # - 19 fill slots re-verifying the stalest r1-r3 evidence (c7,
 #   d3-d6, s1/s2, the q relational long tail, t1 for the t family;
 #   c1-c6/d1/q5 ceded their slots to the new queries — all r1-r3-green,
-#   and every family stays in-window).
+#   and every family stays in-window). Late addition: s9 (SQ8 top-k,
+#   new in the r5 close) took t1_langid's fill slot — t1 is
+#   r3-driver-green and kernel-adjacent to the still-gated t family.
 # Membership here OVERRIDES the per-registration ``gate=`` flag, which
 # records only the round-1 layout.
 GATE_ROTATION_R5 = frozenset(
@@ -86,7 +88,7 @@ GATE_ROTATION_R5 = frozenset(
         "q12_sort_nulls_topk", "q13_window_funcs",
         "q18_pivot", "q19_sessionize",
         "q21_range_join",
-        "t1_langid",
+        "s9_sq8_topk",
     }
 )
 # The active rotation (tests reference this alias, not the round name).

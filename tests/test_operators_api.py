@@ -448,6 +448,46 @@ def test_pq_encode_matches_numpy(spark, sf_dir):
             assert got[r.vec_id][s] == int(d2.argmin()), (r.vec_id, s)
 
 
+def test_sq8_topk_matches_numpy(spark, sf_dir):
+    """SQ8 codes and integer distances re-derived in numpy must match
+    the engine exactly — quantization is affine double arithmetic with a
+    fixed op order, scoring is pure int64."""
+    import numpy as np
+    from medvedi_spark.catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = llm.sq8_topk(emb, "vec_id", "embedding", probe=F.col("vec_id") < 3, k=5)
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id)
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    vmin, vmax = X.min(axis=0), X.max(axis=0)
+    scale = np.where(vmax > vmin, 255.0 / np.where(vmax > vmin, vmax - vmin, 1.0), 0.0)
+    # numpy rounds half-to-even; the engines round half away from zero —
+    # use floor(x + 0.5), correct for the nonnegative scaled values here
+    codes = np.floor((X - vmin) * scale + 0.5).astype(np.int64)
+    ids = np.array([r.vec_id for r in rows])
+    got = {(r.query_id, r.neighbor_id): (r.rank, r.d2) for r in out.collect()}
+    for qi in range(3):
+        d2 = ((codes - codes[qi]) ** 2).sum(axis=1)
+        order = sorted((int(d2[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != ids[qi])
+        for rank, (dist, nid) in enumerate(order[:5], start=1):
+            assert got[(ids[qi], nid)] == (rank, dist), (ids[qi], nid)
+
+
+def test_sq8_codes_range_and_constant_dim(spark):
+    """Codes live in [0, 255]; a constant dimension (vmax == vmin) codes
+    to 0 instead of dividing by zero; corpus extremes hit the endpoints."""
+    emb = spark.createDataFrame(
+        [(0, [0.0, 7.5]), (1, [1.0, 7.5]), (2, [0.25, 7.5])],
+        "vec_id int, embedding array<double>",
+    )
+    stats = {r.dim: (r.vmin, r.vmax) for r in llm.sq8_minmax(emb, "embedding").collect()}
+    assert stats == {1: (0.0, 1.0), 2: (7.5, 7.5)}
+    out = llm.sq8_topk(emb, "vec_id", "embedding", probe=F.col("vec_id") == 0, k=2)
+    rows = {r.neighbor_id: r.d2 for r in out.collect()}
+    # neighbor 2 is 0.25 of the dim-1 range away = code 64; neighbor 1 = 255
+    assert rows == {2: 64 * 64, 1: 255 * 255}
+
+
 def test_gram_containment_detects_subset_doc(spark):
     """A doc whose grams all appear in a longer container must surface as
     contained (containment 1.0) while symmetric-jaccard-dissimilar; the
