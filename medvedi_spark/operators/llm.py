@@ -1377,6 +1377,21 @@ def sq8_topk(
     real clustered embeddings SQ8's published recall is ≥0.95, and the
     s7-style exact-refine composition recovers the remainder.
     """
+    e, codes, qcodes = _sq8_fit_encode(emb, id_col, vec_col, probe)
+    scored = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(qcodes))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _sq8_d2().alias("d2"))
+    )
+    return _sq8_rank(scored, k)
+
+
+def _sq8_fit_encode(emb, id_col, vec_col, probe):
+    """Shared SQ8 train+encode: collect the per-dimension range (model
+    state, dims rows), encode corpus and probes as zero-shuffle
+    projections against the broadcast range literals. Returns
+    ``(e, codes[vec_id, codes], qcodes[query_id, qcodes])``."""
     stats = sq8_minmax(emb, vec_col).orderBy("dim").collect()  # model state: dims rows
     vmin_lit = F.lit([r["vmin"] for r in stats])
     vmax_lit = F.lit([r["vmax"] for r in stats])
@@ -1389,23 +1404,69 @@ def sq8_topk(
             _sq8_code(F.col("embedding"), vmin_lit, vmax_lit).alias("qcodes"),
         )
     )
-    d2 = F.aggregate(
+    return e, codes, qcodes
+
+
+def _sq8_d2() -> Column:
+    """Integer squared-L2 over SQ8 code arrays ``codes``/``qcodes`` —
+    every term ≤ 255², the sum far inside int64, bit-exact anywhere."""
+    return F.aggregate(
         F.zip_with("codes", "qcodes", lambda a, b: ((a - b) * (a - b)).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = (
-        codes.withColumnRenamed("vec_id", "neighbor_id")
-        .crossJoin(F.broadcast(qcodes))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", d2.alias("d2"))
-    )
+
+
+def _sq8_rank(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "d2")
     )
+
+
+def ivf_sq8_topk(
+    emb: DataFrame,
+    coarse_centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-routed SQ8 search (FAISS ``IndexIVFScalarQuantizer``): the
+    composition that makes :func:`sq8_topk` scale, exactly as
+    :func:`ivfadc_topk` (s6) does for PQ. The flat SQ8 scan scores every
+    corpus code per query; here queries route through the shared coarse
+    quantizer (:func:`_coarse_route` — the same ranking feeds corpus
+    assignment and query routing, so ties can never disagree) and score
+    only the codes in their ``nprobe`` nearest cells: per-query work is
+    ``nprobe / n_cells`` of the corpus.
+
+    Plan shape: coarse assignment is the s2/s6 broadcast-codebook pass;
+    corpus SQ8 codes join their cell on ``vec_id`` (one vec_id-keyed
+    shuffle, corpus-linear); the (query, cell, qcodes) routing table is
+    model state (queries × nprobe rows) and BROADCASTS, so candidate
+    generation is a broadcast hash join on ``cell`` — no corpus × queries
+    cross join anywhere. Scoring is :func:`sq8_topk`'s pure-int64 fold,
+    bit-exactly oracle-replayable; distances within the probed cells are
+    IDENTICAL to the flat scan's (same codes, same arithmetic), so
+    routing changes only which candidates are seen, never how they
+    score. Returns ``(query_id, neighbor_id, rank, d2)``.
+    """
+    e, codes, qcodes = _sq8_fit_encode(emb, id_col, vec_col, probe)
+    assign, probe_cells = _coarse_route(e, coarse_centroids, probe, nprobe)
+    corpus = codes.withColumnRenamed("vec_id", "neighbor_id").join(
+        assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    routed = probe_cells.join(qcodes, "query_id")  # model state: queries × nprobe
+    scored = (
+        corpus.join(F.broadcast(routed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _sq8_d2().alias("d2"))
+    )
+    return _sq8_rank(scored, k)
 
 
 def kmeans_lloyd(

@@ -1233,6 +1233,73 @@ def s9_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# s10 — IVF + SQ8 (FAISS IndexIVFScalarQuantizer): the composition that
+# makes s9 scale, exactly as s6 composes IVF with s5's PQ codes. Queries
+# route through the shared coarse quantizer and score SQ8 codes only in
+# their nprobe nearest cells; distances stay pure int64, so the oracle
+# replays routing (the s6 coarse CTE chain) + coding (the s9 CTEs)
+# bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s10_ivf_sq8_topk",
+    oracle=f"""
+    WITH {_COARSE_CTES},
+    sqpairs AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ),
+    sqstats AS (SELECT i AS dim, MIN(x) AS vmin, MAX(x) AS vmax FROM sqpairs GROUP BY i),
+    sqcodes AS (
+      SELECT p.vec_id, p.i,
+             CASE WHEN s.vmax > s.vmin
+                  THEN CAST(round((p.x - s.vmin) * 255.0 / (s.vmax - s.vmin)) AS INT)
+                  ELSE 0 END AS c
+      FROM sqpairs p JOIN sqstats s ON p.i = s.dim
+    ),
+    sqcand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    sqscored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(CAST((n.c - q.c) * (n.c - q.c) AS BIGINT)) AS BIGINT) AS d2
+      FROM sqcand c
+      JOIN sqcodes n ON n.vec_id = c.neighbor_id
+      JOIN sqcodes q ON q.vec_id = c.query_id AND q.i = n.i
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, d2 FROM (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+      FROM sqscored
+    ) WHERE rank <= {_S5_K}
+    """,
+    tags=("similarity", "ann", "quantization", "ivf", "llm"),
+    doc="Gate duplicate: both kernels are in-window — the SQ8 code/"
+        "int64-distance kernel driver-gated via s9, the coarse routing "
+        "via s2/s6 — and this composition (FAISS IndexIVFScalarQuantizer: "
+        "score SQ8 codes only in the nprobe nearest cells, candidate "
+        "generation = broadcast hash join on cell) is proven equal to "
+        "the flat s9 scan at nprobe=n_cells by a unit test plus its own "
+        "check_oracle row.",
+    gate=False,
+)
+def s10_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.llm.ivf_sq8_topk (_coarse_route shared routing +
+    _sq8_fit_encode codes + int64 scoring over the probed cells)."""
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = emb.filter(F.col("vec_id") < _S6_COARSE).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    return ops.ivf_sq8_topk(
+        emb, coarse, "vec_id", "embedding",
+        probe=F.col("vec_id") < _S5_PROBES, k=_S5_K, nprobe=_S6_NPROBE,
+    )
+
+
+# --------------------------------------------------------------------------
 # d10 — semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
 # embedding space (broadcast nearest-centroid assignment), then dedup by
 # exact cosine WITHIN clusters only. At 100 TB the cluster key bounds the

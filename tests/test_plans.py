@@ -263,6 +263,38 @@ def test_s6_ivfadc_cell_bounded(spark, sf_dir, qmap):
     )
 
 
+def test_s10_ivf_sq8_cell_bounded(spark, sf_dir, qmap):
+    """IVF+SQ8: the candidate join must be a broadcast HASH join on the
+    cell id (routing table × query codes = model state), no corpus ×
+    queries cross join; the scored candidate set is bounded by the
+    probed cells' contents, strictly below the flat scan's count."""
+    df = qmap["s10_ivf_sq8_topk"](spark, sf_dir)
+    facts = plan_facts(df)
+    assert facts["bnlj"] >= 1, "coarse codebook must broadcast"
+    assert facts["bhj"] >= 1, "candidate generation must be a hash join on cell"
+    assert facts["pyudf"] == 0
+
+    from pyspark.sql import functions as F
+
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators import llm as ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    n_queries = 5
+    coarse = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    all_scored = ops.ivf_sq8_topk(
+        emb, coarse, "vec_id", "embedding",
+        probe=F.col("vec_id") < n_queries, k=n_corpus, nprobe=2,
+    ).count()
+    assert all_scored < n_queries * (n_corpus - 1), (
+        f"IVF+SQ8 scored {all_scored} pairs — not cell-bounded vs flat "
+        f"{n_queries * (n_corpus - 1)}"
+    )
+
+
 def test_c17_upsert_changes_join(spark, sf_dir, qmap):
     """CDC merge: the anti join on the key must be a real join (broadcast
     or shuffled-by-key), and the union adds no exchange."""

@@ -181,6 +181,34 @@ def test_ivfadc_with_all_cells_equals_flat_adc(spark, sf_dir):
     assert routed == flat
 
 
+def test_ivf_sq8_with_all_cells_equals_flat_sq8(spark, sf_dir):
+    """Same routing-only-skips-work invariant for the SQ8 composition:
+    with nprobe = n_cells, ivf_sq8_topk must equal the flat sq8_topk —
+    identical codes, identical int64 distances, identical ranks."""
+    from pyspark.sql import functions as F
+
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators import llm as ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_cells = 4
+    coarse = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    probe = F.col("vec_id") < 3
+    flat = {
+        (r.query_id, r.rank): (r.neighbor_id, r.d2)
+        for r in ops.sq8_topk(emb, "vec_id", "embedding", probe, k=5).collect()
+    }
+    routed = {
+        (r.query_id, r.rank): (r.neighbor_id, r.d2)
+        for r in ops.ivf_sq8_topk(
+            emb, coarse, "vec_id", "embedding", probe, k=5, nprobe=n_cells
+        ).collect()
+    }
+    assert routed == flat
+
+
 # ----------------------------------------------- multi-consumer persists
 
 
