@@ -36,18 +36,37 @@ def _ship_package(spark: SparkSession) -> None:
         return
     _SHIPPED.add(key)
     try:
+        import hashlib
         import tempfile
         import zipfile
 
-        zpath = os.path.join(tempfile.gettempdir(), "medvedi_spark_pkg.zip")
+        # Name the zip by a content hash of the package sources so (a) an
+        # edited package never ships stale bytes from a previous run and
+        # (b) the path can't collide with another user's pre-existing file
+        # (same hash ⇒ same content). Build into a mkstemp then atomically
+        # rename, so concurrent builders never observe a half-written zip.
+        pkg = os.path.join(_REPO, "medvedi_spark")
+        sources = []
+        for root, _dirs, files in os.walk(pkg):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    sources.append(os.path.join(root, fn))
+        sources.sort()
+        digest = hashlib.sha256()
+        for full in sources:
+            digest.update(os.path.relpath(full, _REPO).encode())
+            with open(full, "rb") as fh:
+                digest.update(fh.read())
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"medvedi_spark_pkg_{digest.hexdigest()[:16]}.zip"
+        )
         if not os.path.exists(zpath):
-            pkg = os.path.join(_REPO, "medvedi_spark")
-            with zipfile.ZipFile(zpath, "w") as zf:
-                for root, _dirs, files in os.walk(pkg):
-                    for fn in files:
-                        if fn.endswith(".py"):
-                            full = os.path.join(root, fn)
-                            zf.write(full, os.path.relpath(full, _REPO))
+            fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+            os.close(fd)
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for full in sources:
+                    zf.write(full, os.path.relpath(full, _REPO))
+            os.replace(tmp, zpath)
         spark.sparkContext.addPyFile(zpath)
     except Exception:  # noqa: BLE001 — best effort; PYTHONPATH usually suffices
         pass

@@ -10,16 +10,27 @@ context shutdown (round-4 ADVICE).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
-_PERSISTED: list[DataFrame] = []
+# Keyed by the owning SparkSession (id) so release_persisted() from one
+# consumer (a bench loop, a test) cannot unpersist frames a concurrent
+# query in ANOTHER session is still reading (round-5 ADVICE). Within one
+# session the original contract stands: callers release between queries.
+_PERSISTED: dict[int, list[DataFrame]] = {}
+
+
+def _session_key(df: DataFrame) -> int:
+    try:
+        return id(df.sparkSession)
+    except Exception:  # noqa: BLE001 — detached frame; fall back to shared bucket
+        return 0
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(df)
+    _PERSISTED.setdefault(_session_key(df), []).append(df)
     return df
 
 
@@ -47,19 +58,28 @@ def size_guarded_persist(source: DataFrame, df: DataFrame, cap: int = PERSIST_IN
     return df
 
 
-def release_persisted() -> int:
-    """Unpersist every operator-persisted DataFrame; returns the count.
-    Safe once earlier plans are no longer needed — blocks drop, plans
-    stay valid (they recompute if re-executed)."""
+def release_persisted(spark: SparkSession | None = None) -> int:
+    """Unpersist the operator-persisted DataFrames of ``spark`` (default:
+    the active session, falling back to ALL sessions when none is active —
+    process teardown); returns the count. Safe once earlier plans are no
+    longer needed — blocks drop, plans stay valid (they recompute if
+    re-executed). Scoped per session so one consumer's cleanup cannot
+    evict caches a concurrent session still reads."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    keys = [id(spark), 0] if spark is not None else list(_PERSISTED)
     n = 0
-    while _PERSISTED:
-        df = _PERSISTED.pop()
-        try:
-            # blocking: callers snapshot getPersistentRDDs for leak
-            # accounting right after this returns — the default async
-            # unpersist leaves entries draining and the count races
-            df.unpersist(blocking=True)
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
+    for key in keys:
+        bucket = _PERSISTED.get(key)
+        while bucket:
+            df = bucket.pop()
+            try:
+                # blocking: callers snapshot getPersistentRDDs for leak
+                # accounting right after this returns — the default async
+                # unpersist leaves entries draining and the count races
+                df.unpersist(blocking=True)
+                n += 1
+            except Exception:
+                pass  # session already stopped — nothing to release
+        _PERSISTED.pop(key, None)
     return n

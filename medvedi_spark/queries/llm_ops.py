@@ -598,17 +598,31 @@ def d9_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d14 — Bloom-filter decontamination: d9's at-scale prefilter form
 # (CCNet / Dolma-style). d9 broadcasts the eval set's exact gram pairs —
 # a broadcast that grows with the eval corpus; d14 folds the eval grams
-# into a FIXED 8 KB bitmap (64 Ki bits, 3 hashes) and the corpus side
-# becomes a zero-join map-side projection: per doc, count distinct
+# into a bounded bitmap (AUTO-SIZED from the eval-side distinct-gram
+# count via bloom_auto_m_bits — n·k/ln2 in exact integer arithmetic,
+# next power of two, clamped to [2^16, 2^26] — so a 10⁶-gram eval suite
+# can't saturate the filter into a pass-everything no-op) and the corpus
+# side becomes a zero-join map-side projection: per doc, count distinct
 # 4-grams whose 3 bit positions are all set. No false negatives (every
 # d9-contaminated doc is flagged — unit-tested); the deterministic
 # false-positive tail is part of the contract and the oracle replays it
 # exactly, because the bitmap IS the distinct position set, which SQL can
-# rebuild and semi-join. Same eval split and gram size as d9.
+# rebuild and semi-join — INCLUDING the auto-sized m (the msize CTE
+# replays bloom_auto_m_bits bit-for-bit: DuckDB power(2, length(bin(q)))
+# == Python 1 << q.bit_length(), parity-tested). Same eval split and
+# gram size as d9.
 # --------------------------------------------------------------------------
 
-_D14_M = 65536
 _D14_K = 3
+# bloom_auto_m_bits(n, k) replayed in SQL: q = n·k·10⁶ // 693147,
+# m = clamp(2^bitlen(q), 2^16, 2^26)
+_D14_MSIZE_SQL = f"""
+      SELECT GREATEST(65536, LEAST(67108864,
+        CAST(power(2, length(bin(CAST(
+          (CAST(count(*) AS BIGINT) * {_D14_K} * 1000000) // 693147
+        AS BIGINT)))) AS BIGINT))) AS m
+      FROM (SELECT DISTINCT g FROM cg WHERE doc_id % 50 = 0)
+"""
 
 
 @register(
@@ -623,15 +637,18 @@ _D14_K = 3
       FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(toks) - {_D9_N - 1})) AS i)
     ),
     idx AS (SELECT unnest(generate_series(0, {_D14_K - 1})) AS i),
+    msize AS ({_D14_MSIZE_SQL}),
     pos AS (
       SELECT DISTINCT
-             CAST('0x' || substr(md5(eg.g || ':' || idx.i), 1, 15) AS BIGINT) % {_D14_M} AS p
+             CAST('0x' || substr(md5(eg.g || ':' || idx.i), 1, 15) AS BIGINT)
+               % (SELECT m FROM msize) AS p
       FROM (SELECT DISTINCT g FROM cg WHERE doc_id % 50 = 0) eg, idx
     ),
     hitg AS (
       SELECT c.doc_id, c.g
       FROM (SELECT doc_id, g FROM cg WHERE doc_id % 50 <> 0) c, idx
-      WHERE CAST('0x' || substr(md5(c.g || ':' || idx.i), 1, 15) AS BIGINT) % {_D14_M}
+      WHERE CAST('0x' || substr(md5(c.g || ':' || idx.i), 1, 15) AS BIGINT)
+              % (SELECT m FROM msize)
             IN (SELECT p FROM pos)
       GROUP BY c.doc_id, c.g
       HAVING count(*) = {_D14_K}
@@ -640,21 +657,23 @@ _D14_K = 3
     FROM hitg GROUP BY doc_id
     """,
     tags=("dedup", "decontamination", "bloom", "llm"),
-    doc="Bloom-bitmap decontamination prefilter: eval grams folded into a "
-        "fixed 8 KB filter (model state), corpus flagged in a zero-join "
-        "map-side projection; no false negatives, deterministic FP tail "
-        "replayed exactly by the oracle.",
+    doc="Bloom-bitmap decontamination prefilter: eval grams folded into an "
+        "auto-sized filter (model state; bloom_auto_m_bits replayed "
+        "bit-for-bit by the oracle's msize CTE), corpus flagged in a "
+        "zero-join map-side projection; no false negatives, deterministic "
+        "FP tail replayed exactly by the oracle.",
     gate=False,
 )
 def d14_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See operators.llm.bloom_decontaminate (bloom_build_bits model-state
-    bitmap + bloom_member pure-projection membership)."""
+    bitmap + bloom_member pure-projection membership; m_bits=None →
+    bloom_auto_m_bits from the eval-side distinct-gram count)."""
     docs = load(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
     return ops.bloom_decontaminate(
         corpus, eval_df, "doc_id", "text",
-        n=_D9_N, m_bits=_D14_M, k_hashes=_D14_K,
+        n=_D9_N, m_bits=None, k_hashes=_D14_K,
     )
 
 
@@ -664,10 +683,11 @@ def d14_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fingerprint) appear in BOTH. The dedup-analysis step a 100 TB pipeline
 # runs before dropping rows: the matrix names where duplication lives
 # (mirror sites, cross-source scrapes) and which source to keep as
-# canonical. One collect_set aggregate shuffle + in-row pair expansion —
-# no self-join; per-fingerprint work is quadratic in the number of
-# sources sharing it, bounded by the source cardinality (~20 here, fine
-# to ~10^3 — the operator docstring names the self-join form beyond).
+# canonical. ADAPTIVE (r6): one cheap count_distinct(group) routes
+# between the in-row pair expansion (≤1024 groups — one collect_set
+# shuffle, no self-join; ~20 sources here) and the fp-keyed self-join
+# (millions of groups: same pair multiset, never a per-key group
+# array). Shape equality is unit-tested; the oracle IS the self-join.
 # --------------------------------------------------------------------------
 
 
@@ -688,9 +708,10 @@ def d14_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "analysis", "llm"),
     doc="Cross-source duplication matrix on the t4 canonical fingerprint: "
-        "one collect_set shuffle + in-row pair expansion, no self-join; "
-        "the oracle replays it as the classic fp-keyed self-join, proving "
-        "the two formulations equivalent.",
+        "adaptive — in-row pair expansion (one collect_set shuffle, no "
+        "self-join) up to 1024 groups, fp-keyed self-join beyond; the "
+        "oracle replays the self-join formulation, proving the two "
+        "shapes equivalent.",
     gate=False,
 )
 def d15_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
