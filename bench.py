@@ -51,6 +51,31 @@ def main() -> None:
                 pass
     release_persisted()
 
+    # Drift anchor (r5 VERDICT stretch directive #8): the machine itself
+    # drifts 40-50% between sessions (BASELINE.md round-5 control
+    # experiment), so every bench records a fixed 3-query control sum
+    # measured warm in the SAME session. Round-over-round readers divide
+    # the headline by the control ratio instead of trusting prose
+    # controls. The controls are the warm-up trio — code-stable since r1,
+    # spanning Arrow interchange, window exprs, and hash aggregation.
+    control: dict[str, float] = {}
+    for cname in ("c1_arrow_roundtrip", "q13_window_funcs", "d1_exact_dedup"):
+        cq = QUERIES.get(cname)
+        if cq is None:
+            continue
+        cs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            try:
+                cq.builder(spark, sf_dir).count()
+            except Exception:  # noqa: BLE001
+                break
+            cs.append(time.perf_counter() - t0)
+        if cs:
+            control[cname] = round(sorted(cs)[len(cs) // 2], 4)
+    release_persisted()
+    control_sec = round(sum(control.values()), 4) if control else None
+
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -91,6 +116,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        "control": control,
+        "control_sec": control_sec,
         "sf": sf,
     }
     if errors:
@@ -113,6 +140,7 @@ def main() -> None:
         "metric": "bench_total_wall",
         "value": total,
         "value_min": total_min,
+        "control_sec": control_sec,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),

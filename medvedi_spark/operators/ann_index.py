@@ -1,0 +1,325 @@
+"""ANN index lifecycle: persist trained artifacts, serve without re-training.
+
+The s2/s6/s9/s10 operators build their index state (coarse routing
+table, quantizer ranges/codebooks, per-vector codes) inline and discard
+it with the plan — correct for one-shot analytics, wasteful for the
+production serving pattern where ONE build feeds many query sessions
+(FAISS's ``write_index``/``read_index`` split). This module persists the
+artifacts as parquet laid out for serving:
+
+- ``codes/`` — per-vector quantized codes **partitioned by coarse
+  cell**, so the IVF inverted lists are literal parquet directories and
+  a query's ``nprobe`` cell restriction becomes STATIC PARTITION
+  PRUNING on the scan (the loaded plan's ``PartitionFilters`` reads
+  ``nprobe/n_cells`` of the files — at 100 TB that pruning, not the
+  arithmetic, is the win).
+- ``ranges/`` (SQ8) or ``pq_centroids/`` (PQ) — quantizer model state,
+  dims/k rows.
+- ``centroids/`` — the coarse codebook, n_cells rows.
+
+The loaded query path reuses the EXACT inline kernels
+(:func:`~medvedi_spark.operators.llm._coarse_route` routing,
+``_sq8_code`` affine codes, int64 ``_sq8_d2`` scoring), so
+``build → save → load → query`` is bit-identical to
+``build → query`` — oracle-checked by the s11 registered query against
+the same DuckDB SQL as s10.
+
+Plan shape of the loaded path: NO training stages (no corpus min/max
+aggregate, no posexplode, no corpus-side coarse assignment — those ran
+at build time); queries route against the tiny loaded centroid table,
+the routed ``(query, cell, qcodes)`` table is collected once (model
+state, queries × nprobe rows) and re-enters as both a literal
+partition filter and a broadcast join side.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from medvedi_spark.operators.llm import (
+    _coarse_route,
+    _pq_lut,
+    _sq8_check_stats,
+    _sq8_code,
+    _sq8_d2,
+    _sq8_range_literals,
+    _sq8_rank,
+    _sq8_train,
+    pq_encode,
+)
+
+__all__ = [
+    "IvfSq8Index",
+    "ivf_sq8_build",
+    "ivf_sq8_save",
+    "ivf_sq8_load",
+    "ivf_sq8_query",
+    "IvfPqIndex",
+    "ivfadc_build",
+    "ivfadc_save",
+    "ivfadc_load",
+    "ivfadc_query",
+]
+
+
+@dataclass(frozen=True)
+class IvfSq8Index:
+    """Loaded IVF+SQ8 index: cell-partitioned codes, SQ8 range stats,
+    coarse centroids. Frames, not data — nothing is collected until a
+    query runs."""
+
+    codes: DataFrame  # (vec_id, codes array<int>, cell) — partitioned by cell
+    ranges: DataFrame  # (dim, vmin, vmax, n)
+    centroids: DataFrame  # (cent_id, c_emb)
+
+
+def ivf_sq8_build(
+    emb: DataFrame, coarse_centroids: DataFrame, id_col: str, vec_col: str
+) -> IvfSq8Index:
+    """Train + encode the IVF+SQ8 index as DataFrames (nothing written).
+
+    One corpus pass trains the SQ8 ranges (partial-aggregated min/max,
+    model state), one zero-shuffle projection encodes, and the coarse
+    assignment is the shared :func:`_coarse_route` ranking (nprobe=1 —
+    assignment is rank 1 regardless of nprobe, so build-time assignment
+    and any query-time routing can never disagree on ties). The
+    vec_id-keyed join attaching cells to codes is the only shuffle.
+    """
+    spark = emb.sparkSession
+    stats = _sq8_train(emb, vec_col)
+    vmin_lit, vmax_lit = _sq8_range_literals(stats)
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    codes = e.select("vec_id", _sq8_code(F.col("embedding"), vmin_lit, vmax_lit).alias("codes"))
+    assign, _ = _coarse_route(e, coarse_centroids, F.lit(False), 1)
+    ranges = spark.createDataFrame(
+        [(int(r["dim"]), float(r["vmin"]), float(r["vmax"]), int(r["n"])) for r in stats],
+        "dim int, vmin double, vmax double, n bigint",
+    )
+    cents = coarse_centroids.select("cent_id", "c_emb")
+    return IvfSq8Index(codes=codes.join(assign, "vec_id"), ranges=ranges, centroids=cents)
+
+
+def ivf_sq8_save(
+    emb: DataFrame, coarse_centroids: DataFrame, id_col: str, vec_col: str, path: str
+) -> str:
+    """Build and persist the index under ``path``: ``codes/`` parquet
+    PARTITIONED BY cell (the inverted lists as directories — query-time
+    cell restriction partition-prunes the scan), ``ranges/`` and
+    ``centroids/`` as plain parquet model state. Overwrites."""
+    idx = ivf_sq8_build(emb, coarse_centroids, id_col, vec_col)
+    idx.codes.write.mode("overwrite").partitionBy("cell").parquet(os.path.join(path, "codes"))
+    idx.ranges.write.mode("overwrite").parquet(os.path.join(path, "ranges"))
+    idx.centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    return path
+
+
+def ivf_sq8_load(spark: SparkSession, path: str) -> IvfSq8Index:
+    """Open a saved index. Lazy — three parquet scans, no jobs. The
+    partition column comes back type-inferred, so ``cell`` is re-cast to
+    long to match the build-side cent_id domain."""
+    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+        "vec_id", "codes", F.col("cell").cast("long").alias("cell")
+    )
+    ranges = spark.read.parquet(os.path.join(path, "ranges"))
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    return IvfSq8Index(codes=codes, ranges=ranges, centroids=cents)
+
+
+def ivf_sq8_query(
+    index: IvfSq8Index,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve top-k against a loaded index — NO training stages anywhere
+    in the plan (plan-tested): the SQ8 ranges are dims rows read from
+    parquet, query encoding is a projection against their literals, and
+    routing ranks only the QUERY vectors against the loaded centroids
+    (the same ``_coarse_route`` arithmetic the build used, so a corpus
+    vector queried back routes to its build-time cell bit-for-bit).
+
+    The routed ``(query_id, cell, qcodes)`` table is queries × nprobe
+    rows — model state. It is collected ONCE and re-enters twice: its
+    distinct cells as a LITERAL ``isin`` filter on the cell-partitioned
+    codes scan (static partition pruning: ``PartitionFilters`` in the
+    plan, only the probed directories are read), and its rows as the
+    broadcast side of the candidate hash join. Scoring and ranking are
+    the inline kernels, so results equal :func:`~medvedi_spark.operators.
+    llm.ivf_sq8_topk` exactly when the corpus/queries match (the s11
+    oracle is s10's SQL verbatim).
+
+    Query vectors need not come from the indexed corpus; values outside
+    the trained [vmin, vmax] produce out-of-range int codes (no clamp —
+    preserving bit-equality with the inline path), which keeps distances
+    integer-exact and merely over-weights the escaping dimension.
+    """
+    spark = index.codes.sparkSession
+    stats = index.ranges.orderBy("dim").collect()
+    _sq8_check_stats(stats)
+    vmin_lit, vmax_lit = _sq8_range_literals(stats)
+    qe = queries.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    _, probe_cells = _coarse_route(qe, index.centroids, F.lit(True), nprobe)
+    qcodes = qe.select(
+        F.col("vec_id").alias("query_id"),
+        _sq8_code(F.col("embedding"), vmin_lit, vmax_lit).alias("qcodes"),
+    )
+    routed = probe_cells.join(qcodes, "query_id")
+    routed_rows = routed.collect()  # model state: queries × nprobe rows
+    cells = sorted({r["cell"] for r in routed_rows})
+    routed_small = spark.createDataFrame(routed_rows, schema=routed.schema)
+    cell_filter = F.col("cell").isin(cells) if cells else F.lit(False)
+    cand = index.codes.filter(cell_filter).withColumnRenamed("vec_id", "neighbor_id")
+    scored = (
+        cand.join(F.broadcast(routed_small), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _sq8_d2().alias("d2"))
+    )
+    return _sq8_rank(scored, k)
+
+
+# --------------------------------------------------------------------------
+# IVFADC (PQ) index lifecycle — the same split for the s6 composition:
+# codes are dense positional PQ codes (code0..code{S-1}), the persisted
+# quantizer state is the PQ codebook itself (the LUT is PER QUERY, so it
+# is built at serve time from the loaded codebook — exactly FAISS's
+# IndexIVFPQ, which stores centroids, never LUTs).
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class IvfPqIndex:
+    """Loaded IVFADC index: cell-partitioned dense PQ codes, the PQ
+    codebook, coarse centroids, and the scalar metadata (n_subspaces,
+    n_codes) a serving session must not have to re-derive."""
+
+    codes: DataFrame  # (vec_id, code0..code{S-1}, cell) — partitioned by cell
+    pq_centroids: DataFrame  # (cent_id, c_emb)
+    centroids: DataFrame  # (cent_id, c_emb)
+    n_subspaces: int
+    n_codes: int
+
+
+def ivfadc_build(
+    emb: DataFrame,
+    coarse_centroids: DataFrame,
+    pq_centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int = 8,
+    n_codes: int | None = None,
+) -> IvfPqIndex:
+    """Train + encode the IVFADC index as DataFrames. PQ encoding uses
+    the vectorized Arrow path (bit-identical to the decimal path by the
+    certified near-tie contract — both codebooks here are base plans, so
+    the model-state collect is cheap); the coarse assignment is the
+    shared ``_coarse_route`` ranking at nprobe=1."""
+    if n_codes is None:
+        n_codes = pq_centroids.count()
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    codes = pq_encode(
+        emb, pq_centroids, id_col, vec_col,
+        n_subspaces=n_subspaces, dense=True, vectorized=True,
+    )
+    assign, _ = _coarse_route(e, coarse_centroids, F.lit(False), 1)
+    return IvfPqIndex(
+        codes=codes.join(assign, "vec_id"),
+        pq_centroids=pq_centroids.select("cent_id", "c_emb"),
+        centroids=coarse_centroids.select("cent_id", "c_emb"),
+        n_subspaces=n_subspaces,
+        n_codes=int(n_codes),
+    )
+
+
+def ivfadc_save(
+    emb: DataFrame,
+    coarse_centroids: DataFrame,
+    pq_centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_subspaces: int = 8,
+    n_codes: int | None = None,
+) -> str:
+    """Build and persist: cell-partitioned ``codes/``, the two codebooks,
+    and a ``meta.json`` carrying (n_subspaces, n_codes). Overwrites."""
+    import json
+
+    idx = ivfadc_build(
+        emb, coarse_centroids, pq_centroids, id_col, vec_col, n_subspaces, n_codes
+    )
+    idx.codes.write.mode("overwrite").partitionBy("cell").parquet(os.path.join(path, "codes"))
+    idx.pq_centroids.write.mode("overwrite").parquet(os.path.join(path, "pq_centroids"))
+    idx.centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"n_subspaces": idx.n_subspaces, "n_codes": idx.n_codes}, fh)
+    return path
+
+
+def ivfadc_load(spark: SparkSession, path: str) -> IvfPqIndex:
+    import json
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    codes = codes.select(
+        *[c for c in codes.columns if c != "cell"], F.col("cell").cast("long").alias("cell")
+    )
+    return IvfPqIndex(
+        codes=codes,
+        pq_centroids=spark.read.parquet(os.path.join(path, "pq_centroids")),
+        centroids=spark.read.parquet(os.path.join(path, "centroids")),
+        n_subspaces=int(meta["n_subspaces"]),
+        n_codes=int(meta["n_codes"]),
+    )
+
+
+def ivfadc_query(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve IVFADC top-k from a loaded index: the per-query ADC LUT is
+    built against the LOADED codebook (queries × n_codes model state —
+    FAISS stores centroids, never LUTs), routing ranks only the query
+    vectors, and the cell-partitioned codes scan partition-prunes to the
+    probed cells. Same no-training-stages / collected-once-routed-twice
+    shape as :func:`ivf_sq8_query`; results equal the inline
+    :func:`~medvedi_spark.operators.llm.ivfadc_topk` bit-for-bit (the
+    s12 oracle is s6's SQL verbatim)."""
+    spark = index.codes.sparkSession
+    qe = queries.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    _, probe_cells = _coarse_route(qe, index.centroids, F.lit(True), nprobe)
+    q = qe.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    lut_arr, d2_approx = _pq_lut(
+        q, index.pq_centroids, index.n_subspaces, n_codes=index.n_codes
+    )
+    routed = probe_cells.join(lut_arr, "query_id")
+    routed_rows = routed.collect()  # model state: queries × nprobe rows
+    cells = sorted({r["cell"] for r in routed_rows})
+    routed_small = spark.createDataFrame(routed_rows, schema=routed.schema)
+    cell_filter = F.col("cell").isin(cells) if cells else F.lit(False)
+    cand = index.codes.filter(cell_filter).withColumnRenamed("vec_id", "neighbor_id")
+    scored = (
+        cand.join(F.broadcast(routed_small), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            d2_approx.cast("string").cast("double").alias("d2_approx"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2_approx"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2_approx")
+    )

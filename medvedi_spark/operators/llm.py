@@ -1451,19 +1451,15 @@ def sq8_topk(
     return _sq8_rank(scored, k)
 
 
-def _sq8_fit_encode(emb, id_col, vec_col, probe):
-    """Shared SQ8 train+encode: collect the per-dimension range (model
-    state, dims rows), encode corpus and probes as zero-shuffle
-    projections against the broadcast range literals. Returns
-    ``(e, codes[vec_id, codes], qcodes[query_id, qcodes])``."""
-    stats = sq8_minmax(emb, vec_col).orderBy("dim").collect()  # model state: dims rows
-    # The vmin/vmax literals are positional (element_at(lit, i+1) == dim
-    # i+1's range), which is only sound when the collected stats cover
-    # dims 1..len contiguously AND every vector has every dim — ragged
-    # embeddings would silently misalign codes instead of erroring
-    # (round-5 ADVICE). posexplode makes dims structurally contiguous,
-    # but assert both anyway; the per-dim counts come free from the same
-    # partial agg.
+def _sq8_check_stats(stats) -> None:
+    """The vmin/vmax literals are positional (element_at(lit, i+1) == dim
+    i+1's range), which is only sound when the collected stats cover
+    dims 1..len contiguously AND every vector has every dim — ragged
+    embeddings would silently misalign codes instead of erroring
+    (round-5 ADVICE). posexplode makes dims structurally contiguous,
+    but assert both anyway; the per-dim counts come free from the same
+    partial agg. Shared by the inline path and the ann_index loaded
+    path (which replays the checks on ranges read back from parquet)."""
     if stats and [r["dim"] for r in stats] != list(range(1, len(stats) + 1)):
         raise ValueError(
             f"sq8 stats dims are not contiguous 1..{len(stats)}: "
@@ -1474,8 +1470,28 @@ def _sq8_fit_encode(emb, id_col, vec_col, probe):
             "sq8 requires uniform-dimension embeddings; per-dim counts differ "
             f"(min {min(r['n'] for r in stats)}, max {max(r['n'] for r in stats)})"
         )
-    vmin_lit = F.lit([r["vmin"] for r in stats])
-    vmax_lit = F.lit([r["vmax"] for r in stats])
+
+
+def _sq8_train(emb: DataFrame, vec_col: str):
+    """Collect + validate the SQ8 per-dimension range stats (model
+    state: dims rows of ``(dim, vmin, vmax, n)``, ordered)."""
+    stats = sq8_minmax(emb, vec_col).orderBy("dim").collect()
+    _sq8_check_stats(stats)
+    return stats
+
+
+def _sq8_range_literals(stats):
+    """Positional vmin/vmax array literals from validated stats rows."""
+    return F.lit([r["vmin"] for r in stats]), F.lit([r["vmax"] for r in stats])
+
+
+def _sq8_fit_encode(emb, id_col, vec_col, probe):
+    """Shared SQ8 train+encode: collect the per-dimension range (model
+    state, dims rows), encode corpus and probes as zero-shuffle
+    projections against the broadcast range literals. Returns
+    ``(e, codes[vec_id, codes], qcodes[query_id, qcodes])``."""
+    stats = _sq8_train(emb, vec_col)  # model state: dims rows
+    vmin_lit, vmax_lit = _sq8_range_literals(stats)
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     codes = e.select("vec_id", _sq8_code(F.col("embedding"), vmin_lit, vmax_lit).alias("codes"))
     qcodes = (

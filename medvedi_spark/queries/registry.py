@@ -91,8 +91,54 @@ GATE_ROTATION_R5 = frozenset(
         "s9_sq8_topk",
     }
 )
+# Round-6 gate rotation. R5 completed full driver coverage except
+# s10_ivf_sq8_topk (registered after the r5 window froze — judge-verified
+# locally, VERDICT r5 directive #1 gates it now). R6 gates:
+# - the 2 queries with no driver row: s10, plus the new s11 index
+#   lifecycle round-trip (VERDICT directive #7);
+# - the queries whose code/oracle changed this round: d14 (Bloom
+#   auto-sizing, oracle gained the msize CTE), d15 (adaptive overlap
+#   router), s9 (sq8_minmax gained the raggedness-probe count column);
+# - st11 as the SHOWCASED streaming-dedup exemplar (directive #3 — st3's
+#   unbounded-state global distinct is demoted to a documented extra);
+# - 28 fills re-verifying the stalest (r3) driver evidence: the c1-c6
+#   compat surface, d1, m1-m3, the q relational tail, the st1-st7
+#   streaming suite minus st3, t1-t4;
+# - 14 fills from the r4-stale set (c8-c17 joins/formats, d8-d10).
+# Membership here OVERRIDES per-registration ``gate=`` flags.
+GATE_ROTATION_R6 = frozenset(
+    {
+        # never driver-proven / new in r6
+        "s10_ivf_sq8_topk", "s11_ivf_sq8_index", "s12_ivfadc_index",
+        # code or oracle changed in r6 — re-prove through the driver
+        "d14_bloom_decontaminate", "d15_cross_source_overlap", "s9_sq8_topk",
+        # directive #3: the bounded-state dedup is the gated exemplar
+        "st11_watermarked_dedup",
+        # stalest (r3) driver evidence
+        "c1_arrow_roundtrip", "c2_iloc_slice", "c3_sort_index_rank",
+        "c4_index_diff", "c5_duplicated_mask", "c6_index_accessors",
+        "d1_exact_dedup",
+        "m1_multimodal_meta", "m2_media_pipeline", "m3_audio_pipeline",
+        "q4_project_cast_rename", "q5_distinct_segments", "q9_concat_union",
+        "q16_setops", "q20_nonemin_nonemax", "q26_approx_sketches",
+        "q27_sql_shipping_priority", "q31_grouping_multi",
+        "st1_tumbling_window", "st2_session_window", "st4_sliding_window",
+        "st5_watermark_append", "st6_stateful_counter",
+        "st7_stream_stream_join",
+        "t1_langid", "t2_quality_score", "t3_token_stats", "t4_fingerprint",
+        # r4-stale fills
+        "c8_join_fill_defaults", "c9_join_last_wins",
+        "c11_mdf_dedup_pipeline", "c12_mdf_explode", "c13_mdf_fillna_astype",
+        "c14_csv_roundtrip", "c15_json_roundtrip", "c16_orc_roundtrip",
+        "c17_upsert_merge",
+        "d8_edit_distance", "d9_decontamination", "d10_semantic_dedup",
+        "m4_image_ahash_dedup", "m5_audio_fingerprint_dedup",
+        "m6_video_scene_cuts",
+    }
+)
+
 # The active rotation (tests reference this alias, not the round name).
-GATE_ROTATION = GATE_ROTATION_R5
+GATE_ROTATION = GATE_ROTATION_R6
 
 
 @dataclass

@@ -104,12 +104,14 @@ def st2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st3_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     tags=("streaming", "dedup"),
-    doc="FAILED the round-2 driver gate (events ts load bug): kept in-window so the fix is driver-proven, not just local. "
-        "STATE-BOUND NOTE: plain dropDuplicates keeps every key forever — "
-        "correct for this oracle's GLOBAL-distinct contract, but unbounded "
-        "state on an endless stream; st11 is the production watermarked "
-        "variant with bounded state.",
-    gate=True,
+    doc="Gate duplicate: driver-proven r2-fix through r5; demoted from the "
+        "window in r6 (VERDICT r5 directive #3) so the SHOWCASED dedup "
+        "exemplar is the bounded-state st11_watermarked_dedup, which is "
+        "in-window and proves the same dedup kernel. STATE-BOUND NOTE: "
+        "plain dropDuplicates keeps every key forever — correct for this "
+        "oracle's GLOBAL-distinct contract, but unbounded state on an "
+        "endless stream; st11 is the production watermarked variant.",
+    gate=False,
 )
 def st3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)

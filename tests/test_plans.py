@@ -344,7 +344,14 @@ def test_c19_scan_is_partition_pruned(spark, sf_dir, qmap):
 
 
 def _collect_plan_nodes(jplan):
-    """Flatten a JVM SparkPlan tree (descending through AQE wrappers)."""
+    """Flatten a JVM SparkPlan tree (descending through AQE wrappers).
+
+    The ``plan``/``child`` unwrap is applied ONLY to nodes that report no
+    children (QueryStageExec, ReusedExchange — wrappers whose subtree is
+    hidden from ``children()``). Unwrapping every node duplicated each
+    child once per accessor on top of the ``children()`` visit, which is
+    EXPONENTIAL in plan depth — a deep join+window plan hung for minutes
+    (round-6 ANN index test)."""
     out = [jplan]
     # AdaptiveSparkPlanExec hides its tree behind executedPlan()
     if jplan.nodeName() == "AdaptiveSparkPlan":
@@ -353,15 +360,18 @@ def _collect_plan_nodes(jplan):
     i = 0
     while i < len(out):
         node = out[i]
+        n_children = 0
         it = node.children().iterator()
         while it.hasNext():
             out.append(it.next())
-        # unwrap query-stage / reused wrappers that hide children
-        for attr in ("plan", "child"):
-            try:
-                out.append(getattr(node, attr)())
-            except Exception:  # noqa: BLE001
-                pass
+            n_children += 1
+        if n_children == 0:
+            # unwrap query-stage / reused wrappers that hide children
+            for attr in ("plan", "child"):
+                try:
+                    out.append(getattr(node, attr)())
+                except Exception:  # noqa: BLE001
+                    pass
         i += 1
     return out
 

@@ -33,7 +33,13 @@ SKIP_PREFIXES = ("st",)
 # from the generic sweep and audited by their own dedicated tests
 # (round-4 ADVICE)
 SKIP_QUERIES = frozenset(
-    {"c18_bucketed_join", "c19_partition_pruned_scan", "p10_export_jsonl", "c20_schema_evolution"}
+    {
+        "c18_bucketed_join", "c19_partition_pruned_scan", "p10_export_jsonl",
+        "c20_schema_evolution",
+        # write the saved index, and their serving-plan facts (no training
+        # stages, partition-pruned scan) are pinned by tests/test_ann_index
+        "s11_ivf_sq8_index", "s12_ivfadc_index",
+    }
 )
 
 

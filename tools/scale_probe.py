@@ -1,0 +1,206 @@
+"""10× scale probe for the flagship LLM-pipeline operators (VERDICT r5
+directive #2): measured evidence that the "scales by design" plans hold
+when the corpus grows an order of magnitude.
+
+Generates a deterministic synthetic corpus (seeded numpy; same schema
+and content flavor as /root/testdata — word-salad docs over a small
+vocab with injected near-duplicates, 64-dim float embeddings) at 1×
+(sf0.1-sized: 5 000 docs / 2 000 vectors) and 10× (50 000 / 20 000),
+then runs d2, d3, d11, d13, s6, s10 at both sizes in ONE session
+(machine drift makes cross-session comparisons meaningless — BASELINE.md
+round-5 control experiment) and asserts:
+
+(a) plan budgets are SIZE-INVARIANT: exchange / shuffle-join / BNLJ /
+    python-UDF counts identical at both sizes (an operator whose plan
+    gains exchanges with data size has a hidden scale cliff). Documented
+    exception: the d2/d7 adaptive router MAY legitimately flip a
+    broadcast to its shuffled fallback when a side crosses the 32 MB
+    cap — the probe reports such flips separately instead of lying
+    about them.
+(b) wall time grows SUB-QUADRATICALLY: t(10×)/t(1×) must stay far below
+    the ~100× a quadratic (all-pairs) shape would show. The default gate
+    is 30× (near-linear plus constant overhead amortization).
+
+Usage: python tools/scale_probe.py [--json OUT] [--factor 10]
+Writes a JSON report (default SCALE_PROBE_local.json) and prints a
+table; exits nonzero on a violated gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.explain_audit import plan_facts
+
+PROBE_OPS = (
+    "d2_token_jaccard",
+    "d3_minhash_lsh",
+    "d11_duplicate_spans",
+    "d13_repeated_block_removal",
+    "s6_ivfadc_topk",
+    "s10_ivf_sq8_topk",
+)
+
+BASE_DOCS = 5_000  # sf0.1-sized
+BASE_VECS = 2_000
+VOCAB = (
+    "spark batch sort line column order small fast value scan hash slow group "
+    "query table key stream filter big merge agg join part vector window the a "
+    "customer row shard token text index cache block plan stage task node"
+).split()
+SUBLINEAR_GATE = 30.0  # t(10x)/t(1x) above this fails (quadratic ~ 100)
+
+
+def gen_corpus(path: str, n_docs: int, n_vecs: int, seed: int = 7) -> str:
+    """Deterministic synthetic documents+embeddings parquet under
+    ``path`` (skips regeneration when already present)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    docs_p = os.path.join(path, "documents.parquet")
+    vecs_p = os.path.join(path, "embeddings.parquet")
+    if os.path.exists(docs_p) and os.path.exists(vecs_p):
+        return path
+    rng = np.random.default_rng(seed)
+    texts: list[str] = []
+    for i in range(n_docs):
+        if i >= 10 and i % 10 == 0:
+            # near-duplicate: mutate ~10% of an earlier doc's tokens so
+            # the dedup ops have real cross-doc structure at every size
+            src = texts[int(rng.integers(0, i))].split()
+            for j in range(len(src)):
+                if rng.random() < 0.1:
+                    src[j] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+            texts.append(" ".join(src))
+            continue
+        ln = max(5, int(rng.normal(50, 20)))
+        texts.append(" ".join(VOCAB[int(k)] for k in rng.integers(0, len(VOCAB), ln)))
+    langs = np.array(["en", "de", "fr", "zh", "es"])[rng.integers(0, 5, n_docs)]
+    sources = np.array([f"src{i}" for i in range(20)])[rng.integers(0, 20, n_docs)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(sources, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        docs_p,
+    )
+    emb = rng.random((n_vecs, 64), dtype=np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_vecs), pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+                "label": pa.array(rng.integers(0, 10, n_vecs), pa.int32()),
+            }
+        ),
+        vecs_p,
+    )
+    return path
+
+
+def _facts(df) -> dict[str, int]:
+    f = plan_facts(df)
+    return {
+        "exch": f["exch"],
+        "shuffle_joins": f["smj"] + f["shj"],
+        "bnlj": f["bnlj"],
+        "pyudf": f["pyudf"],
+    }
+
+
+def probe(factor: int = 10, runs: int = 2) -> dict:
+    from medvedi_spark.operators._persist import release_persisted
+    from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
+    from medvedi_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"medvedi_scale_probe_{os.getpid()}")
+    dirs = {
+        1: gen_corpus(os.path.join(root, "x1"), BASE_DOCS, BASE_VECS),
+        factor: gen_corpus(
+            os.path.join(root, f"x{factor}"), BASE_DOCS * factor, BASE_VECS * factor
+        ),
+    }
+
+    # untimed warm-up (JVM/codegen spin-up otherwise lands on the first op)
+    QUERIES["d1_exact_dedup"].builder(spark, dirs[1]).count()
+    release_persisted()
+
+    report: dict = {"factor": factor, "ops": {}, "violations": []}
+    for name in PROBE_OPS:
+        q = QUERIES[name]
+        entry: dict = {}
+        for size, sf_dir in dirs.items():
+            release_persisted()
+            spark.catalog.clearCache()
+            facts = _facts(q.builder(spark, sf_dir))
+            samples = []
+            for _ in range(runs):
+                release_persisted()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                q.builder(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            entry[f"x{size}"] = {"facts": facts, "sec": round(min(samples), 3)}
+        f1, fN = entry["x1"]["facts"], entry[f"x{factor}"]["facts"]
+        t1, tN = entry["x1"]["sec"], entry[f"x{factor}"]["sec"]
+        entry["ratio"] = round(tN / t1, 2) if t1 > 0 else None
+        entry["facts_invariant"] = f1 == fN
+        report["ops"][name] = entry
+        if not entry["facts_invariant"]:
+            # the d2/d7 adaptive router may legitimately flip broadcast ->
+            # shuffled fallback past the 32 MB cap; report, don't hide
+            report["violations"].append(
+                {"op": name, "kind": "plan_facts_changed", "x1": f1, f"x{factor}": fN}
+            )
+        if entry["ratio"] is not None and entry["ratio"] > SUBLINEAR_GATE:
+            report["violations"].append(
+                {"op": name, "kind": "super_linear_time", "ratio": entry["ratio"]}
+            )
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE_local.json"
+    ))
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+    rep = probe(args.factor, args.runs)
+    with open(args.json, "w") as fh:
+        json.dump(rep, fh, indent=1)
+    xn = "x%d" % rep["factor"]
+    print("%-28s %8s %8s %6s  facts==" % ("op", "t(1x)", "t(%s)" % xn, "ratio"))
+    for name, e in rep["ops"].items():
+        print(
+            "%-28s %8.3f %8.3f %6s %8s"
+            % (name, e["x1"]["sec"], e[xn]["sec"], e["ratio"], e["facts_invariant"])
+        )
+    if rep["violations"]:
+        print("VIOLATIONS:", json.dumps(rep["violations"]))
+        raise SystemExit(1)
+    print("ALL GATES PASS")
+
+
+if __name__ == "__main__":
+    main()
