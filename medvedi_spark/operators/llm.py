@@ -1099,6 +1099,11 @@ def bloom_decontaminate(
         .distinct()
     )
     if m_bits is None:
+        # the sizing count and the position build both consume the gram
+        # subplan — persist the narrow one-column distinct set (size-
+        # guarded: eval corpora are small by nature, but don't cache one
+        # that isn't) so it executes once, not twice
+        grams = _size_guarded_persist(eval_df, grams)
         m_bits = bloom_auto_m_bits(grams.count(), k_hashes)
     bits = F.lit(bloom_build_bits(grams, "g", m_bits, k_hashes))
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")

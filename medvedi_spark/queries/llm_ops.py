@@ -1269,9 +1269,10 @@ def s9_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # s10's inline build→query by construction.
 # --------------------------------------------------------------------------
 
-_IVF_SQ8_ORACLE = f"""
-    WITH {_COARSE_CTES},
-    sqpairs AS (
+# SQ8 encoding CTE chain (corpus-trained per-dim range -> affine int8
+# codes) — shared by s9/s10/s11's scoring oracles and st13's streaming
+# index-ingest oracle.
+_SQ8_CODE_CTES = """sqpairs AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
     ),
@@ -1282,7 +1283,11 @@ _IVF_SQ8_ORACLE = f"""
                   THEN CAST(round((p.x - s.vmin) * 255.0 / (s.vmax - s.vmin)) AS INT)
                   ELSE 0 END AS c
       FROM sqpairs p JOIN sqstats s ON p.i = s.dim
-    ),
+    )"""
+
+_IVF_SQ8_ORACLE = f"""
+    WITH {_COARSE_CTES},
+    {_SQ8_CODE_CTES},
     sqcand AS (
       SELECT p.query_id, a.vec_id AS neighbor_id
       FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id

@@ -94,8 +94,9 @@ GATE_ROTATION_R5 = frozenset(
 # Round-6 gate rotation. R5 completed full driver coverage except
 # s10_ivf_sq8_topk (registered after the r5 window froze — judge-verified
 # locally, VERDICT r5 directive #1 gates it now). R6 gates:
-# - the 2 queries with no driver row: s10, plus the new s11 index
-#   lifecycle round-trip (VERDICT directive #7);
+# - the only query with no driver row: s10; plus the round-6 additions
+#   s11/s12 (ANN index lifecycle, VERDICT directive #7) and st13
+#   (streaming index ingest);
 # - the queries whose code/oracle changed this round: d14 (Bloom
 #   auto-sizing, oracle gained the msize CTE), d15 (adaptive overlap
 #   router), s9 (sq8_minmax gained the raggedness-probe count column);
@@ -104,12 +105,13 @@ GATE_ROTATION_R5 = frozenset(
 # - 28 fills re-verifying the stalest (r3) driver evidence: the c1-c6
 #   compat surface, d1, m1-m3, the q relational tail, the st1-st7
 #   streaming suite minus st3, t1-t4;
-# - 14 fills from the r4-stale set (c8-c17 joins/formats, d8-d10).
+# - 14 fills from the r4-stale set (c8-c17 joins/formats, d8-d10, m4-m5).
 # Membership here OVERRIDES per-registration ``gate=`` flags.
 GATE_ROTATION_R6 = frozenset(
     {
         # never driver-proven / new in r6
         "s10_ivf_sq8_topk", "s11_ivf_sq8_index", "s12_ivfadc_index",
+        "st13_stream_index_ingest",
         # code or oracle changed in r6 — re-prove through the driver
         "d14_bloom_decontaminate", "d15_cross_source_overlap", "s9_sq8_topk",
         # directive #3: the bounded-state dedup is the gated exemplar
@@ -133,7 +135,6 @@ GATE_ROTATION_R6 = frozenset(
         "c17_upsert_merge",
         "d8_edit_distance", "d9_decontamination", "d10_semantic_dedup",
         "m4_image_ahash_dedup", "m5_audio_fingerprint_dedup",
-        "m6_video_scene_cuts",
     }
 )
 

@@ -714,3 +714,116 @@ def st12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("user_id", "view_ts", "purchase_ts")
     return run_to_memory(joined, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st13 — STREAMING INDEX INGEST: the update path of the s11 index
+# lifecycle. The quantizer state is trained once batch-side and FROZEN
+# (FAISS semantics: SQ8 ranges + coarse centroids never move during
+# serving); arriving vectors are SQ8-encoded and cell-routed entirely
+# MAP-SIDE against that broadcast state — encoding is the s9 affine
+# projection, routing is an argmin over a centroid array LITERAL (no
+# window functions, streaming-legal, same (d2, cent_id) ordering as
+# _coarse_route so batch and stream can never disagree on ties) — and
+# appended to the cell-partitioned parquet inverted lists through the
+# exactly-once file sink. Stateless: per-row work only, no streaming
+# state at all, so a 100 TB/day ingest is embarrassingly parallel.
+# Oracle: the coarse-assignment + SQ8-code CTE chains replayed over the
+# whole table (the availableNow drain ingests every row once).
+# --------------------------------------------------------------------------
+
+
+def _read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _st13_oracle() -> str:
+    from medvedi_spark.queries.llm_ops import _COARSE_CTES, _SQ8_CODE_CTES
+
+    return f"""
+    WITH {_COARSE_CTES},
+    {_SQ8_CODE_CTES}
+    SELECT s.vec_id, a.cell, list(s.c ORDER BY s.i) AS codes
+    FROM sqcodes s JOIN assign a USING (vec_id)
+    GROUP BY s.vec_id, a.cell
+    """
+
+
+@register(
+    "st13_stream_index_ingest",
+    oracle=_st13_oracle(),
+    tags=("streaming", "ann", "index-lifecycle", "sink", "llm"),
+    doc="Streaming ANN index ingest: vectors SQ8-encoded + cell-routed "
+        "map-side against frozen broadcast quantizer state (argmin over "
+        "a centroid literal — no streaming state anywhere), appended to "
+        "the s11 cell-partitioned parquet inverted lists via the "
+        "exactly-once file sink, read back and oracle-matched against "
+        "the batch assignment+code CTEs.",
+    gate=False,
+)
+def st13_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators.llm import (
+        _sq8_code,
+        _sq8_range_literals,
+        _sq8_train,
+        sqdist_dec,
+    )
+    from medvedi_spark.queries.compat_ops import _fmt_tmp
+    from medvedi_spark.queries.llm_ops import _S6_COARSE
+    from medvedi_spark.streaming.ops import run_to_parquet
+
+    emb = load(spark, sf_dir, "embeddings")
+    # frozen quantizer state (model state, trained batch-side once):
+    # dims-row SQ8 ranges + n_cells coarse centroids
+    vmin_lit, vmax_lit = _sq8_range_literals(_sq8_train(emb, "embedding"))
+    cents = (
+        emb.filter(F.col("vec_id") < _S6_COARSE)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb"))
+        .orderBy("cent_id")
+        .collect()
+    )
+    # map-side cell routing: argmin over the centroid literal via struct
+    # ordering on (d2, cent_id) — the same ranking _coarse_route's window
+    # uses, expressed without a window so it is streaming-legal
+    cell = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    sqdist_dec(
+                        F.col("embedding"), F.lit([float(x) for x in r["c_emb"]])
+                    ).alias("d2"),
+                    F.lit(int(r["cent_id"])).cast("long").alias("cell"),
+                )
+                for r in cents
+            ]
+        )
+    )["cell"]
+    enc = _read_embeddings_stream(spark, sf_dir).select(
+        F.col("vec_id"),
+        cell.alias("cell"),
+        _sq8_code(F.col("embedding"), vmin_lit, vmax_lit).alias("codes"),
+    )
+    # fresh sink per invocation: the file sink is append-only by design,
+    # so a rerun against a stale checkpoint would no-op and a stale dir
+    # without the checkpoint would double-ingest
+    path = _fmt_tmp(sf_dir, "st13idx")
+    shutil.rmtree(path, ignore_errors=True)
+    run_to_parquet(enc, path, partition_by=("cell",))
+    back = spark.read.parquet(path)
+    return back.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        "codes",
+    )

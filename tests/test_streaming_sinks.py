@@ -184,3 +184,36 @@ def test_st12_outer_emission_boundary_semantics(spark, tmp_path):
     out = run_to_memory(joined, output_mode="append").toPandas()
     assert sorted(out.user_id) == [1, 2], out
     assert out.purchase_ts.isna().all()
+
+
+def test_st13_stream_index_ingest_layout(spark, sf_dir):
+    """The streaming index ingest (st13) writes the s11 inverted-list
+    layout: cell-partitioned parquet directories, every corpus vector
+    ingested exactly once, codes equal the batch SQ8 encode."""
+    import glob
+    import os
+
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators.llm import _sq8_fit_encode
+    from medvedi_spark.queries.compat_ops import _fmt_tmp
+    from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
+    from pyspark.sql import functions as F
+
+    _ensure_loaded()
+    out = QUERIES["st13_stream_index_ingest"].builder(spark, sf_dir)
+    rows = out.collect()
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assert len(rows) == n, "every vector ingested exactly once"
+    # directory layout: one partition dir per routed cell
+    root = _fmt_tmp(sf_dir, "st13idx")
+    cells_on_disk = {
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in glob.glob(os.path.join(root, "cell=*"))
+    }
+    assert cells_on_disk == {r.cell for r in rows}
+    # codes match the batch SQ8 encoder bit-for-bit
+    _, codes, _ = _sq8_fit_encode(emb, "vec_id", "embedding", F.lit(False))
+    batch = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    for r in rows:
+        assert list(r.codes) == batch[r.vec_id], r.vec_id
