@@ -1091,6 +1091,22 @@ def bloom_decontaminate(
     that a downstream exact pass (d9 itself) resolves. The only shuffle
     anywhere is the eval-side distinct while BUILDING the filter.
     """
+    words, m_bits = bloom_fit(eval_df, text_col, n=n, m_bits=m_bits, k_hashes=k_hashes)
+    return bloom_flag(corpus, id_col, text_col, words, m_bits, n=n, k_hashes=k_hashes)
+
+
+def bloom_fit(
+    eval_df: DataFrame,
+    text_col: str,
+    n: int = 8,
+    m_bits: int | None = None,
+    k_hashes: int = 3,
+) -> tuple[list[int], int]:
+    """Build the decontamination Bloom filter over ``eval_df``'s distinct
+    word ``n``-grams. Returns ``(bitmap_words, m_bits)`` — bounded MODEL
+    STATE (see :func:`bloom_build_bits`), so the fit runs once batch-side
+    and the bitmap ships as a literal to any consumer, including a
+    streaming plan (st14)."""
     grams = (
         eval_df.select(
             F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("__toks__")
@@ -1105,7 +1121,24 @@ def bloom_decontaminate(
         # that isn't) so it executes once, not twice
         grams = _size_guarded_persist(eval_df, grams)
         m_bits = bloom_auto_m_bits(grams.count(), k_hashes)
-    bits = F.lit(bloom_build_bits(grams, "g", m_bits, k_hashes))
+    return bloom_build_bits(grams, "g", m_bits, k_hashes), m_bits
+
+
+def bloom_flag(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    bitmap_words: list[int],
+    m_bits: int,
+    n: int = 8,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Flag corpus docs whose distinct word ``n``-grams hit the Bloom
+    bitmap: a PURE per-row projection (k md5s + a word fetch + a bit test
+    per gram) — no join, no shuffle, no state — so the identical plan is
+    legal on a batch frame AND a readStream frame (st14's streaming
+    decontamination). Returns ``(doc_id, hit_grams)`` for flagged docs."""
+    bits = F.lit(bitmap_words)
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     hits = F.size(
         F.filter(
@@ -2553,3 +2586,186 @@ def bpe_learn(
                     i += 1
             segs[w] = tuple(out)
     return merges, segs
+
+
+# -- end-to-end fuzzy dedup ---------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Verified MinHash-LSH near-duplicate pairs (Broder 1997): the d3
+    candidate+verify glue as a reusable operator.
+
+    Candidates come from the banded signature self-join (shuffle keyed on
+    (band_idx, band_val) — never all-pairs); verification is exact Jaccard
+    over the per-doc md5-derived hash sets, two equi-joins on doc id with
+    an in-row ``array_intersect`` fold. Deliberately NO broadcast hint on
+    the verify side: the signature table carries the corpus's token sets,
+    which at 100 TB dwarfs any broadcast cap — these joins shuffle on doc
+    id, and AQE may still elect a broadcast at small SF from runtime
+    stats. Returns ``(doc_a, doc_b, jaccard)`` with ``doc_a < doc_b``.
+    """
+    sigs, bands = minhash_band_index(df, id_col, text_col)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_val") == F.col("bb.band_val"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = sigs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    shared = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - shared
+    return (
+        candidates.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("jaccard", shared.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def fuzzy_dedup_survivors(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """End-to-end corpus fuzzy dedup — the GPT-3/Gopher recipe as ONE
+    operator: MinHash-LSH near-dup pairs → transitive clusters
+    (connected components) → keep the smallest-id member per cluster →
+    return the SURVIVING rows of ``df`` (all columns intact).
+
+    This is the operator a 100 TB pipeline actually runs; d3 (pairs) and
+    d6 (clusters) are its two halves exposed for inspection. Scale shape:
+    the pair stage shuffles on band values, the component stage is
+    adaptive (one-task numpy contraction for sparse post-LSH graphs,
+    distributed min-label propagation beyond), and the final filter is a
+    left_anti shuffle join of the corpus against the drop list — each
+    stage is keyed, bounded, and broadcast-free on the corpus side.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    drops = comps.filter(F.col("component") < F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
+# -- Johnson-Lindenstrauss projection ANN -------------------------------------
+
+
+def jl_sign_matrix(dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix (Achlioptas
+    2003's database-friendly projection, density 1): entry (j, i) is the
+    parity of the first 8 hex chars of ``md5("jl:{j}:{i}")``. md5-derived
+    instead of RNG-seeded so any engine — including the DuckDB oracle —
+    reproduces the identical literals with no shared random state.
+    """
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(vec_col: Column | str, signs: list[list[int]]) -> Column:
+    """Project a float-array column through a ±1 sign matrix → a compact
+    ``out_dim`` double array. Each output coordinate is an order-free
+    exact-decimal sum of signed inputs (±1 products are exact in double),
+    cast to double through a string — the same engine-portability policy
+    as dot_dec, so the oracle reproduces identical bits. Pure projection:
+    no shuffle, no UDF, whole-stage codegen throughout.
+    """
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    outs = []
+    for row in signs:
+        prods = F.zip_with(
+            vec, F.lit(row), lambda x, s: (x.cast("double") * s.cast("double")).cast(DEC)
+        )
+        outs.append(
+            F.aggregate(prods, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC))
+            .cast("string")
+            .cast("double")
+        )
+    return F.array(*outs)
+
+
+def jl_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe: Column,
+    dim: int,
+    out_dim: int = 8,
+    n_candidates: int = 25,
+    k: int = 10,
+) -> DataFrame:
+    """JL random-projection top-k: squared-L2 ANN through a dim→out_dim
+    ±1 projection, exact rerank on the full vectors.
+
+    Two-stage plan, both corpus passes map-side:
+    1. project every vector (zero-shuffle projection), broadcast the
+       projected QUERIES onto the corpus stream, keep the ``n_candidates``
+       closest per query in the reduced space (one per-query window on a
+       queries×n_candidates-sized set). Candidate scan cost is
+       corpus × out_dim instead of corpus × dim; the JL lemma bounds the
+       rank distortion and the rerank restores exactness for survivors.
+    2. gather the full vectors for the (tiny) candidate set — broadcast
+       hash joins INTO the corpus scan, never the reverse — and re-rank
+       by exact-decimal distance.
+
+    All distances exact decimal (order-free, engine-portable bits), ties
+    broken on neighbor id. Returns (query_id, neighbor_id, d2, rank).
+    """
+    signs = jl_sign_matrix(dim, out_dim)
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    proj = e.select("vec_id", jl_project("embedding", signs).alias("yproj"))
+    qp = proj.join(
+        emb.filter(probe).select(F.col(id_col).alias("vec_id")), "vec_id"
+    ).select(F.col("vec_id").alias("query_id"), F.col("yproj").alias("qy"))
+    scored = (
+        proj.crossJoin(F.broadcast(qp))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d2p", sqdist_dec("qy", "yproj"))
+        .select("query_id", "vec_id", "d2p")
+    )
+    # salted two-phase top-C: a single per-query window would funnel the
+    # whole corpus×queries stream onto n_queries hot keys (one straggler
+    # task per query at scale). Phase 1 takes top-C within (query, salt)
+    # — 64 parallel keys per query, deterministic hash salt — and phase 2
+    # finishes over the 64×C survivors. Exact: the global top-C by
+    # (d2p, vec_id) is always contained in the union of per-salt top-Cs.
+    salt = F.pmod(F.xxhash64("vec_id"), F.lit(64))
+    w_salted = Window.partitionBy("query_id", "__salt__").orderBy(
+        F.asc("d2p"), F.asc("vec_id")
+    )
+    pre = (
+        scored.withColumn("__salt__", salt)
+        .withColumn("__rn__", F.row_number().over(w_salted))
+        .filter(F.col("__rn__") <= n_candidates)
+    )
+    w_fast = Window.partitionBy("query_id").orderBy(F.asc("d2p"), F.asc("vec_id"))
+    cand = (
+        pre.withColumn("__rnf__", F.row_number().over(w_fast))
+        .filter(F.col("__rnf__") <= n_candidates)
+        .select("query_id", "vec_id")
+    )
+    qfull = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    reranked = (
+        e.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn("d2", sqdist_dec("q_emb", "embedding"))
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "d2", "rank")
+    )

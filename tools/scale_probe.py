@@ -6,7 +6,9 @@ Generates a deterministic synthetic corpus (seeded numpy; same schema
 and content flavor as /root/testdata — word-salad docs over a small
 vocab with injected near-duplicates, 64-dim float embeddings) at 1×
 (sf0.1-sized: 5 000 docs / 2 000 vectors) and 10× (50 000 / 20 000),
-then runs d2, d3, d11, d13, s6, s10 at both sizes in ONE session
+then runs d2, d3, d11, d13, s6, s10 — plus the round-6 wave-2 flagships
+d16 (end-to-end fuzzy dedup), t12 (bigram-LM scoring) and s13 (JL
+projection ANN) — at both sizes in ONE session
 (machine drift makes cross-session comparisons meaningless — BASELINE.md
 round-5 control experiment) and asserts:
 
@@ -45,6 +47,10 @@ PROBE_OPS = (
     "d13_repeated_block_removal",
     "s6_ivfadc_topk",
     "s10_ivf_sq8_topk",
+    # round-6 wave-2 flagships
+    "d16_fuzzy_dedup_corpus",
+    "t12_bigram_surprisal",
+    "s13_jl_projection_topk",
 )
 
 BASE_DOCS = 5_000  # sf0.1-sized
