@@ -2115,3 +2115,85 @@ def t12_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("surprisal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t13 — readability scoring (Flesch-Kincaid grade level): the classic
+# quality-filter signal for training corpora (too-low = fragment soup,
+# too-high = OCR garbage / formula dumps). Engine-portable by
+# construction: the three inputs are INTEGER counts (words, sentences,
+# vowel-group syllables with a 1-per-word floor), and the grade formula
+# 0.39·(w/s) + 11.8·(sy/w) − 15.59 is a fixed tree of IEEE double
+# ops — divisions of exact integers, multiplications by literals, two
+# additions — with NO transcendental anywhere, so both engines produce
+# identical bits when the expression tree is written identically (same
+# ruling family as t7/t12). Sentence count = non-blank [.!?] segments,
+# floored at 1; docs with zero words drop out. Pure map-side: zero
+# shuffles, zero joins, whole-stage codegen throughout.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t13_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_words,
+             GREATEST(len(list_filter(string_split_regex(text, '[.!?]'),
+                                      s -> trim(s) <> '')), 1)
+               AS n_sentences,
+             CAST(COALESCE(list_sum(list_transform(
+                 list_filter(string_split(text, ' '), t -> t <> ''),
+                 w -> GREATEST(len(regexp_extract_all(lower(w), '[aeiou]+')), 1)
+             )), 0) AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           n_syllables,
+           (0.39 * (CAST(n_words AS DOUBLE) / n_sentences))
+             + (11.8 * (CAST(n_syllables AS DOUBLE) / n_words))
+             - 15.59 AS fk_grade
+    FROM m WHERE n_words > 0
+    """,
+    tags=("text", "quality", "readability", "llm"),
+    doc="Flesch-Kincaid readability grade: integer word/sentence/"
+        "vowel-group-syllable counts plus a transcendental-free IEEE "
+        "formula tree — bit-identical cross-engine, zero shuffles.",
+    gate=False,
+)
+def t13_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks_col()
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.size(F.filter(F.split("text", "[.!?]"), lambda s: F.trim(s) != "")),
+            F.lit(1),
+        ).cast("bigint").alias("n_sentences"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(
+                    _toks_col(),
+                    lambda w: F.greatest(
+                        F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiou]+"), F.lit(0))),
+                        F.lit(1),
+                    ),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("n_syllables"),
+    )
+    grade = (
+        (F.lit(0.39) * (F.col("n_words").cast("double") / F.col("n_sentences")))
+        + (F.lit(11.8) * (F.col("n_syllables").cast("double") / F.col("n_words")))
+        - F.lit(15.59)
+    )
+    return m.filter(F.col("n_words") > 0).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", grade.alias("fk_grade")
+    )

@@ -214,3 +214,59 @@ def test_bloom_fit_flag_split_no_false_negatives(spark):
         for r in ops.decontaminate(corpus, eval_df, "doc_id", "text", n=4).collect()
     }
     assert exact <= flagged
+
+
+# -- t13: readability -----------------------------------------------------------
+
+
+def test_readability_hand_computed(spark):
+    """Two-doc corpus with hand-counted words/sentences/syllables."""
+    rows = [
+        (0, "the cat sat. it ran!"),     # 5 words, 2 sentences, syllables: 1+1+1+1+1=5
+        (1, "beautiful analysis here"),  # 3 words, 1 sentence, eau-i-u=3? -> see below
+    ]
+    # syllable counts are VOWEL GROUPS: "beautiful" -> eau,i,u = 3,
+    # "analysis" -> a,a,y? no — y is not in [aeiou] -> a,a,i = 3,
+    # "here" -> e,e = 2  => doc1 total 8
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    import medvedi_spark.queries.text_ops  # noqa: F401  (registration)
+    from medvedi_spark.queries.registry import QUERIES
+
+    # run the same projection inline on the local frame
+    import pyspark.sql.functions as F2
+
+    m = df.select(
+        "doc_id",
+        F2.size(F2.filter(F2.split("text", " "), lambda t: t != "")).alias("w"),
+        F2.greatest(
+            F2.size(F2.filter(F2.split("text", "[.!?]"), lambda s: F2.trim(s) != "")),
+            F2.lit(1),
+        ).alias("s"),
+        F2.aggregate(
+            F2.transform(
+                F2.filter(F2.split("text", " "), lambda t: t != ""),
+                lambda w: F2.greatest(
+                    F2.size(F2.regexp_extract_all(F2.lower(w), F2.lit("[aeiou]+"), F2.lit(0))),
+                    F2.lit(1),
+                ),
+            ),
+            F2.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sy"),
+    ).collect()
+    got = {r.doc_id: (r.w, r.s, r.sy) for r in m}
+    assert got[0] == (5, 2, 5)
+    assert got[1] == (3, 1, 8)
+
+
+def test_readability_query_shape(spark):
+    from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    out = QUERIES["t13_readability"].builder(spark, SF_DIR).collect()
+    assert out, "non-degenerate"
+    for r in out:
+        assert r.n_words > 0 and r.n_sentences >= 1 and r.n_syllables >= r.n_words
+        # recompute the formula driver-side: same IEEE tree
+        expect = (0.39 * (r.n_words / r.n_sentences)) + (11.8 * (r.n_syllables / r.n_words)) - 15.59
+        assert r.fk_grade == expect
