@@ -2727,9 +2727,14 @@ def jl_topk(
     signs = jl_sign_matrix(dim, out_dim)
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     proj = e.select("vec_id", jl_project("embedding", signs).alias("yproj"))
-    qp = proj.join(
-        emb.filter(probe).select(F.col(id_col).alias("vec_id")), "vec_id"
-    ).select(F.col("vec_id").alias("query_id"), F.col("yproj").alias("qy"))
+    # query-side plans are built from emb.filter(probe) — a tiny filtered
+    # scan — NEVER from the full corpus projection: a corpus-sized frame
+    # on the broadcast side of either stage is the 100 TB failure mode
+    q_src = emb.filter(probe)
+    qp = q_src.select(
+        F.col(id_col).alias("query_id"),
+        jl_project(F.col(vec_col), signs).alias("qy"),
+    )
     scored = (
         proj.crossJoin(F.broadcast(qp))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -2757,7 +2762,9 @@ def jl_topk(
         .filter(F.col("__rnf__") <= n_candidates)
         .select("query_id", "vec_id")
     )
-    qfull = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    qfull = q_src.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
     reranked = (
         e.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(qfull), "query_id")
