@@ -102,14 +102,16 @@ GATE_ROTATION_R5 = frozenset(
 #   router), s9 (sq8_minmax gained the raggedness-probe count column);
 # - st11 as the SHOWCASED streaming-dedup exemplar (directive #3 — st3's
 #   unbounded-state global distinct is demoted to a documented extra);
-# - the four mid-round-6 additions, never driver-proven: d16 (end-to-end
+# - the five mid-round-6 additions, never driver-proven: d16 (end-to-end
 #   fuzzy dedup), s13 (JL projection ANN), t12 (bigram-LM scoring), st14
-#   (streaming Bloom decontamination) — they take the c14-c17 format-
-#   roundtrip fill slots (all four r4-driver-green and code-unchanged);
+#   (streaming Bloom decontamination), and t13 (readability) — they take
+#   the c13-c17 compat/format fill slots (all five r4-driver-green and
+#   code-unchanged), so EVERY registered query holds or gains a driver
+#   row;
 # - 28 fills re-verifying the stalest (r3) driver evidence: the c1-c6
 #   compat surface, d1, m1-m3, the q relational tail, the st1-st7
 #   streaming suite minus st3, t1-t4;
-# - 10 fills from the r4-stale set (c8-c13 joins/compat, d8-d10, m4-m5).
+# - 9 fills from the r4-stale set (c8-c12 joins/compat, d8-d10, m4-m5).
 # Membership here OVERRIDES per-registration ``gate=`` flags.
 GATE_ROTATION_R6 = frozenset(
     {
@@ -118,6 +120,7 @@ GATE_ROTATION_R6 = frozenset(
         "st13_stream_index_ingest",
         "d16_fuzzy_dedup_corpus", "s13_jl_projection_topk",
         "t12_bigram_surprisal", "st14_stream_decontaminate",
+        "t13_readability",
         # code or oracle changed in r6 — re-prove through the driver
         "d14_bloom_decontaminate", "d15_cross_source_overlap", "s9_sq8_topk",
         # directive #3: the bounded-state dedup is the gated exemplar
@@ -136,7 +139,7 @@ GATE_ROTATION_R6 = frozenset(
         "t1_langid", "t2_quality_score", "t3_token_stats", "t4_fingerprint",
         # r4-stale fills
         "c8_join_fill_defaults", "c9_join_last_wins",
-        "c11_mdf_dedup_pipeline", "c12_mdf_explode", "c13_mdf_fillna_astype",
+        "c11_mdf_dedup_pipeline", "c12_mdf_explode",
         "d8_edit_distance", "d9_decontamination", "d10_semantic_dedup",
         "m4_image_ahash_dedup", "m5_audio_fingerprint_dedup",
     }

