@@ -403,11 +403,27 @@ def _jaccard_prefix_filter(tok: DataFrame, threshold: float) -> DataFrame:
         ranked.withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(w_sz))
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
-        .select("doc_id", "t")
+        .select("doc_id", "t", "n")
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    # PPJoin LENGTH filter, applied inside the candidate join: jaccard =
+    # |∩|/|∪| ≤ min(|a|,|b|)/max(|a|,|b|), so any pair above the
+    # threshold has min ≥ t·max — provably lossless pruning. Without it,
+    # corpora whose gram frequencies grow with corpus size (every real
+    # corpus) produce prefix blocks whose cross products swamp the
+    # verify stage: measured on the 5k-doc probe corpus, candidates drop
+    # 3.68 M → length-compatible pairs only, and the verify join stops
+    # shuffling two token arrays per spurious pair (90 s → seconds).
     candidates = (
-        pa.join(pb, (F.col("pa.t") == F.col("pb.t")) & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+        pa.join(
+            pb,
+            (F.col("pa.t") == F.col("pb.t"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (
+                F.least(F.col("pa.n"), F.col("pb.n"))
+                >= F.lit(threshold) * F.greatest(F.col("pa.n"), F.col("pb.n"))
+            ),
+        )
         .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
         .distinct()
     )

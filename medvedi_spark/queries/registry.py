@@ -99,7 +99,10 @@ GATE_ROTATION_R5 = frozenset(
 #   (streaming index ingest);
 # - the queries whose code/oracle changed this round: d14 (Bloom
 #   auto-sizing, oracle gained the msize CTE), d15 (adaptive overlap
-#   router), s9 (sq8_minmax gained the raggedness-probe count column);
+#   router), s9 (sq8_minmax gained the raggedness-probe count column),
+#   d2 (PPJoin length filter in the prefix-filter candidate join —
+#   lossless prune, unit-tested vs brute force; takes c12's fill slot,
+#   r4-driver-green and code-unchanged);
 # - st11 as the SHOWCASED streaming-dedup exemplar (directive #3 — st3's
 #   unbounded-state global distinct is demoted to a documented extra);
 # - the five mid-round-6 additions, never driver-proven: d16 (end-to-end
@@ -111,7 +114,7 @@ GATE_ROTATION_R5 = frozenset(
 # - 28 fills re-verifying the stalest (r3) driver evidence: the c1-c6
 #   compat surface, d1, m1-m3, the q relational tail, the st1-st7
 #   streaming suite minus st3, t1-t4;
-# - 9 fills from the r4-stale set (c8-c12 joins/compat, d8-d10, m4-m5).
+# - 8 fills from the r4-stale set (c8-c11 joins/compat, d8-d10, m4-m5).
 # Membership here OVERRIDES per-registration ``gate=`` flags.
 GATE_ROTATION_R6 = frozenset(
     {
@@ -123,6 +126,7 @@ GATE_ROTATION_R6 = frozenset(
         "t13_readability",
         # code or oracle changed in r6 — re-prove through the driver
         "d14_bloom_decontaminate", "d15_cross_source_overlap", "s9_sq8_topk",
+        "d2_token_jaccard",
         # directive #3: the bounded-state dedup is the gated exemplar
         "st11_watermarked_dedup",
         # stalest (r3) driver evidence
@@ -139,7 +143,7 @@ GATE_ROTATION_R6 = frozenset(
         "t1_langid", "t2_quality_score", "t3_token_stats", "t4_fingerprint",
         # r4-stale fills
         "c8_join_fill_defaults", "c9_join_last_wins",
-        "c11_mdf_dedup_pipeline", "c12_mdf_explode",
+        "c11_mdf_dedup_pipeline",
         "d8_edit_distance", "d9_decontamination", "d10_semantic_dedup",
         "m4_image_ahash_dedup", "m5_audio_fingerprint_dedup",
     }
