@@ -2095,6 +2095,13 @@ def t12_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vsz = base.select(F.explode("l").alias("t")).distinct().count()
     bc = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # NOT derived from bc (c1(w1) = Σ c12 would save one occ consumer):
+    # A/B at the 100× probe point measured the bc-rollup shape 48 %
+    # SLOWER (133.6 s vs 197.6 s) — without a cache on bc, its
+    # corpus-wide aggregation executes once per consumer (the rollup
+    # branch and the score join prune different columns, so
+    # ReuseExchange does not dedupe them), which costs more than the
+    # extra map-side occ scan this direct groupBy pays. See BASELINE.md.
     uc = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     w = F.expr(f"CAST(((c1 + {vsz}) * {_T12_SCALE}) DIV (c12 + 1) AS BIGINT)")
     return (
