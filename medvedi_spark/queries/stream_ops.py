@@ -748,12 +748,14 @@ def _read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _st13_oracle() -> str:
     from medvedi_spark.queries.llm_ops import _COARSE_CTES, _SQ8_CODE_CTES
 
+    # Long-form (one row per code position) — the repo's q32 convention:
+    # the driver's canonicalization lexsorts every column in pandas, which
+    # cannot hash an array<int> cell, so gated outputs must be scalar-only.
     return f"""
     WITH {_COARSE_CTES},
     {_SQ8_CODE_CTES}
-    SELECT s.vec_id, a.cell, list(s.c ORDER BY s.i) AS codes
+    SELECT s.vec_id, a.cell, s.i, s.c AS code
     FROM sqcodes s JOIN assign a USING (vec_id)
-    GROUP BY s.vec_id, a.cell
     """
 
 
@@ -822,10 +824,18 @@ def st13_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     run_to_parquet(enc, path, partition_by=("cell",))
     back = spark.read.parquet(path)
-    return back.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("cell").cast("long").alias("cell"),
-        "codes",
+    # Gated outputs are scalar-only (q32 convention): posexplode the code
+    # array to long form (vec_id, cell, i, code), 1-based i to match the
+    # oracle's generate_series positions.
+    return back.selectExpr(
+        "CAST(vec_id AS LONG) AS vec_id",
+        "CAST(cell AS LONG) AS cell",
+        "posexplode(codes) AS (pos, code)",
+    ).select(
+        "vec_id",
+        "cell",
+        (F.col("pos") + F.lit(1)).cast("long").alias("i"),
+        F.col("code").cast("int").alias("code"),
     )
 
 

@@ -2027,12 +2027,19 @@ def t11_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integers. Monotone-equivalent for filtering use.
 # Scale shape: the bigram LM table is corpus-bounded so the score join
 # SHUFFLES on the bigram key (never broadcast); the context-count table
-# is vocabulary-bounded and broadcasts; V is one scalar count job (same
-# kind as t7's n_docs). Docs with < 2 tokens have no bigrams and drop
-# out (inner-join semantics), matching the oracle.
+# grows with the VOCABULARY, which under Heap's law grows with the
+# corpus (10⁷–10⁹ distinct tokens at 100 TB of web text: typos, URLs,
+# code), so its broadcast is SIZE-ROUTED like d2/d7/d15 — the already-
+# computed distinct-token count ``vsz`` upper-bounds uc's rows for free,
+# hint under the cap, plain shuffle join on w1 above it. V is one scalar
+# count job (same kind as t7's n_docs). Docs with < 2 tokens have no
+# bigrams and drop out (inner-join semantics), matching the oracle.
 # --------------------------------------------------------------------------
 
 _T12_SCALE = 1_000_000
+# ~32 MB broadcast budget (the _mask_broadcast_cap convention) over a
+# (w1 string ~24 B, c1 long 8 B, ~32 B row overhead) context-count row.
+_T12_BC_CAP = (32 << 20) // 64
 
 
 def _bigram_structs_of(toks):
@@ -2103,10 +2110,15 @@ def t12_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ReuseExchange does not dedupe them), which costs more than the
     # extra map-side occ scan this direct groupBy pays. See BASELINE.md.
     uc = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # size-routed broadcast (VERDICT r6 #2): distinct-w1 count is bounded
+    # by the already-computed vsz — no extra probe job. Under the cap the
+    # hint saves the w1 shuffle of the occurrence stream; above it (Heap's
+    # law at corpus scale) a forced hint would OOM, so shuffle instead.
+    uc_side = F.broadcast(uc) if vsz <= _T12_BC_CAP else uc
     w = F.expr(f"CAST(((c1 + {vsz}) * {_T12_SCALE}) DIV (c12 + 1) AS BIGINT)")
     return (
         occ.join(bc, "bg")
-        .join(F.broadcast(uc), "w1")
+        .join(uc_side, "w1")
         .withColumn("w", w)
         .groupBy("doc_id")
         .agg(

@@ -62,15 +62,35 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-        elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     if len(df):
         df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 
+def _array_cols(df: pd.DataFrame) -> list[str]:
+    out = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            vals = df[c].dropna()
+            if len(vals) and isinstance(vals.iloc[0], (list, np.ndarray)):
+                out.append(c)
+    return out
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
+    # Driver-canon alignment: the driver's lexsort crashes on array-typed
+    # columns (unhashable list), so ANY array column in a query output is a
+    # local failure too — previously a list->tuple shim here masked exactly
+    # that class (st13 in CORRECTNESS_r06). Scalar-only outputs everywhere;
+    # posexplode arrays to long form (the q32 convention).
+    arr = _array_cols(spark_pdf) + [c for c in _array_cols(duck_pdf) if c not in _array_cols(spark_pdf)]
+    if arr:
+        problems.append(
+            f"array-typed column(s) {arr} in output — the driver canon cannot "
+            "sort lists; posexplode to long form (q32/st13 convention)"
+        )
+        return problems
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
