@@ -1784,9 +1784,11 @@ def d13_repeated_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D16_THRESHOLD = 0.8
 
 
-@register(
-    "d16_fuzzy_dedup_corpus",
-    oracle=f"""
+# Shared by d16 (one-shot corpus dedup) and d17 (incremental ingest
+# against the persisted signature index): d17's whole contract is that
+# build-on-A + ingest-B EQUALS the one-shot on A ∪ B, so both hash-check
+# against the identical SQL over the full documents table.
+_D16_ORACLE = f"""
     WITH RECURSIVE {_D3_SHINGLES_SQL},
     hashed AS (SELECT doc_id, {sql_token_hash('s')} AS h FROM shingles),
     sigs AS (
@@ -1840,7 +1842,12 @@ _D16_THRESHOLD = 0.8
     SELECT d.doc_id, d.source, d.n_chars
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
-    """,
+    """
+
+
+@register(
+    "d16_fuzzy_dedup_corpus",
+    oracle=_D16_ORACLE,
     tags=("dedup", "minhash", "lsh", "clustering", "pipeline", "llm"),
     doc="End-to-end corpus fuzzy dedup (MinHash-LSH pairs → connected "
         "components → keep the smallest-id member per cluster → surviving "
@@ -1855,6 +1862,51 @@ def d16_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.fuzzy_dedup_survivors(
         docs, "doc_id", "text", threshold=_D16_THRESHOLD
     ).select("doc_id", "source", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# d17 — INCREMENTAL fuzzy dedup (the index lifecycle composed with d16,
+# VERDICT r6 directive #7): the historical corpus's MinHash signatures
+# and verified internal pairs persist via the s11-style save/load split
+# (operators/dedup_index.py), so an arriving batch dedups against the
+# existing corpus WITHOUT recomputing its shingles, signatures or
+# internal band joins — the production incremental-dedup pattern (st10
+# proves the streaming half). The registered query builds the index on
+# corpus A (doc_id % 3 != 0), ingests corpus B (the rest), and the
+# oracle is d16's own SQL over the FULL table: the driver hash-checks
+# the incremental path equals the one-shot dedup of A ∪ B bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d17_fuzzy_dedup_ingest",
+    oracle=_D16_ORACLE,
+    tags=("dedup", "minhash", "lsh", "index-lifecycle", "pipeline", "llm"),
+    doc="Incremental fuzzy dedup: persisted MinHash signature+pair index "
+        "of the existing corpus (s11-style save/load), arriving batch "
+        "signed and band-joined against the loaded index, stored internal "
+        "pairs reused in the component closure — hash-equal to the "
+        "one-shot d16 on the union (same oracle).",
+    gate=False,
+)
+def d17_fuzzy_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.dedup_index (minhash_index_save/load +
+    fuzzy_dedup_ingest)."""
+    import shutil
+
+    from medvedi_spark.operators import dedup_index
+    from medvedi_spark.queries.compat_ops import _fmt_tmp
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    path = _fmt_tmp(sf_dir, "d17idx")
+    shutil.rmtree(path, ignore_errors=True)
+    dedup_index.minhash_index_save(old, "doc_id", "text", path, threshold=_D16_THRESHOLD)
+    idx = dedup_index.minhash_index_load(spark, path)
+    return dedup_index.fuzzy_dedup_ingest(idx, old, new, "doc_id", "text").select(
+        "doc_id", "source", "n_chars"
+    )
 
 
 # --------------------------------------------------------------------------

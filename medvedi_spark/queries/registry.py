@@ -149,8 +149,60 @@ GATE_ROTATION_R6 = frozenset(
     }
 )
 
+# Round-7 gate rotation (VERDICT r6 directive #3). R7 gates:
+# - the queries whose code or oracle changed this round: st13 (long-form
+#   gated output — the r6 red row's re-proof), t12 (size-routed context
+#   broadcast), the trained-PQ family s5/s6/s7/s8/s12 (per-subspace
+#   Lloyd codebooks, new oracle CTE chains);
+# - the new query: d17 (incremental fuzzy dedup against the persisted
+#   signature index);
+# - the full streaming family st1-st12/st14 (minus the demoted st3):
+#   the drain plumbing changed this round (cached stream-source schema,
+#   measured state-partition default), so every consumer re-proves;
+# - the stalest (r4) driver evidence: the c12-c17 compat/format set and
+#   the q32-q38 relational tail;
+# - the stalest r5 evidence: q39-q42, c19/c20, p10, t11, plus 9 fills
+#   from the next-stalest r5 set (p8/p9 BPE, q17 as-of, d13, m7, c10,
+#   c18, d12, q7).
+# Every family keeps evidence ≤ 3 rounds old. Membership OVERRIDES the
+# per-registration ``gate=`` flag.
+GATE_ROTATION_R7 = frozenset(
+    {
+        # code/oracle changed in r7 — re-prove through the driver
+        "st13_stream_index_ingest", "t12_bigram_surprisal",
+        "s5_pq_adc_topk", "s6_ivfadc_topk", "s7_ivfadc_rerank",
+        "s8_ivfadc_residual", "s12_ivfadc_index",
+        # new in r7
+        "d17_fuzzy_dedup_ingest",
+        # streaming family re-proof (shared drain plumbing changed)
+        "st1_tumbling_window", "st2_session_window", "st4_sliding_window",
+        "st5_watermark_append", "st6_stateful_counter",
+        "st7_stream_stream_join", "st8_stream_static_join",
+        "st9_stream_ingest", "st10_stream_lsh_dedup",
+        "st11_watermarked_dedup", "st12_stream_outer_join",
+        "st14_stream_decontaminate",
+        # stalest (r4) driver evidence
+        "c12_mdf_explode", "c13_mdf_fillna_astype",
+        "c14_csv_roundtrip", "c15_json_roundtrip", "c16_orc_roundtrip",
+        "c17_upsert_merge",
+        "q32_array_roundtrip", "q33_datetime_surface", "q34_string_surface",
+        "q36_unpivot_metrics", "q37_ranking_windows", "q38_multires_rollup",
+        "q15_cube",
+        # stalest r5 evidence
+        "q39_percentile_disc", "q40_salted_skew_join",
+        "q41_range_frame_window", "q42_grouping_sets",
+        "c19_partition_pruned_scan", "c20_schema_evolution",
+        "p10_export_jsonl", "t11_rake_keywords",
+        # next-stalest r5 fills
+        "p8_bpe_merges", "p9_bpe_segment", "q17_asof_join",
+        "d13_repeated_block_removal", "m7_image_ahash_neardup",
+        "c10_concat_fill_defaults", "c18_bucketed_join",
+        "d12_gram_containment", "q7_duplicated_pairs",
+    }
+)
+
 # The active rotation (tests reference this alias, not the round name).
-GATE_ROTATION = GATE_ROTATION_R6
+GATE_ROTATION = GATE_ROTATION_R7
 
 
 @dataclass

@@ -390,8 +390,10 @@ def st8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
+    from medvedi_spark.streaming.ops import stream_source_schema
+
     path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = stream_source_schema(spark, path)
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -736,8 +738,10 @@ def st12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
+    from medvedi_spark.streaming.ops import stream_source_schema
+
     path = os.path.join(sf_dir, "embeddings.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = stream_source_schema(spark, path)
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet")

@@ -19,6 +19,34 @@ from pyspark.sql import functions as F
 
 _SINK_IDS = itertools.count()
 
+# File-source streams need an explicit schema; inferring it is one batch
+# parquet-footer job per stream start. The footer is immutable for a
+# given (path, mtime, size), so cache the inference — 13 st queries ×
+# one job each is pure fixed overhead in a bench sweep (r6 directive #5).
+_SCHEMA_CACHE: dict[tuple[str, float, int], object] = {}
+
+
+def stream_source_schema(spark: SparkSession, path: str):
+    st = os.stat(path)
+    key = (path, st.st_mtime, st.st_size)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
+
+# Shuffle/state-store width for the availableNow drains. Stateful
+# operators allocate one state store per shuffle partition at query
+# START and freeze the count into the checkpoint; each store costs
+# setup+commit per micro-batch (FIXED-COST-linear in the knob), while
+# real per-batch work wants parallelism — a genuine trade even at
+# sf0.1. Measured per query (warm session, min of 2, suite totals):
+# 8 stores 27.4 s, 4 → 24.4 s, 2 → 25.1 s; isolated cold st1 at sf0.01:
+# 8 → 2.9 s, 2 → 1.0 s (state machinery dominates small batches), but
+# st6's stateful counter degrades 1.15 → 2.04 s at 2 and the
+# stream-stream joins prefer ≥4. 4 is the measured suite optimum; a
+# production stream sizes this to throughput via the env override.
+_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4"))
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (ts normalized like catalog.load)."""
@@ -26,7 +54,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_confs(spark)  # nanosAsLong etc. — portable to any session
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = stream_source_schema(spark, path)
     # The file source requires a directory; glob-filter to the one table.
     stream = (
         spark.readStream.schema(schema)
@@ -38,16 +66,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(stream)
 
 
-def run_to_memory(result: DataFrame, *, output_mode: str, state_partitions: int = 8) -> DataFrame:
+def run_to_memory(
+    result: DataFrame, *, output_mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink, return its table.
 
     Stateful operators allocate one state store per shuffle partition at
     query START, and that count is frozen into the checkpoint. 32 stores
     for a single-file drain is pure constant overhead, so the drain runs
-    with ``state_partitions``; the batch session conf is restored after.
-    On a real cluster this knob is sized to stream throughput, not to
-    the batch session's shuffle width — same code path.
+    with ``state_partitions`` (default ``_STATE_PARTITIONS`` — see the
+    measured floor decomposition there); the batch session conf is
+    restored after. On a real cluster this knob is sized to stream
+    throughput (``SPARK_GRAFT_STREAM_STATE_PARTITIONS``), not to the
+    batch session's shuffle width — same code path.
     """
+    if state_partitions is None:
+        state_partitions = _STATE_PARTITIONS
     spark = result.sparkSession
     name = f"ms_sink_{next(_SINK_IDS)}_{os.getpid()}"
     old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -75,7 +109,7 @@ def run_to_parquet(
     *,
     partition_by: tuple[str, ...] = (),
     checkpoint: str | None = None,
-    state_partitions: int = 8,
+    state_partitions: int | None = None,
 ) -> None:
     """Drain a streaming DataFrame into append-mode partitioned parquet —
     the production sink shape for a 100 TB/day stream.
@@ -92,6 +126,8 @@ def run_to_parquet(
     write-ahead manifest); one is derived next to ``path`` if not given.
     """
     spark = result.sparkSession
+    if state_partitions is None:
+        state_partitions = _STATE_PARTITIONS
     if checkpoint is None:
         checkpoint = os.path.join(path, "_checkpoint")
     old = spark.conf.get("spark.sql.shuffle.partitions")

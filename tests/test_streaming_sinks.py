@@ -204,7 +204,11 @@ def test_st13_stream_index_ingest_layout(spark, sf_dir):
     rows = out.collect()
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()
-    assert len(rows) == n, "every vector ingested exactly once"
+    dim = len(emb.select("embedding").first()[0])
+    # gated output is LONG FORM (vec_id, cell, i, code) — the q32
+    # scalar-only convention (round-7 st13 fix): dim rows per vector
+    assert len(rows) == n * dim, "every vector ingested exactly once, one row per dim"
+    assert len({r.vec_id for r in rows}) == n
     # directory layout: one partition dir per routed cell
     root = _fmt_tmp(sf_dir, "st13idx")
     cells_on_disk = {
@@ -216,4 +220,4 @@ def test_st13_stream_index_ingest_layout(spark, sf_dir):
     _, codes, _ = _sq8_fit_encode(emb, "vec_id", "embedding", F.lit(False))
     batch = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
     for r in rows:
-        assert list(r.codes) == batch[r.vec_id], r.vec_id
+        assert r.code == batch[r.vec_id][r.i - 1], (r.vec_id, r.i)

@@ -1,7 +1,16 @@
 """Emit a BASELINE.md ledger table: engine medians (from BENCH_local.json)
 beside a fresh single-sweep DuckDB-oracle timing of the same queries.
 
-Usage: python tools/ledger.py [sf_dir]   # prints markdown to stdout
+Usage:
+  python tools/ledger.py [sf_dir]                 # markdown to stdout
+  python tools/ledger.py --compare OLD_BENCH.json # round-over-round totals
+
+``--compare`` is the drift gate (VERDICT r6 directive #8): both bench
+jsons carry ``control_sec`` — the fixed 3-query anchor — and the tool
+REFUSES to print a raw-only comparison when the control ratio drifts
+past 1.3× in either direction; past that it prints anchor-NORMALIZED
+totals alongside raw so BASELINE.md entries can't accidentally compare
+across drifted sessions (the round-5 saga this anchor was built for).
 """
 
 from __future__ import annotations
@@ -19,7 +28,49 @@ from medvedi_spark.catalog import TABLES
 from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
 
 
+DRIFT_GATE = 1.3  # control ratio beyond this demands normalized columns
+
+
+def compare(cur_path: str, old_path: str) -> None:
+    """Round-over-round totals, drift-gated by the control anchor."""
+    def _load(p: str) -> dict:
+        d = json.load(open(p))
+        # driver-recorded BENCH_r*.json wraps the emitted line in 'parsed'
+        return d.get("parsed", d)
+
+    cur, old = _load(cur_path), _load(old_path)
+    for label, b, p in (("current", cur, cur_path), ("baseline", old, old_path)):
+        if "control_sec" not in b:
+            raise SystemExit(
+                f"{label} bench {p} has no control_sec anchor (pre-round-6?) — "
+                "raw cross-session comparison refused; re-run bench.py"
+            )
+    def _nq(b: dict) -> int:
+        return b.get("n_queries") or len(b.get("queries", ())) or 1
+
+    ctl = cur["control_sec"] / old["control_sec"]
+    raw = cur["value"] / old["value"]
+    per_q = (cur["value"] / _nq(cur)) / (old["value"] / _nq(old))
+    print(f"control ratio (session drift): {ctl:.3f}")
+    print(f"raw total ratio: {raw:.3f}  ({cur['value']:.1f}s/{_nq(cur)}q "
+          f"vs {old['value']:.1f}s/{_nq(old)}q)")
+    print(f"raw per-query ratio: {per_q:.3f}")
+    print(f"anchor-normalized total ratio: {raw / ctl:.3f}")
+    print(f"anchor-normalized per-query ratio: {per_q / ctl:.3f}")
+    if ctl > DRIFT_GATE or ctl < 1.0 / DRIFT_GATE:
+        print(
+            f"\nDRIFT GATE: control ratio {ctl:.2f} exceeds {DRIFT_GATE}× — the "
+            "sessions are not comparable raw; ONLY the anchor-normalized "
+            "ratios above may be recorded in BASELINE.md."
+        )
+        sys.exit(2)
+
+
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--compare":
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        compare(os.path.join(root, "BENCH_local.json"), sys.argv[2])
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bench = json.load(open(os.path.join(root, "BENCH_local.json")))
