@@ -2301,6 +2301,25 @@ def ivfadc_rerank_topk(
     )
 
 
+def coarse_residuals(
+    emb: DataFrame, coarse_centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """``(vec_id, cell, residual)`` — each vector minus its coarse
+    centroid, under the SAME assignment ranking as
+    :func:`ivfadc_residual_topk` (shared ``_coarse_route`` kernel, so a
+    codebook trained on this frame is bit-compatible with the codes that
+    operator encodes). Exposed for residual-domain codebook training."""
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    assign, _ = _coarse_route(e, coarse_centroids, F.lit(False), 1)
+    cc = coarse_centroids.select(F.col("cent_id").alias("cell"), F.col("c_emb").alias("cc_emb"))
+    residual = F.zip_with("embedding", "cc_emb", lambda x, y: x.cast("double") - y.cast("double"))
+    return (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(cc), "cell")
+        .select("vec_id", "cell", residual.alias("residual"))
+    )
+
+
 def ivfadc_residual_topk(
     emb: DataFrame,
     coarse_centroids: DataFrame,
@@ -2314,6 +2333,8 @@ def ivfadc_residual_topk(
     pq_centroid_filter=None,
     pq_train_k: int | None = None,
     pq_train_iters: int | None = None,
+    n_codes: int | None = None,
+    vectorized_encode: bool = False,
 ) -> DataFrame:
     """RESIDUAL IVFADC — the faithful published form (Jégou et al., TPAMI
     2011 §IV): PQ encodes the residual ``x − coarse_centroid(x)`` rather
@@ -2345,7 +2366,6 @@ def ivfadc_residual_topk(
         .join(F.broadcast(cc), "cell")
         .select("vec_id", "cell", residual.alias("residual"))
     )
-    n_codes = None
     if pq_centroids is None and pq_train_k is not None:
         # The sub-codebook must live in the RESIDUAL domain (residuals
         # cluster near zero — quantizing them against raw-vector
@@ -2375,7 +2395,14 @@ def ivfadc_residual_topk(
         # residual plan — counting the latter would execute the whole
         # coarse-routing pipeline as an extra build-time job
         n_codes = e.filter(pq_centroid_filter).count()
-    codes = pq_encode(res, pq_centroids, "vec_id", "residual", n_subspaces=n_subspaces, dense=True)
+    # vectorized_encode: opt in ONLY when pq_centroids is a cheap/local
+    # plan (collecting a derived codebook executes its upstream pipeline
+    # — the same trap as pq_adc_topk's note); residual vec_ids are
+    # unique by construction (one row per corpus vector)
+    codes = pq_encode(
+        res, pq_centroids, "vec_id", "residual", n_subspaces=n_subspaces, dense=True,
+        vectorized=vectorized_encode,
+    )
     corpus = codes.withColumnRenamed("vec_id", "neighbor_id").join(
         assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
     )
