@@ -2060,3 +2060,194 @@ def s13_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_S13_DIM, out_dim=_S13_OUT,
         n_candidates=_S13_C, k=_S13_K,
     )
+
+
+# --------------------------------------------------------------------------
+# s14 — binary-code ANN: exact radius-bounded Hamming top-k over packed
+# SRP sign signatures (the FAISS IndexBinaryMultiHash shape — Norouzi et
+# al. 2012 multi-index Hamming search). 60 sign bits pack into one
+# non-negative BIGINT; 6 contiguous 10-bit blocks give a pigeonhole
+# completeness guarantee up to Hamming 5, so at radius 5 the block
+# prefilter is provably lossless AND strong (corpus survival per block
+# ~2^-10; measured ~1% of the corpus reaches the verify stage) — the
+# oracle skips the prefilter entirely and brute-forces all
+# probe×corpus pairs, which hash-matching proves the losslessness end
+# to end. The probe workload is the structure's real use case: query
+# vectors are near-duplicates of corpus vectors (the first 5 dims
+# sign-flipped — a deterministic stand-in for re-encoded/perturbed
+# content), and each must find its source within radius 5. Determinism:
+# signatures are integer bit-packs of float sign tests (identical bits
+# both engines; -0.0 >= 0 is true in both), hamming is bit_count over
+# XOR of two non-negative BIGINTs (sign bit never set, so
+# two's-complement counts agree), and ranking ties break on neighbor_id.
+# --------------------------------------------------------------------------
+
+_S14_NQ = 8
+_S14_K = 10
+_S14_RADIUS = 5
+_S14_BITS = 60
+_S14_FLIP = 5  # probe = corpus vector with the first 5 dims sign-flipped
+
+
+@register(
+    "s14_hamming_topk",
+    oracle=f"""
+    WITH elems AS (
+      SELECT vec_id, e, i
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   unnest(generate_series(1, 64)) AS i
+            FROM embeddings)
+      WHERE i <= {_S14_BITS}
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN e >= 0
+                           THEN CAST(1 AS BIGINT) << (i - 1)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM elems GROUP BY vec_id
+    ),
+    qsig AS (
+      SELECT vec_id AS probe_id,
+             CAST(SUM(CASE WHEN (CASE WHEN i <= {_S14_FLIP} THEN -e ELSE e END) >= 0
+                           THEN CAST(1 AS BIGINT) << (i - 1)
+                           ELSE 0 END) AS BIGINT) AS psig
+      FROM elems WHERE vec_id < {_S14_NQ} GROUP BY vec_id
+    ),
+    h AS (
+      SELECT q.probe_id, s.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.psig, s.sig)) AS INT) AS hamming
+      FROM qsig q CROSS JOIN sig s
+    )
+    SELECT probe_id, neighbor_id, hamming, CAST(rnk AS INT) AS rnk FROM (
+      SELECT probe_id, neighbor_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY hamming, neighbor_id) AS rnk
+      FROM h WHERE hamming <= {_S14_RADIUS}
+    ) WHERE rnk <= {_S14_K}
+    """,
+    tags=("similarity", "ann", "hamming", "binary", "llm"),
+    doc=f"Binary-code ANN (FAISS IndexBinaryMultiHash shape): {_S14_BITS} "
+        "packed SRP sign bits per vector, 6×10-bit multi-index block "
+        f"prefilter (pigeonhole-lossless to Hamming 5, prunes ~99% of "
+        f"the corpus), exact top-{_S14_K} within radius {_S14_RADIUS}. "
+        "Probes are sign-perturbed corpus vectors — the near-dup lookup "
+        "workload; corpus never shuffles (probe blocks broadcast); the "
+        "oracle brute-forces all pairs, proving the prefilter lossless.",
+    gate=False,
+)
+def s14_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.llm.hamming_topk (srp_signature + multi-index block
+    prefilter + exact Hamming rank)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _S14_NQ).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < _S14_FLIP, -x).otherwise(x),
+        ).alias("embedding"),
+    )
+    out = ops.hamming_topk(
+        emb, queries, "vec_id", "embedding",
+        k=_S14_K, radius=_S14_RADIUS, n_bits=_S14_BITS, n_blocks=6,
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# p11 — train/val split leakage audit: the contamination check a training
+# pipeline runs BEFORE trusting an eval number. Documents are split by a
+# deterministic md5-derived hash of doc_id (10% validation); near-dup
+# pairs (d3's verified MinHash-LSH machinery, threshold 0.8) that CROSS
+# the split are leaks — a val doc whose near-twin sits in train inflates
+# eval. Output: every crossing pair with its jaccard and both split
+# labels. Scale shape: identical to d3 (band-keyed shuffle, doc-id-keyed
+# verify) plus two broadcast-eligible split-label joins; the split
+# assignment itself is a pure map-side projection.
+# --------------------------------------------------------------------------
+
+_P11_VAL_MOD = 10
+
+
+@register(
+    "p11_split_leakage",
+    oracle=f"""
+    WITH {_D3_SHINGLES_SQL},
+    hashed AS (SELECT doc_id, {sql_token_hash('s')} AS h FROM shingles),
+    sigs AS (
+      SELECT doc_id, {sql_minhash_aggs('h')}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, band_idx,
+             CASE band_idx
+               WHEN 0 THEN m0 || ',' || m1   WHEN 1 THEN m2 || ',' || m3
+               WHEN 2 THEN m4 || ',' || m5   WHEN 3 THEN m6 || ',' || m7
+               WHEN 4 THEN m8 || ',' || m9   WHEN 5 THEN m10 || ',' || m11
+               WHEN 6 THEN m12 || ',' || m13 WHEN 7 THEN m14 || ',' || m15
+             END AS band_val
+      FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band_idx)
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    hset AS (SELECT DISTINCT doc_id, h FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hset GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM candidates c
+      JOIN hset x ON x.doc_id = c.doc_a
+      JOIN hset y ON y.doc_id = c.doc_b AND y.h = x.h
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT v.doc_a, v.doc_b,
+             CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared) AS jaccard
+      FROM verified v
+      JOIN sizes sa ON sa.doc_id = v.doc_a
+      JOIN sizes sb ON sb.doc_id = v.doc_b
+      WHERE CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared) >= 0.8
+    ),
+    split AS (
+      SELECT doc_id,
+             CASE WHEN {sql_token_hash("CAST(doc_id AS VARCHAR)")}
+                       % {_P11_VAL_MOD} = 0
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN split sa ON sa.doc_id = p.doc_a
+    JOIN split sb ON sb.doc_id = p.doc_b
+    WHERE sa.split <> sb.split
+    """,
+    tags=("pipeline", "dedup", "contamination", "llm"),
+    doc="Train/val split leakage audit: deterministic md5 hash split "
+        "(10% val) + d3's verified MinHash-LSH near-dup pairs; every "
+        "pair crossing the split is a leak that inflates eval. Same "
+        "band-keyed scale shape as d3 plus map-side split labels.",
+    gate=False,
+)
+def p11_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment is medvedi_spark.functions.hashing.token_hash
+    (md5-derived, engine-portable); pairs are operators.llm.
+    minhash_lsh_pairs — the d3 kernel reused unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        F.when(
+            token_hash(F.col("doc_id").cast("string")) % _P11_VAL_MOD == 0,
+            F.lit("val"),
+        ).otherwise(F.lit("train")).alias("split"),
+    )
+    pairs = ops.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )

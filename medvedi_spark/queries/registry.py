@@ -163,7 +163,11 @@ GATE_ROTATION_R6 = frozenset(
 #   the q32-q38 relational tail;
 # - the stalest r5 evidence: q39-q42, c19/c20, p10, t11, plus 9 fills
 #   from the next-stalest r5 set (p8/p9 BPE, q17 as-of, d13, m7, c10,
-#   c18, d12, q7).
+#   c18, d12, q7);
+# - the three late-round-7 additions: t14 (Gopher quality rules), s14
+#   (binary Hamming ANN), p11 (split leakage audit) take the q7/c10/d12
+#   fill slots (all r5-driver-green and code-unchanged, evidence still
+#   ≤ 2 rounds old after ceding).
 # Every family keeps evidence ≤ 3 rounds old. Membership OVERRIDES the
 # per-registration ``gate=`` flag.
 GATE_ROTATION_R7 = frozenset(
@@ -196,8 +200,10 @@ GATE_ROTATION_R7 = frozenset(
         # next-stalest r5 fills
         "p8_bpe_merges", "p9_bpe_segment", "q17_asof_join",
         "d13_repeated_block_removal", "m7_image_ahash_neardup",
-        "c10_concat_fill_defaults", "c18_bucketed_join",
-        "d12_gram_containment", "q7_duplicated_pairs",
+        "c18_bucketed_join",
+        # late-r7 additions (q7/c10/d12 ceded their fill slots — all
+        # r5-driver-green, code-unchanged)
+        "t14_gopher_rules", "s14_hamming_topk", "p11_split_leakage",
     }
 )
 

@@ -2216,3 +2216,108 @@ def t13_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.filter(F.col("n_words") > 0).select(
         "doc_id", "n_words", "n_sentences", "n_syllables", grade.alias("fk_grade")
     )
+
+
+# --------------------------------------------------------------------------
+# t14 — Gopher quality rules (Rae et al. 2021, Table A1): the canonical
+# rule-based document filter every large text pipeline runs before
+# training. Five of the paper's rules are computable on whitespace
+# tokens: word-count bounds [50, 100k], mean word length [3, 10],
+# symbol-to-word ratio ("#"/"..." tokens) <= 0.1, fraction of words with
+# an alphabetic character >= 0.8, and >= 2 distinct required stopwords
+# present. Every gate compares EXACT INTEGERS (cross-multiplied ratios —
+# 5*n_alpha >= 4*n_words instead of n_alpha/n_words >= 0.8), so `keep`
+# is bit-identical cross-engine; the reported ratio columns are single
+# IEEE divisions of those same integers. Pure map-side: zero shuffles.
+# --------------------------------------------------------------------------
+
+_T14_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_T14_STOPS_SQL = ", ".join(f"'{s}'" for s in _T14_STOPS)
+
+
+@register(
+    "t14_gopher_rules",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(l, w -> len(w))), 0)
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_filter(l, w -> regexp_matches(w, '[a-z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(l, w -> w LIKE '%#%' OR w LIKE '%...%'))
+                  AS BIGINT) AS n_symbol,
+             CAST(len(list_intersect(l, [{_T14_STOPS_SQL}])) AS BIGINT)
+               AS stop_hits
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS l
+            FROM documents)
+    )
+    SELECT doc_id, n_words,
+           CASE WHEN n_words > 0
+                THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END
+             AS mean_word_len,
+           CASE WHEN n_words > 0
+                THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END
+             AS alpha_frac,
+           CASE WHEN n_words > 0
+                THEN CAST(n_symbol AS DOUBLE) / n_words ELSE 0.0 END
+             AS symbol_frac,
+           stop_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND sum_len BETWEEN 3 * n_words AND 10 * n_words
+            AND 10 * n_symbol <= n_words
+            AND 5 * n_alpha >= 4 * n_words
+            AND stop_hits >= 2) AS keep
+    FROM m
+    """,
+    tags=("text", "quality", "filter", "llm"),
+    doc="Gopher rule-based quality filter (Rae et al. 2021 Table A1): "
+        "word-count/mean-word-length bounds, symbol and alphabetic "
+        "ratios, required-stopword count — all gates exact-integer "
+        "cross-multiplications, zero shuffles.",
+    gate=True,
+)
+def t14_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    zero = F.lit(0).cast("bigint")
+    m = docs.select(
+        "doc_id",
+        F.size(_toks_col()).cast("bigint").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(_toks_col(), lambda w: F.length(w).cast("bigint")),
+                zero,
+                lambda acc, x: acc + x,
+            ),
+            zero,
+        ).alias("sum_len"),
+        F.size(F.filter(_toks_col(), lambda w: w.rlike("[a-z]")))
+        .cast("bigint").alias("n_alpha"),
+        F.size(
+            F.filter(_toks_col(), lambda w: w.contains("#") | w.contains("..."))
+        ).cast("bigint").alias("n_symbol"),
+        F.size(
+            F.array_intersect(
+                _toks_col(), F.array(*[F.lit(s) for s in _T14_STOPS])
+            )
+        ).cast("bigint").alias("stop_hits"),
+    )
+    ratio = lambda num: F.when(  # noqa: E731
+        F.col("n_words") > 0, F.col(num).cast("double") / F.col("n_words")
+    ).otherwise(F.lit(0.0))
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("sum_len").between(3 * F.col("n_words"), 10 * F.col("n_words"))
+        & (10 * F.col("n_symbol") <= F.col("n_words"))
+        & (5 * F.col("n_alpha") >= 4 * F.col("n_words"))
+        & (F.col("stop_hits") >= 2)
+    )
+    return m.select(
+        "doc_id", "n_words",
+        ratio("sum_len").alias("mean_word_len"),
+        ratio("n_alpha").alias("alpha_frac"),
+        ratio("n_symbol").alias("symbol_frac"),
+        "stop_hits",
+        keep.alias("keep"),
+    )

@@ -56,6 +56,9 @@ PROBE_OPS = (
     "d16_fuzzy_dedup_corpus",
     "t12_bigram_surprisal",
     "s13_jl_projection_topk",
+    # round-7 additions
+    "s14_hamming_topk",
+    "p11_split_leakage",
 )
 
 BASE_DOCS = 5_000  # sf0.1-sized
@@ -78,6 +81,7 @@ ADAPTIVE_ROUTED_OPS = frozenset(
         "d3_minhash_lsh",        # size-guarded signature persist + bc cap
         "d16_fuzzy_dedup_corpus",  # wraps d3's router
         "t12_bigram_surprisal",  # vsz-capped context-count broadcast
+        "p11_split_leakage",     # wraps d3's router (minhash_lsh_pairs)
     }
 )
 
