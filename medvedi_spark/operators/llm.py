@@ -2484,7 +2484,7 @@ def semantic_dedup(
     )
 
 
-def duplicate_spans(
+def duplicate_span_rows(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -2503,8 +2503,10 @@ def duplicate_spans(
     3. merge surviving anchor positions per doc into maximal spans
        (anchors <= k apart overlap) — window + aggregate keyed on doc.
 
-    Returns ``(doc_id, n_spans, dup_chars, spans)`` for contaminated
-    docs, spans as "s-e;s-e" 1-based inclusive char ranges.
+    Returns one row per MAXIMAL span: ``(doc_id, span_id, s, e)``,
+    1-based inclusive char ranges, disjoint within a doc by
+    construction (``duplicate_spans`` summarizes them per doc;
+    ``exact_substring_removal`` excises them from the text).
 
     The shuffle key is the k-gram STRING itself — exact by construction
     (a 31/61-bit hash key showed birthday collisions at 10^6 anchors,
@@ -2552,7 +2554,7 @@ def duplicate_spans(
     )
     hits = anchors.join(cross, "gram", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (
+    return (
         hits.withColumn(
             "brk",
             F.when(F.col("pos") > F.lag("pos").over(w) + k, F.lit(1)).otherwise(F.lit(0)),
@@ -2561,6 +2563,18 @@ def duplicate_spans(
         .groupBy("doc_id", "span_id")
         .agg(F.min("pos").alias("s"), (F.max("pos") + k - 1).alias("e"))
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Per-document summary of :func:`duplicate_span_rows`: contaminated
+    docs with span count, duplicated char total, and the "s-e;s-e"
+    range string (1-based inclusive). See the row form for the plan."""
+    spans = duplicate_span_rows(df, id_col, text_col, k)
     return (
         spans.groupBy("doc_id")
         .agg(
@@ -2574,6 +2588,68 @@ def duplicate_spans(
                 ";",
             ).alias("spans"),
         )
+    )
+
+
+def exact_substring_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2021 ExactSubstr dedup at
+    character granularity: excise every cross-document duplicate span
+    (:func:`duplicate_span_rows`) from each document and reassemble the
+    remaining text in order. :func:`repeated_block_filter` is the
+    word-block approximation of the same rewrite; this is the faithful
+    char-exact form the paper trains on.
+
+    Plan: span detection inherits d11's corpus-linear anchor-hash shape;
+    spans per doc collapse to ONE sorted struct array (span volume is
+    duplication volume, orders below corpus size), join back to the
+    corpus on the id key, and the rewrite is a single map-side
+    ``aggregate`` fold over the span array — each span contributes one
+    ``substr`` of the gap before it, the finisher appends the tail, so
+    per-doc work is O(spans + chars) with no per-char explode anywhere.
+
+    Returns ``(doc_id, clean_text, removed_chars)`` for EVERY input row
+    (clean docs pass through verbatim with ``removed_chars = 0``).
+    """
+    spans = duplicate_span_rows(df, id_col, text_col, k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__sp__")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t__"))
+    joined = base.join(per_doc, "doc_id", "left")
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    text = F.col("__t__")
+    clean = F.aggregate(
+        F.coalesce(F.col("__sp__").cast("array<struct<s:bigint,e:bigint>>"), empty),
+        F.struct(F.lit(1).cast("bigint").alias("pos"), F.lit("").alias("acc")),
+        lambda acc, x: F.struct(
+            (x["e"] + 1).alias("pos"),
+            F.concat(
+                acc["acc"],
+                text.substr(acc["pos"].cast("int"), (x["s"] - acc["pos"]).cast("int")),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            text.substr(
+                acc["pos"].cast("int"),
+                (F.length(text) - acc["pos"] + 1).cast("int"),
+            ),
+        ),
+    )
+    removed = F.aggregate(
+        F.coalesce(F.col("__sp__").cast("array<struct<s:bigint,e:bigint>>"), empty),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + (x["e"] - x["s"] + 1),
+    )
+    return joined.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        removed.alias("removed_chars"),
     )
 
 

@@ -2251,3 +2251,87 @@ def p11_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
     )
+
+
+# --------------------------------------------------------------------------
+# d18 — ExactSubstr REMOVAL (the rewrite half of Lee et al. 2021,
+# arXiv:2107.06499, at character granularity): excise every cross-doc
+# duplicate span (d11's detection) and reassemble each document. d13 is
+# the word-block approximation; this is the faithful char-exact form
+# the paper trains on. Spark side: span volume is duplication volume —
+# orders below corpus size — so the rewrite is one id-keyed join back
+# to the corpus plus a map-side aggregate fold (one substr per gap, no
+# per-char explode). The oracle rebuilds each doc from its kept CHARS
+# (positions outside every span, string_agg ordered by position) —
+# deliberately a different construction than the engine's gap-fold, so
+# hash equality proves the fold correct rather than replaying it.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d18_exact_substring_removal",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 20) AS gram
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - 19)) AS i)
+      WHERE length(text) >= 20
+    ),
+    dup_g AS (
+      SELECT gram FROM anchors GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT a.doc_id, a.pos FROM anchors a JOIN dup_g USING (gram)
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_D11_K}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {_D11_K - 1} AS e
+      FROM sp GROUP BY doc_id, span_id
+    ),
+    chars AS (
+      SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS ch
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+    ),
+    kept AS (
+      SELECT c.doc_id, c.i, c.ch
+      FROM chars c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = c.doc_id AND c.i BETWEEN s.s AND s.e
+      )
+    ),
+    clean AS (
+      SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(cl.clean_text, '') AS clean_text,
+           CAST(length(d.text) - length(COALESCE(cl.clean_text, '')) AS BIGINT)
+             AS removed_chars
+    FROM documents d LEFT JOIN clean cl USING (doc_id)
+    """,
+    tags=("dedup", "substring", "rewrite", "llm"),
+    doc="ExactSubstr removal (Lee et al. 2021 rewrite half, char-exact): "
+        "d11's cross-doc duplicate spans excised and the text "
+        "reassembled via one map-side gap-fold; oracle rebuilds docs "
+        "from kept chars — an independent construction, so the hash "
+        "match proves the fold, not just replays it.",
+    gate=False,
+)
+def d18_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.llm.exact_substring_removal (duplicate_span_rows +
+    sorted-span gap-fold rewrite)."""
+    docs = load(spark, sf_dir, "documents")
+    return ops.exact_substring_removal(docs, "doc_id", "text", k=_D11_K)

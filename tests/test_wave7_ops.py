@@ -160,3 +160,62 @@ class TestSplitLeakage:
         assert {(r.doc_a, r.doc_b) for r in out} == {
             (r.doc_a, r.doc_b) for r in expected
         }
+
+
+class TestExactSubstringRemoval:
+    BOILER = "SHARED-BOILERPLATE-BLOCK-THAT-REPEATS-ACROSS-DOCS"  # 49 chars
+
+    def test_removes_planted_cross_doc_span(self, spark):
+        a = "unique prefix aaaa " + self.BOILER + " unique suffix aaaa"
+        b = "totally different start " + self.BOILER + " different end here"
+        c = "a clean document with no duplication at all in it anywhere"
+        docs = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r
+            for r in ops.exact_substring_removal(docs, "doc_id", "text", k=20).collect()
+        }
+        # clean doc passes through verbatim
+        assert out[3].clean_text == c and out[3].removed_chars == 0
+        # the boilerplate is gone from both carriers
+        for i in (1, 2):
+            assert self.BOILER not in out[i].clean_text
+            assert out[i].removed_chars > 0
+        # unique material survives (k-1 chars adjacent to the span may be
+        # absorbed into the maximal span — check the far ends)
+        assert out[1].clean_text.startswith("unique prefix")
+        assert out[2].clean_text.endswith("end here")
+
+    def test_matches_char_rebuild(self, spark):
+        # independent construction: rebuild from kept chars in python
+        a = "xx " + self.BOILER + " mid " + self.BOILER + " yy"
+        b = "zz " + self.BOILER + " ww"
+        docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+        spans = {
+            (r.doc_id): []
+            for r in docs.collect()
+        }
+        for r in ops.duplicate_span_rows(docs, "doc_id", "text", k=20).collect():
+            spans[r.doc_id].append((r.s, r.e))
+        texts = {1: a, 2: b}
+        expected = {}
+        for did, t in texts.items():
+            covered = set()
+            for s, e in spans[did]:
+                covered.update(range(s, e + 1))
+            expected[did] = "".join(
+                ch for i, ch in enumerate(t, start=1) if i not in covered
+            )
+        got = {
+            r.doc_id: r.clean_text
+            for r in ops.exact_substring_removal(docs, "doc_id", "text", k=20).collect()
+        }
+        assert got == expected
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        t = self.BOILER  # the whole doc is the shared block
+        docs = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+        out = ops.exact_substring_removal(docs, "doc_id", "text", k=20).collect()
+        assert all(r.clean_text == "" for r in out)
+        assert all(r.removed_chars == len(t) for r in out)
