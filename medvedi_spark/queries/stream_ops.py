@@ -887,3 +887,41 @@ def st14_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 50 != 0)
     flagged = bloom_flag(stream, "doc_id", "text", words, m_bits, n=4, k_hashes=3)
     return run_to_memory(flagged, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st15 — STREAMING QUALITY GATE: t14's Gopher rule filter on an arriving
+# document stream. Every gate in the rule set is a pure per-row integer
+# computation (word counts, cross-multiplied ratios, stopword hits), so
+# the streaming plan is ONE stateless projection — no join, no
+# watermark, no streaming state — the same wire-speed ingest shape as
+# st14's Bloom pass. This is where a 100 TB/day pipeline actually runs
+# its quality filter: at ingest, before anything is stored, with the
+# keep flag routing documents downstream. Oracle: t14's — the
+# availableNow drain sees every document exactly once, so the streaming
+# result IS the batch result.
+# --------------------------------------------------------------------------
+
+
+def _st15_oracle() -> str:
+    from medvedi_spark.queries.text_ops import T14_ORACLE
+
+    return T14_ORACLE
+
+
+@register(
+    "st15_stream_quality_gate",
+    oracle=_st15_oracle(),
+    tags=("streaming", "quality", "filter", "llm"),
+    doc="Streaming Gopher quality gate: t14's exact-integer rule filter "
+        "as a stateless per-row projection over the document stream — "
+        "zero joins, zero streaming state, append mode; oracle-matched "
+        "against the batch t14 result (the availableNow drain ingests "
+        "every row once).",
+    gate=False,
+)
+def st15_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.queries.text_ops import gopher_rules_frame
+
+    stream = _read_documents_stream(spark, sf_dir)
+    return run_to_memory(gopher_rules_frame(stream), output_mode="append")

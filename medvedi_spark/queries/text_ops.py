@@ -2234,10 +2234,9 @@ def t13_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T14_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _T14_STOPS_SQL = ", ".join(f"'{s}'" for s in _T14_STOPS)
 
-
-@register(
-    "t14_gopher_rules",
-    oracle=f"""
+# shared with st15 (the streaming gate drains every document once, so
+# the streaming result IS this batch result)
+T14_ORACLE = f"""
     WITH m AS (
       SELECT doc_id,
              CAST(len(l) AS BIGINT) AS n_words,
@@ -2270,7 +2269,12 @@ _T14_STOPS_SQL = ", ".join(f"'{s}'" for s in _T14_STOPS)
             AND 5 * n_alpha >= 4 * n_words
             AND stop_hits >= 2) AS keep
     FROM m
-    """,
+    """
+
+
+@register(
+    "t14_gopher_rules",
+    oracle=T14_ORACLE,
     tags=("text", "quality", "filter", "llm"),
     doc="Gopher rule-based quality filter (Rae et al. 2021 Table A1): "
         "word-count/mean-word-length bounds, symbol and alphabetic "
@@ -2280,6 +2284,13 @@ _T14_STOPS_SQL = ", ".join(f"'{s}'" for s in _T14_STOPS)
 )
 def t14_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    return gopher_rules_frame(docs)
+
+
+def gopher_rules_frame(docs: DataFrame) -> DataFrame:
+    """The t14 expression tree over any ``(doc_id, text)`` frame — a pure
+    map-side projection, so it applies unchanged to a document STREAM
+    (st15: stateless quality gating at ingest)."""
     zero = F.lit(0).cast("bigint")
     m = docs.select(
         "doc_id",

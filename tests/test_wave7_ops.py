@@ -219,3 +219,16 @@ class TestExactSubstringRemoval:
         out = ops.exact_substring_removal(docs, "doc_id", "text", k=20).collect()
         assert all(r.clean_text == "" for r in out)
         assert all(r.removed_chars == len(t) for r in out)
+
+
+class TestStreamQualityGate:
+    def test_stream_equals_batch(self, spark, sf_dir):
+        batch = sorted(
+            tuple(r) for r in QUERIES["t14_gopher_rules"].builder(spark, sf_dir).collect()
+        )
+        streamed = sorted(
+            tuple(r)
+            for r in QUERIES["st15_stream_quality_gate"].builder(spark, sf_dir).collect()
+        )
+        assert streamed == batch
+        assert len(batch) > 0
