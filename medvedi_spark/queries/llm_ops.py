@@ -2327,7 +2327,9 @@ def p11_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d11's cross-doc duplicate spans excised and the text "
         "reassembled via one map-side gap-fold; oracle rebuilds docs "
         "from kept chars — an independent construction, so the hash "
-        "match proves the fold, not just replays it.",
+        "match proves the fold, not just replays it. Registered after "
+        "the r7 gate window froze: proven by the local oracle harness "
+        "(CORRECTNESS_local_r7) + unit tests; gates next rotation.",
     gate=False,
 )
 def d18_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -917,7 +917,9 @@ def _st15_oracle() -> str:
         "as a stateless per-row projection over the document stream — "
         "zero joins, zero streaming state, append mode; oracle-matched "
         "against the batch t14 result (the availableNow drain ingests "
-        "every row once).",
+        "every row once). Registered after the r7 gate window froze: "
+        "proven by the local oracle harness (CORRECTNESS_local_r7) + "
+        "the stream≡batch unit test; gates next rotation.",
     gate=False,
 )
 def st15_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

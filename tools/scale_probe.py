@@ -23,6 +23,16 @@ round-5 control experiment) and asserts:
     the ~100× a quadratic (all-pairs) shape would show. The default gate
     is 30× (near-linear plus constant overhead amortization).
 
+Timing action: a CHECKSUM over every output column
+(sum(xxhash64(*cols))), NOT ``count()`` — found via d18, whose
+row-preserving left-join rewrite Catalyst prunes entirely under a bare
+count (0.97 s counted vs 3.39 s evaluated at sf0.01): a count-based
+probe would grade passthrough-shaped operators on a plan that never
+runs their work. The checksum forces every column of every row while
+adding only a map-side hash. Reports carry ``action:
+checksum_full_eval`` so curve points measured under the old count
+action are never silently compared against these.
+
 Usage: python tools/scale_probe.py [--json OUT] [--factor 10] [--ops a,b]
 Writes a JSON report (default SCALE_PROBE_local.json) and prints a
 table; exits nonzero on a violated gate. The time gate scales with the
@@ -59,6 +69,7 @@ PROBE_OPS = (
     # round-7 additions
     "s14_hamming_topk",
     "p11_split_leakage",
+    "d18_exact_substring_removal",
 )
 
 BASE_DOCS = 5_000  # sf0.1-sized
@@ -186,6 +197,18 @@ def _facts(df) -> dict[str, int]:
     }
 
 
+def _force_eval(df) -> None:
+    """Evaluate EVERY column of every row: sum of xxhash64 over all
+    columns. ``count()`` lets Catalyst prune row-preserving work (a
+    left-join rewrite keeps the row count, so the join and the rewrite
+    expressions are dropped from a count plan — d18 measured 0.97 s
+    counted vs 3.39 s evaluated); the checksum closes that hole for
+    every current and future passthrough-shaped op."""
+    from pyspark.sql import functions as F
+
+    df.select(F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+
+
 def probe(factor: int = 10, runs: int = 2, ops: tuple[str, ...] = PROBE_OPS) -> dict:
     from medvedi_spark.operators._persist import release_persisted
     from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
@@ -206,10 +229,15 @@ def probe(factor: int = 10, runs: int = 2, ops: tuple[str, ...] = PROBE_OPS) -> 
     }
 
     # untimed warm-up (JVM/codegen spin-up otherwise lands on the first op)
-    QUERIES["d1_exact_dedup"].builder(spark, dirs[1]).count()
+    _force_eval(QUERIES["d1_exact_dedup"].builder(spark, dirs[1]))
     release_persisted()
 
-    report: dict = {"factor": factor, "ops": {}, "violations": []}
+    report: dict = {
+        "factor": factor,
+        "action": "checksum_full_eval",
+        "ops": {},
+        "violations": [],
+    }
     for name in ops:
         q = QUERIES[name]
         entry: dict = {}
@@ -222,7 +250,7 @@ def probe(factor: int = 10, runs: int = 2, ops: tuple[str, ...] = PROBE_OPS) -> 
                 release_persisted()
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                q.builder(spark, sf_dir).count()
+                _force_eval(q.builder(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
             entry[f"x{size}"] = {"facts": facts, "sec": round(min(samples), 3)}
         f1, fN = entry["x1"]["facts"], entry[f"x{factor}"]["facts"]
