@@ -232,3 +232,85 @@ class TestStreamQualityGate:
         )
         assert streamed == batch
         assert len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# Property-based reference checks for the two trickiest new kernels: the
+# s14 block prefilter (losslessness is a pigeonhole THEOREM — hypothesis
+# hunts for a counterexample) and the d18 gap-fold (off-by-ones in span
+# stitching are the classic failure; the reference implementation is an
+# independent kept-chars rebuild in plain python).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HSETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_sigs = st.lists(
+    st.integers(min_value=0, max_value=(1 << 60) - 1),
+    min_size=1, max_size=10, unique=True,
+)
+
+
+class TestHammingTopkProperty:
+    @given(corpus_sigs=_sigs, probe_sigs=_sigs)
+    @settings(**_HSETTINGS)
+    def test_prefilter_lossless_on_random_codes(self, spark, corpus_sigs, probe_sigs):
+        corpus = list(enumerate(corpus_sigs))
+        queries = [(100 + i, s) for i, s in enumerate(probe_sigs)]
+        cdf = spark.createDataFrame(
+            [(i, _vec_for_sig(s)) for i, s in corpus],
+            "vec_id long, embedding array<float>",
+        )
+        qdf = spark.createDataFrame(
+            [(i, _vec_for_sig(s)) for i, s in queries],
+            "vec_id long, embedding array<float>",
+        )
+        got = sorted(
+            tuple(r)
+            for r in ops.hamming_topk(
+                cdf, qdf, "vec_id", "embedding", k=5, radius=5
+            ).collect()
+        )
+        assert got == _brute_topk(corpus, queries, k=5, radius=5)
+
+
+# word-salad texts over a tiny vocab so cross-doc 20-gram collisions are
+# common — the regime where span merging and stitching actually exercise
+_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "the", "xx"]),
+        min_size=0, max_size=30,
+    ).map(" ".join),
+    min_size=2, max_size=6,
+)
+
+
+class TestExactSubstringRemovalProperty:
+    @given(texts=_texts)
+    @settings(**_HSETTINGS)
+    def test_matches_python_kept_chars_rebuild(self, spark, texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        spans: dict[int, list[tuple[int, int]]] = {i: [] for i, _ in rows}
+        for r in ops.duplicate_span_rows(docs, "doc_id", "text", k=20).collect():
+            spans[r.doc_id].append((r.s, r.e))
+        expected = {}
+        for did, t in rows:
+            covered = set()
+            for s, e in spans[did]:
+                covered.update(range(s, e + 1))
+            expected[did] = (
+                "".join(ch for i, ch in enumerate(t, start=1) if i not in covered),
+                len(covered & set(range(1, len(t) + 1))),
+            )
+        got = {
+            r.doc_id: (r.clean_text, r.removed_chars)
+            for r in ops.exact_substring_removal(docs, "doc_id", "text", k=20).collect()
+        }
+        assert got == expected
