@@ -2161,7 +2161,9 @@ def s14_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the split are leaks — a val doc whose near-twin sits in train inflates
 # eval. Output: every crossing pair with its jaccard and both split
 # labels. Scale shape: identical to d3 (band-keyed shuffle, doc-id-keyed
-# verify) plus two broadcast-eligible split-label joins; the split
+# verify) plus two doc-id-keyed split-label joins (no forced hints —
+# the split table is corpus-sized, AQE elects broadcast only at small
+# SF); the split
 # assignment itself is a pure map-side projection.
 # --------------------------------------------------------------------------
 
