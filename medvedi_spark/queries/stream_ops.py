@@ -876,14 +876,12 @@ def _st14_oracle() -> str:
     gate=False,
 )
 def st14_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from medvedi_spark.catalog import load
-    from medvedi_spark.operators.llm import bloom_fit, bloom_flag
+    from medvedi_spark.operators.llm import bloom_flag
+    from medvedi_spark.queries.llm_ops import _bloom_model
 
-    docs = load(spark, sf_dir, "documents")
-    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
-    # fit batch-side: auto-sized bitmap over the eval suite's distinct
-    # 4-grams (same split, gram size and hash family as d9/d14)
-    words, m_bits = bloom_fit(eval_df, "text", n=4, m_bits=None, k_hashes=3)
+    # fit batch-side ONCE per frozen eval suite: the session-cached model
+    # shared with d14 (same split, gram size and hash family as d9/d14)
+    words, m_bits = _bloom_model(spark, sf_dir)
     stream = _read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 50 != 0)
     flagged = bloom_flag(stream, "doc_id", "text", words, m_bits, n=4, k_hashes=3)
     return run_to_memory(flagged, output_mode="append")

@@ -314,3 +314,16 @@ class TestExactSubstringRemovalProperty:
             for r in ops.exact_substring_removal(docs, "doc_id", "text", k=20).collect()
         }
         assert got == expected
+
+
+class TestBloomModelCache:
+    def test_d14_and_st14_share_one_fit(self, spark, sf_dir):
+        from medvedi_spark.queries import llm_ops
+
+        llm_ops._BLOOM_CACHE.clear()
+        a = llm_ops._bloom_model(spark, sf_dir)
+        assert len(llm_ops._BLOOM_CACHE) == 1
+        b = llm_ops._bloom_model(spark, sf_dir)
+        assert a is b  # second consumer reuses the fitted artifact
+        words, m_bits = a
+        assert m_bits > 0 and len(words) == m_bits // 64
