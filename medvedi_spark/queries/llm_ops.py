@@ -1697,10 +1697,11 @@ _D11_K = 20
     "d11_duplicate_spans",
     oracle=f"""
     WITH anchors AS (
-      SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 20) AS gram
+      SELECT doc_id, i AS pos,
+             substr(text, CAST(i AS INT), {_D11_K}) AS gram
       FROM documents,
-           LATERAL (SELECT unnest(generate_series(1, length(text) - 19)) AS i)
-      WHERE length(text) >= 20
+           LATERAL (SELECT unnest(generate_series(1, length(text) - {_D11_K - 1})) AS i)
+      WHERE length(text) >= {_D11_K}
     ),
     dup_g AS (
       SELECT gram FROM anchors GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
@@ -2301,10 +2302,11 @@ def p11_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d18_exact_substring_removal",
     oracle=f"""
     WITH anchors AS (
-      SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 20) AS gram
+      SELECT doc_id, i AS pos,
+             substr(text, CAST(i AS INT), {_D11_K}) AS gram
       FROM documents,
-           LATERAL (SELECT unnest(generate_series(1, length(text) - 19)) AS i)
-      WHERE length(text) >= 20
+           LATERAL (SELECT unnest(generate_series(1, length(text) - {_D11_K - 1})) AS i)
+      WHERE length(text) >= {_D11_K}
     ),
     dup_g AS (
       SELECT gram FROM anchors GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2

@@ -877,13 +877,17 @@ def _st14_oracle() -> str:
 )
 def st14_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from medvedi_spark.operators.llm import bloom_flag
-    from medvedi_spark.queries.llm_ops import _bloom_model
+    from medvedi_spark.queries.llm_ops import _D9_N, _D14_K, _bloom_model
 
     # fit batch-side ONCE per frozen eval suite: the session-cached model
-    # shared with d14 (same split, gram size and hash family as d9/d14)
+    # shared with d14. Serve with the SAME constants the fit used — a
+    # literal n/k here would silently desync membership tests from the
+    # bitmap if the d9/d14 constants ever move (no-false-negative break).
     words, m_bits = _bloom_model(spark, sf_dir)
     stream = _read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 50 != 0)
-    flagged = bloom_flag(stream, "doc_id", "text", words, m_bits, n=4, k_hashes=3)
+    flagged = bloom_flag(
+        stream, "doc_id", "text", words, m_bits, n=_D9_N, k_hashes=_D14_K
+    )
     return run_to_memory(flagged, output_mode="append")
 
 

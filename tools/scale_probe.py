@@ -100,7 +100,11 @@ ADAPTIVE_ROUTED_OPS = frozenset(
 # mix, embedding distribution) — cached corpora regenerate on mismatch
 # so curve points stay comparable (round-6 ADVICE: the growing-vocab fix
 # silently probed stale fixed-vocab caches on any host that had them).
-CORPUS_VERSION = 2
+# v3: embeddings centered to [-0.5, 0.5) — uniform [0,1) made every SRP
+# sign bit 1, so every vector packed to the SAME 60-bit signature and
+# the s14 probe row graded a degenerate all-pairs-candidate regime
+# instead of the documented ~2^-10-per-block prefilter (review catch).
+CORPUS_VERSION = 3
 
 
 def gen_corpus(path: str, n_docs: int, n_vecs: int, seed: int = 7) -> str:
@@ -171,7 +175,9 @@ def gen_corpus(path: str, n_docs: int, n_vecs: int, seed: int = 7) -> str:
         ),
         docs_p,
     )
-    emb = rng.random((n_vecs, 64), dtype=np.float32)
+    # centered: sign-based ops (SRP signatures, s14's blocks) need both
+    # signs present — uniform [0,1) collapses every signature to all-ones
+    emb = rng.random((n_vecs, 64), dtype=np.float32) - np.float32(0.5)
     pq.write_table(
         pa.table(
             {
