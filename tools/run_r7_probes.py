@@ -23,7 +23,14 @@ def main() -> None:
     rep = scale_probe.probe(100, 2, ("d2_token_jaccard", "d11_duplicate_spans"))
     path = os.path.join(ROOT, "SCALE_PROBE_100x.json")
     merged = json.load(open(path))
-    merged["ops"].update(rep["ops"])
+    # the recorded file's top-level "ops" became a name LIST once the
+    # checksum-action block landed — merge measurements into whichever
+    # shape is present instead of crashing on a re-run
+    if isinstance(merged.get("ops"), list):
+        merged["ops"] = sorted(set(merged["ops"]) | set(rep["ops"]))
+        merged.setdefault("count_action_ops", {}).update(rep["ops"])
+    else:
+        merged["ops"].update(rep["ops"])
     merged.setdefault("violations", []).extend(rep.get("violations", []))
     if rep.get("adaptive_flips"):
         merged.setdefault("adaptive_flips", []).extend(rep["adaptive_flips"])
