@@ -2484,6 +2484,134 @@ def semantic_dedup(
     )
 
 
+def _span_anchors(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Every char position's length-``k`` substring: ``(doc_id, pos,
+    gram)``, 1-based — the shared anchor projection of the ExactSubstr
+    family (d11 detection, d18 removal, st16's bloom fit)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t__"))
+        .filter(F.length("__t__") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(__t__) - {k - 1}), i -> substring(__t__, i, {k}))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), F.col("gram"))
+    )
+
+
+def span_bloom_fit(
+    df: DataFrame, id_col: str, text_col: str, k_gram: int = 20, k_hashes: int = 3
+) -> tuple[list[int], int]:
+    """Fold the corpus's CROSS-DOC duplicate ``k_gram``-char substrings
+    into an auto-sized Bloom bitmap — bounded MODEL STATE for streaming
+    duplicate-span flagging (st16), exactly as :func:`bloom_fit` bounds
+    the eval suite for st14. The cross-doc verdict reuses d11's
+    skew-proof hash aggregate (one gram-keyed shuffle); the bitmap
+    collect is bounded by ``m_bits``, never by the corpus."""
+    anchors = _span_anchors(df, id_col, text_col, k_gram)
+    cross = (
+        anchors.groupBy("gram")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("__cross__"))
+        .filter(F.col("__cross__"))
+        .select("gram")
+    )
+    cross = _size_guarded_persist(df, cross)
+    m_bits = bloom_auto_m_bits(cross.count(), k_hashes)
+    return bloom_build_bits(cross, "gram", m_bits, k_hashes), m_bits
+
+
+def bloom_span_flag(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bitmap_words: list[int],
+    m_bits: int,
+    k_gram: int = 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Flag per-document duplicate SPANS against a frozen span-Bloom
+    bitmap (:func:`span_bloom_fit`): every char position whose
+    ``k_gram``-substring hits the filter is an anchor, and consecutive
+    anchors merge into maximal spans ENTIRELY IN-ROW (an ``aggregate``
+    fold over the ascending hit positions — no window, no join, no
+    shuffle, NO STREAMING STATE), so the identical plan runs on a batch
+    frame and a readStream frame at wire speed. Output matches d11's
+    ``(doc_id, n_spans, dup_chars, spans)`` for contaminated docs, up to
+    the filter's deterministic false-positive tail (no false negatives —
+    every true d11 span is contained in a flagged span).
+
+    Merge recurrence (d11's, in fold form): a hit at ``p`` extends the
+    open span iff ``p <= cur_e + 1`` (equivalent to d11's
+    ``pos <= prev + k`` since ``cur_e = prev + k - 1``), else the open
+    span is emitted and a new one starts at ``p``."""
+    bits = F.lit(bitmap_words)
+    t = F.col("__t__")
+    k = k_gram
+    hit_positions = F.when(
+        F.length(t) >= k,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
+                lambda i: i.cast("bigint"),
+            ),
+            lambda i: bloom_member(t.substr(i.cast("int"), F.lit(k)), bits, m_bits, k_hashes),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    empty_spans = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    neg = F.lit(-1).cast("bigint")
+    folded = F.aggregate(
+        F.col("__hits__"),
+        F.struct(neg.alias("cs"), neg.alias("ce"), empty_spans.alias("sp")),
+        lambda acc, p: F.struct(
+            F.when((acc["cs"] >= 0) & (p <= acc["ce"] + 1), acc["cs"])
+            .otherwise(p).alias("cs"),
+            (p + F.lit(k - 1)).cast("bigint").alias("ce"),
+            F.when(
+                (acc["cs"] >= 0) & (p > acc["ce"] + 1),
+                F.concat(
+                    acc["sp"],
+                    F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+                ),
+            ).otherwise(acc["sp"]).alias("sp"),
+        ),
+        lambda acc: F.when(
+            acc["cs"] >= 0,
+            F.concat(
+                acc["sp"],
+                F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+            ),
+        ).otherwise(acc["sp"]),
+    )
+    spans_str = F.array_join(
+        F.transform(
+            F.col("__sp__"),
+            lambda x: F.concat_ws("-", x["s"].cast("string"), x["e"].cast("string")),
+        ),
+        ";",
+    )
+    dup_chars = F.aggregate(
+        F.col("__sp__"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + (x["e"] - x["s"] + 1),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t__"))
+        .select("doc_id", hit_positions.alias("__hits__"))
+        .select("doc_id", folded.alias("__sp__"))
+        .filter(F.size("__sp__") > 0)
+        .select(
+            "doc_id",
+            F.size("__sp__").cast("bigint").alias("n_spans"),
+            dup_chars.alias("dup_chars"),
+            spans_str.alias("spans"),
+        )
+    )
+
+
 def duplicate_span_rows(
     df: DataFrame,
     id_col: str,
@@ -2514,19 +2642,7 @@ def duplicate_span_rows(
     ``k`` substitute a 128-bit md5 key to bound shuffle width, which
     keeps collisions below 10^-18 per corpus.
     """
-    anchors = (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t__"))
-        .filter(F.length("__t__") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, length(__t__) - {k - 1}), i -> substring(__t__, i, {k}))"
-                )
-            ).alias("p0", "gram"),
-        )
-        .select("doc_id", (F.col("p0") + 1).alias("pos"), F.col("gram"))
-    )
+    anchors = _span_anchors(df, id_col, text_col, k)
     # The anchor table is consumed TWICE (gram-verdict agg + join-back
     # left side). Persisting it trades one MEMORY_AND_DISK copy for the
     # second posexplode+scan pass (measured at sf0.1: warm min

@@ -167,10 +167,11 @@ GATE_ROTATION_R6 = frozenset(
 # - the three late-round-7 additions: t14 (Gopher quality rules), s14
 #   (binary Hamming ANN), p11 (split leakage audit) take the q7/c10/d12
 #   fill slots (all r5-driver-green and code-unchanged, evidence still
-#   ≤ 2 rounds old after ceding). d18 (ExactSubstr removal) and st15
-#   (streaming quality gate) registered after the window froze — local
-#   oracle + unit evidence only (the s10-in-r5 precedent); they take
-#   priority slots in the r8 rotation.
+#   ≤ 2 rounds old after ceding). d18 (ExactSubstr removal), st15
+#   (streaming quality gate) and st16 (streaming span flagging)
+#   registered after the window froze — local oracle + unit evidence
+#   only (the s10-in-r5 precedent); they take priority slots in the r8
+#   rotation.
 # Every family keeps evidence ≤ 3 rounds old. Membership OVERRIDES the
 # per-registration ``gate=`` flag.
 GATE_ROTATION_R7 = frozenset(

@@ -929,3 +929,123 @@ def st15_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _read_documents_stream(spark, sf_dir)
     return run_to_memory(gopher_rules_frame(stream), output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st16 — STREAMING DUPLICATE-SPAN FLAGGING: the ExactSubstr family's
+# ingest shape. The corpus's cross-doc duplicate 20-grams (d11's
+# verdict, one gram-keyed hash aggregate) fold ONCE batch-side into an
+# auto-sized Bloom bitmap — bounded model state, exactly st14's recipe
+# applied to d11's gram world — and each arriving document then flags
+# and MERGES its duplicate spans entirely in-row (an aggregate fold
+# over the ascending bloom-hit positions): no join, no window, no
+# watermark, ZERO streaming state. No false negatives (every true d11
+# span is contained in a flagged span — unit-tested); the deterministic
+# false-positive tail is replayed bit-for-bit by the oracle, which
+# recomputes the bitmap's position set in SQL (the d14 discipline) and
+# re-runs d11's span-merge recurrence over the bloom-hit anchors.
+# --------------------------------------------------------------------------
+
+_ST16_K = 20  # char gram width — d11's
+_ST16_H = 3   # bloom hashes — d14's
+
+# session cache of the fitted span bitmap (model state; the d14/st14
+# _bloom_model discipline — fit once per frozen corpus generation)
+_SPAN_BLOOM_CACHE: dict[tuple, tuple[list[int], int]] = {}
+
+
+def _span_bloom_model(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
+    import os
+
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators import llm as ops
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    key = (os.path.realpath(p), st.st_mtime, st.st_size, _ST16_K, _ST16_H)
+    if key not in _SPAN_BLOOM_CACHE:
+        docs = load(spark, sf_dir, "documents")
+        _SPAN_BLOOM_CACHE[key] = ops.span_bloom_fit(
+            docs, "doc_id", "text", k_gram=_ST16_K, k_hashes=_ST16_H
+        )
+    return _SPAN_BLOOM_CACHE[key]
+
+
+@register(
+    "st16_stream_span_flag",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT doc_id, i AS pos,
+             substr(text, CAST(i AS INT), {_ST16_K}) AS gram
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - {_ST16_K - 1})) AS i)
+      WHERE length(text) >= {_ST16_K}
+    ),
+    dup_g AS (
+      SELECT gram FROM anchors GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    idx AS (SELECT unnest(generate_series(0, {_ST16_H - 1})) AS i),
+    msize AS (
+      SELECT GREATEST(65536, LEAST(67108864,
+        CAST(power(2, length(bin(CAST(
+          (CAST(count(*) AS BIGINT) * {_ST16_H} * 1000000) // 693147
+        AS BIGINT)))) AS BIGINT))) AS m
+      FROM dup_g
+    ),
+    bpos AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(d.gram || ':' || idx.i), 1, 15) AS BIGINT)
+               % (SELECT m FROM msize) AS p
+      FROM dup_g d, idx
+    ),
+    hits AS (
+      SELECT a.doc_id, a.pos
+      FROM anchors a, idx
+      WHERE CAST('0x' || substr(md5(a.gram || ':' || idx.i), 1, 15) AS BIGINT)
+              % (SELECT m FROM msize)
+            IN (SELECT p FROM bpos)
+      GROUP BY a.doc_id, a.pos
+      HAVING count(*) = {_ST16_H}
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_ST16_K}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {_ST16_K - 1} AS e
+      FROM sp GROUP BY doc_id, span_id
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+           string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR), ';' ORDER BY s) AS spans
+    FROM spans GROUP BY doc_id
+    """,
+    tags=("streaming", "dedup", "substring", "bloom", "llm"),
+    doc="Streaming duplicate-span flagging: d11's cross-doc gram verdict "
+        "folded into an auto-sized Bloom bitmap batch-side (bounded "
+        "model state), arriving docs flag+merge their spans in one "
+        "stateless in-row fold — zero joins, zero streaming state; no "
+        "false negatives, FP tail replayed exactly by the oracle. "
+        "Registered after the r7 gate window froze: proven by the local "
+        "oracle harness (CORRECTNESS_local_r7) + containment unit "
+        "tests; gates next rotation.",
+    gate=False,
+)
+def st16_stream_span_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.operators import llm as ops
+
+    words, m_bits = _span_bloom_model(spark, sf_dir)
+    stream = _read_documents_stream(spark, sf_dir)
+    flagged = ops.bloom_span_flag(
+        stream, "doc_id", "text", words, m_bits, k_gram=_ST16_K, k_hashes=_ST16_H
+    )
+    return run_to_memory(flagged, output_mode="append")

@@ -327,3 +327,50 @@ class TestBloomModelCache:
         assert a is b  # second consumer reuses the fitted artifact
         words, m_bits = a
         assert m_bits > 0 and len(words) == m_bits // 64
+
+
+class TestStreamSpanFlag:
+    def test_no_false_negatives_and_stream_equals_batch(self, spark, sf_dir):
+        from medvedi_spark.catalog import load
+        from medvedi_spark.queries.stream_ops import (
+            _ST16_H,
+            _ST16_K,
+            _span_bloom_model,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        words, m_bits = _span_bloom_model(spark, sf_dir)
+        batch = {
+            r.doc_id: r
+            for r in ops.bloom_span_flag(
+                docs, "doc_id", "text", words, m_bits, _ST16_K, _ST16_H
+            ).collect()
+        }
+        streamed = {
+            r.doc_id: r
+            for r in QUERIES["st16_stream_span_flag"].builder(spark, sf_dir).collect()
+        }
+        # the stateless projection is plan-identical batch vs stream
+        assert {k: tuple(v) for k, v in streamed.items()} == {
+            k: tuple(v) for k, v in batch.items()
+        }
+        # no false negatives: every true d11 span is contained in a
+        # flagged span (bloom has no false negatives; merging only widens)
+        def parse(s):
+            return [tuple(map(int, x.split("-"))) for x in s.split(";")] if s else []
+
+        d11 = ops.duplicate_spans(docs, "doc_id", "text", k=_ST16_K).collect()
+        for row in d11:
+            flagged = parse(batch[row.doc_id].spans) if row.doc_id in batch else []
+            for s, e in parse(row.spans):
+                assert any(fs <= s and e <= fe for fs, fe in flagged), (
+                    row.doc_id, s, e, flagged,
+                )
+
+    def test_bloom_cache_reused(self, spark, sf_dir):
+        from medvedi_spark.queries import stream_ops
+
+        stream_ops._SPAN_BLOOM_CACHE.clear()
+        a = stream_ops._span_bloom_model(spark, sf_dir)
+        b = stream_ops._span_bloom_model(spark, sf_dir)
+        assert a is b and len(stream_ops._SPAN_BLOOM_CACHE) == 1
