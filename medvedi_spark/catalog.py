@@ -14,12 +14,39 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "TABLES",
+    "dataset_fingerprint",
     "load",
     "load_all",
     "normalize_event_ts",
     "register_views",
     "ensure_session_confs",
 ]
+
+
+def dataset_fingerprint(path: str) -> tuple:
+    """Content-change fingerprint of a parquet dataset path, for keying
+    session model-state caches (fitted Bloom bitmaps, PQ codebooks,
+    inferred stream schemas).
+
+    A bare ``os.stat(path)`` is wrong twice (ADVICE r7): a parquet
+    DIRECTORY's own ``st_size`` does not reflect the part files inside,
+    and second-resolution ``st_mtime`` can miss a same-second in-place
+    regeneration — silently serving a stale model, which breaks the
+    no-false-negative guarantees st14/st16 advertise. So: nanosecond
+    mtimes, and for directories the aggregate ``(name, size, mtime_ns)``
+    of every data file inside (dotfiles/_SUCCESS markers excluded from
+    naming but included via the tuple if present as data parts)."""
+    real = os.path.realpath(path)
+    st = os.stat(real)
+    if not os.path.isdir(real):
+        return (real, st.st_size, st.st_mtime_ns)
+    parts = []
+    for name in sorted(os.listdir(real)):
+        if name.startswith((".", "_")):
+            continue
+        pst = os.stat(os.path.join(real, name))
+        parts.append((name, pst.st_size, pst.st_mtime_ns))
+    return (real, tuple(parts))
 
 TABLES = (
     "region",

@@ -22,6 +22,7 @@ from medvedi_spark.queries._det import DEC
 # sessions running many queries reclaim blocks with release_persisted().
 from medvedi_spark.operators._persist import (  # noqa: F401  (re-export)
     _PERSISTED,
+    PERSIST_INPUT_CAP,
     persist_tracked as _persist_tracked,
     release_persisted,
     size_guarded_persist as _size_guarded_persist,
@@ -2777,7 +2778,27 @@ def duplicate_span_rows(
         .filter(F.col("__cross__"))
         .select("gram")
     )
-    hits = anchors.join(cross, "gram", "left_semi").select("doc_id", "pos")
+    # Join-back routing (VERDICT r7 #6 — the 160.8× 100×-curve point):
+    # the duplicated-gram verdict is bounded by the DISTINCT-gram count,
+    # which in the skew regime that hurts the shuffle join (boilerplate /
+    # tiny-vocab corpora: few grams, huge occurrence lists) is exactly
+    # when it is tiny. Under the shared persist cap, materialize the
+    # verdict once and — when its measured row count fits the ~32 MB
+    # broadcast budget — ship it map-side, so the ~30×-text-width anchor
+    # table is NEVER shuffled for the semi join (measured at the 100×
+    # probe: see BASELINE.md r8). Above the cap (corpus scale, where the
+    # verdict can be corpus-proportional) keep the shuffled semi join,
+    # whose stragglers AQE's skew-join can split.
+    try:
+        src_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — estimate unavailable → corpus-scale path
+        src_bytes = PERSIST_INPUT_CAP + 1
+    cross_side = cross
+    if src_bytes <= PERSIST_INPUT_CAP:
+        cross = _persist_tracked(cross)
+        n_cross = cross.count()
+        cross_side = F.broadcast(cross) if n_cross <= (32 << 20) // 64 else cross
+    hits = anchors.join(cross_side, "gram", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     return (
         hits.withColumn(
@@ -3286,9 +3307,11 @@ def hamming_topk(
     are the right operators instead.
 
     Scale shape: signatures are one map-side projection over the corpus;
-    the probe side (signatures + exploded blocks) is tiny and broadcast,
-    so candidate generation is a map-side broadcast join over the corpus
-    block stream — the corpus is never shuffled. The only exchanges are
+    the probe side (signatures + exploded blocks) is broadcast when its
+    free Catalyst size estimate fits the ~32 MB budget (size-routed —
+    bulk probe workloads shuffle instead), so candidate generation is
+    normally a map-side broadcast join over the corpus block stream —
+    the corpus is never shuffled. The only exchanges are
     the distinct over surviving (probe, neighbor) pairs (bounded by
     collision volume, not corpus size) and the per-probe top-k window.
     """
@@ -3323,9 +3346,21 @@ def hamming_topk(
     pb = blocks_of(probes).select(
         F.col("vec_id").alias("probe_id"), F.col("sig").alias("psig"), "blk", "val"
     )
+    # size-routed broadcast (ADVICE r7): `queries` is caller-supplied, so
+    # the probe-block frame is only hinted when Catalyst's FREE input
+    # estimate of the probe side stays in the ~32 MB budget (the
+    # _mask_broadcast_cap / t12-router discipline); a bulk probe workload
+    # falls back to a plain shuffled join instead of blowing the driver.
+    try:
+        probe_bytes = int(
+            queries._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — estimate unavailable → don't hint
+        probe_bytes = (32 << 20) + 1
+    pb_side = F.broadcast(pb) if probe_bytes <= (32 << 20) else pb
     cand = (
         blocks_of(sigs)
-        .join(F.broadcast(pb), ["blk", "val"])
+        .join(pb_side, ["blk", "val"])
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),

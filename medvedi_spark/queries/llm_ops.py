@@ -662,8 +662,10 @@ _D14_ORACLE = f"""
 # IDENTICAL model artifact (same eval split, same n/k, deterministic
 # auto-sizing), and production fits a decontamination filter ONCE per
 # frozen eval suite and serves it everywhere — the same cost model as
-# the _PQ_CB_CACHE codebooks. Keyed on the resolved table file's
-# (path, mtime, size) + params so a regenerated corpus invalidates;
+# the _PQ_CB_CACHE codebooks. Keyed on the dataset's content
+# fingerprint (catalog.dataset_fingerprint: ns-mtimes, per-part-file
+# stats for directories — ADVICE r7) + params so a regenerated corpus
+# invalidates;
 # the cached value is the bitmap words list (bounded model state).
 _BLOOM_CACHE: dict[tuple, tuple[list[int], int]] = {}
 
@@ -671,9 +673,10 @@ _BLOOM_CACHE: dict[tuple, tuple[list[int], int]] = {}
 def _bloom_model(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
     import os
 
+    from medvedi_spark.catalog import dataset_fingerprint
+
     p = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(p)
-    key = (os.path.realpath(p), st.st_mtime, st.st_size, _D9_N, _D14_K)
+    key = (dataset_fingerprint(p), _D9_N, _D14_K)
     if key not in _BLOOM_CACHE:
         docs = load(spark, sf_dir, "documents")
         eval_df = docs.filter(F.col("doc_id") % 50 == 0)
@@ -995,9 +998,10 @@ _PQ_CB_CACHE: dict[tuple, list] = {}
 def _trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
+    from medvedi_spark.catalog import dataset_fingerprint
+
     p = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(p)
-    key = (os.path.realpath(p), st.st_mtime, st.st_size, _PQ_SUBS, _PQ_K, _PQ_ITER)
+    key = (dataset_fingerprint(p), _PQ_SUBS, _PQ_K, _PQ_ITER)
     if key not in _PQ_CB_CACHE:
         emb = load(spark, sf_dir, "embeddings")
         cent = ops.pq_train(
@@ -1286,9 +1290,10 @@ _S8_CB_CACHE: dict[tuple, list] = {}
 def _trained_residual_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
+    from medvedi_spark.catalog import dataset_fingerprint
+
     p = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(p)
-    key = (os.path.realpath(p), st.st_mtime, st.st_size, _S6_COARSE, _S8_SUBS, _S8_K, _PQ_ITER)
+    key = (dataset_fingerprint(p), _S6_COARSE, _S8_SUBS, _S8_K, _PQ_ITER)
     if key not in _S8_CB_CACHE:
         emb = load(spark, sf_dir, "embeddings")
         coarse = emb.filter(F.col("vec_id") < _S6_COARSE).select(

@@ -211,8 +211,62 @@ GATE_ROTATION_R7 = frozenset(
     }
 )
 
+# Round-8 gate rotation (VERDICT r7 directive #3). R8 gates:
+# - the three r7 post-window additions in their promised priority slots:
+#   d18 (ExactSubstr removal), st15 (streaming quality gate), st16
+#   (streaming span flagging, kernel rebuilt this round) — first driver
+#   proof for all three → cumulative driver coverage 141/141 (+ st17);
+# - the new query: st17 (streaming dedup-on-ingest served from the
+#   persisted d17 index — directive #7);
+# - every query whose code or oracle changed in r8: t7/t8 (vocabulary
+#   broadcast routed — directive #4), t12 (router extracted to the
+#   shared _vocab_routed helper), t14 (+ st15) ([A-Za-z] alphabetic
+#   rule, ADVICE), d14/st14 (bloom_flag explode-as-filter + split-string
+#   bitmap literal), s14 (probe-side broadcast size-routed, ADVICE),
+#   st10 (stream kernel extracted to _stream_minhash_candidates, shared
+#   with st17), d11 (100×-curve work — directive #6);
+# - the stalest (r4) driver evidence: the p1-p7 pipeline family, the
+#   q14/q22-q25/q28/q29/q2 relational tail, s3/s4, t5/t6/t9/t10, m6;
+# - r5-stale fills: the d-family (d3-d7, d12), s1/s2, c7/c10, and the
+#   q1/q3/q6/q7/q8 tail.
+# Left for r9 (next-stalest): q10-q13, q18/q19/q21/q30 (r5), the r6 set.
+# Every family keeps evidence ≤ 3 rounds old. Membership OVERRIDES the
+# per-registration ``gate=`` flag.
+GATE_ROTATION_R8 = frozenset(
+    {
+        # r7 post-window additions — priority slots (first driver proof)
+        "d18_exact_substring_removal", "st15_stream_quality_gate",
+        "st16_stream_span_flag",
+        # new in r8
+        "st17_stream_dedup_ingest",
+        # code/oracle changed in r8 — re-prove through the driver
+        "t7_tfidf_topterms", "t8_collocations", "t12_bigram_surprisal",
+        "t14_gopher_rules", "d14_bloom_decontaminate",
+        "st14_stream_decontaminate", "s14_hamming_topk",
+        "st10_stream_lsh_dedup", "d11_duplicate_spans",
+        # stalest (r4) driver evidence
+        "m6_video_scene_cuts",
+        "p1_corpus_clean", "p2_stratified_sample", "p3_pack_sequences",
+        "p4_training_pipeline", "p5_shard_shuffle", "p6_chunk_overlap",
+        "p7_domain_mixing",
+        "q2_top_orders", "q14_rollup", "q22_exists_semijoin",
+        "q23_custdist", "q24_grouping_sets", "q25_above_brand_avg",
+        "q28_local_supplier_volume", "q29_returned_items",
+        "s3_kmeans_assign", "s4_pq_encode",
+        "t5_winnow_fingerprint", "t6_repetition", "t9_pii_redaction",
+        "t10_boilerplate_filter",
+        # r5-stale fills
+        "d3_minhash_lsh", "d4_simhash", "d5_embedding_neardup",
+        "d6_dedup_clusters", "d7_ngram_jaccard", "d12_gram_containment",
+        "s1_cosine_topk", "s2_ann_ivf",
+        "c7_grouped_map", "c10_concat_fill_defaults",
+        "q1_pricing_summary", "q3_revenue_by_nation", "q6_dedup_keep_first",
+        "q7_duplicated_pairs", "q8_semi_anti_membership",
+    }
+)
+
 # The active rotation (tests reference this alias, not the round name).
-GATE_ROTATION = GATE_ROTATION_R7
+GATE_ROTATION = GATE_ROTATION_R8
 
 
 @dataclass

@@ -526,6 +526,38 @@ def _st10_row_minhash_bands(harr):
     )
 
 
+def _stream_minhash_candidates(stream: DataFrame) -> DataFrame:
+    """Row-wise shingle → hash → minhash-band candidates for an arriving
+    document stream: ``(doc_id, toks, band_idx, band_val)``, stateless,
+    band-compatible with the batch ``minhash_band_index`` (so the stream
+    side can probe either an inline corpus index — st10 — or the
+    persisted d17 signature index — st17 — without drift)."""
+    from medvedi_spark.functions.hashing import token_hash
+
+    sl = F.split(F.col("text"), " ")
+    sbigrams = F.zip_with(
+        F.slice(sl, 1, F.greatest(F.size(sl) - 1, F.lit(0))),
+        F.slice(sl, 2, F.greatest(F.size(sl) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    sshingles = F.array_distinct(
+        F.filter(
+            sbigrams,
+            lambda s: ~s.contains("  ") & (s != "") & ~s.startswith(" ") & ~s.endswith(" "),
+        )
+    )
+    feats = stream.select(
+        "doc_id", F.transform(sshingles, lambda s: token_hash(s)).alias("harr")
+    ).select(
+        "doc_id",
+        F.array_distinct(F.sort_array(F.col("harr"))).alias("toks"),
+        _st10_row_minhash_bands(F.col("harr")).alias("bands"),
+    )
+    return feats.select("doc_id", "toks", F.explode("bands").alias("bd")).select(
+        "doc_id", "toks", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
+    )
+
+
 @register(
     "st10_stream_lsh_dedup",
     oracle=f"""
@@ -595,7 +627,6 @@ def _st10_row_minhash_bands(harr):
 )
 def st10_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from medvedi_spark.catalog import load
-    from medvedi_spark.functions.hashing import token_hash
     from medvedi_spark.operators.llm import minhash_band_index
 
     # ---- static corpus index: the SAME shingle→hash→signature→band
@@ -608,28 +639,7 @@ def st10_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ---- arriving documents: row-wise shingle -> hash -> minhash bands
     stream = _read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    sl = F.split(F.col("text"), " ")
-    sbigrams = F.zip_with(
-        F.slice(sl, 1, F.greatest(F.size(sl) - 1, F.lit(0))),
-        F.slice(sl, 2, F.greatest(F.size(sl) - 1, F.lit(0))),
-        lambda x, y: F.concat_ws(" ", x, y),
-    )
-    sshingles = F.array_distinct(
-        F.filter(
-            sbigrams,
-            lambda s: ~s.contains("  ") & (s != "") & ~s.startswith(" ") & ~s.endswith(" "),
-        )
-    )
-    feats = stream.select(
-        "doc_id", F.transform(sshingles, lambda s: token_hash(s)).alias("harr")
-    ).select(
-        "doc_id",
-        F.array_distinct(F.sort_array(F.col("harr"))).alias("toks"),
-        _st10_row_minhash_bands(F.col("harr")).alias("bands"),
-    )
-    cand = feats.select("doc_id", "toks", F.explode("bands").alias("bd")).select(
-        "doc_id", "toks", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
-    )
+    cand = _stream_minhash_candidates(stream)
     # stream-static band join (stateless) + static verify join; exact
     # hash-set Jaccard decides, bands only propose
     shared = F.size(F.array_intersect("toks", "toks_c"))
@@ -977,9 +987,10 @@ def _span_bloom_model(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]
     from medvedi_spark.catalog import load
     from medvedi_spark.operators import llm as ops
 
+    from medvedi_spark.catalog import dataset_fingerprint
+
     p = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(p)
-    key = (os.path.realpath(p), st.st_mtime, st.st_size, _ST16_K, _ST16_H)
+    key = (dataset_fingerprint(p), _ST16_K, _ST16_H)
     if key not in _SPAN_BLOOM_CACHE:
         docs = load(spark, sf_dir, "documents")
         _SPAN_BLOOM_CACHE[key] = ops.span_bloom_fit(
@@ -1070,3 +1081,118 @@ def st16_stream_span_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "doc_id", "text", words, m_bits, k_gram=_ST16_K, k_hashes=_ST16_H
     )
     return run_to_memory(flagged, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st17 — STREAMING DEDUP-ON-INGEST AGAINST THE PERSISTED INDEX (VERDICT
+# r7 directive #7: d17's index lifecycle composed with st10's streaming
+# kernel). d17 proves BATCH ingest against the saved signature index;
+# st10 proves STREAMING dedup against an inline-built corpus index.
+# st17 closes the loop: the corpus index is saved once (d17's builder,
+# d17's split — doc_id % 3 != 0), then arriving documents (% 3 == 0,
+# streamed) are shingled and minhashed ROW-WISE (the shared
+# _stream_minhash_candidates kernel, band-compatible with the batch
+# builder by construction) and band-joined against the LOADED
+# parquet-backed signatures: the corpus side is a map-side projection
+# of the stored sigs scan (bands_of_sigs — the same assembly the index
+# writer used), so NOTHING on the corpus side is recomputed, collected,
+# or broadcast at serve time. Verification is exact hash-set Jaccard
+# against the stored token sets. Output = verified (doc_id, dup_of,
+# jaccard) ingest verdicts; the oracle replays the entire chain —
+# signatures, bands, the % 3 split, verify — in SQL from the same hash
+# constants, so the save/load boundary is hash-proven not to drift.
+# --------------------------------------------------------------------------
+
+from medvedi_spark.functions.hashing import sql_minhash_aggs, sql_token_hash  # noqa: E402
+from medvedi_spark.queries.llm_ops import _D3_SHINGLES_SQL, _D16_THRESHOLD  # noqa: E402
+
+_ST17_ORACLE = f"""
+    WITH {_D3_SHINGLES_SQL},
+    hashed AS (SELECT doc_id, {sql_token_hash('s')} AS h FROM shingles),
+    sigs AS (
+      SELECT doc_id, {sql_minhash_aggs('h')}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, band_idx,
+             CASE band_idx
+               WHEN 0 THEN m0 || ',' || m1   WHEN 1 THEN m2 || ',' || m3
+               WHEN 2 THEN m4 || ',' || m5   WHEN 3 THEN m6 || ',' || m7
+               WHEN 4 THEN m8 || ',' || m9   WHEN 5 THEN m10 || ',' || m11
+               WHEN 6 THEN m12 || ',' || m13 WHEN 7 THEN m14 || ',' || m15
+             END AS band_val
+      FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band_idx)
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+    ),
+    hset AS (SELECT DISTINCT doc_id, h FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hset GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_id, c.dup_of, COUNT(*) AS n_shared
+      FROM candidates c
+      JOIN hset x ON x.doc_id = c.doc_id
+      JOIN hset y ON y.doc_id = c.dup_of AND y.h = x.h
+      GROUP BY c.doc_id, c.dup_of
+    )
+    SELECT v.doc_id, v.dup_of,
+           CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.doc_id
+    JOIN sizes sb ON sb.doc_id = v.dup_of
+    WHERE CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared)
+          >= {_D16_THRESHOLD}
+    """
+
+
+@register(
+    "st17_stream_dedup_ingest",
+    oracle=_ST17_ORACLE,
+    tags=("streaming", "dedup", "minhash", "lsh", "index-lifecycle", "llm"),
+    doc="Streaming dedup-on-ingest served from the PERSISTED d17 "
+        "signature index: arriving docs minhash row-wise and band-join "
+        "the loaded parquet-backed sigs (map-side bands_of_sigs "
+        "projection — zero corpus recompute/collect/broadcast at serve "
+        "time), exact-Jaccard verified against the stored token sets; "
+        "oracle replays signatures, bands, split and verify from the "
+        "same hash constants across the save/load boundary.",
+)
+def st17_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators import dedup_index
+    from medvedi_spark.queries.compat_ops import _fmt_tmp
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    # index lifecycle: build+save is part of the registered query (the
+    # s11/s12/d17 convention — the serve half is what the scale story
+    # rests on; the build cost is the query's recorded price)
+    path = _fmt_tmp(sf_dir, "st17idx")
+    shutil.rmtree(path, ignore_errors=True)
+    dedup_index.minhash_index_save(
+        old, "doc_id", "text", path, threshold=_D16_THRESHOLD
+    )
+    idx = dedup_index.minhash_index_load(spark, path)
+    c_bands = dedup_index.bands_of_sigs(idx.sigs).withColumnRenamed("doc_id", "dup_of")
+    c_toks = idx.sigs.select(
+        F.col("doc_id").alias("dup_of"), F.col("toks").alias("toks_c")
+    )
+
+    stream = _read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    cand = _stream_minhash_candidates(stream)
+    shared = F.size(F.array_intersect("toks", "toks_c"))
+    union = F.size("toks") + F.size("toks_c") - shared
+    out = (
+        cand.join(c_bands, ["band_idx", "band_val"])
+        .join(c_toks, "dup_of")
+        .withColumn("jaccard", shared.cast("double") / union)
+        .filter(F.col("jaccard") >= idx.threshold)
+        .select("doc_id", "dup_of", "jaccard")
+        .dropDuplicates(["doc_id", "dup_of"])
+    )
+    return run_to_memory(out, output_mode="append")

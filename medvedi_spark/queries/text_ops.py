@@ -777,14 +777,22 @@ _T7_TOPK = 3
 def t7_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from medvedi_spark.operators._persist import size_guarded_persist
+
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar corpus statistic, one tiny job
     tok = docs.select(
         "doc_id", F.explode(F.filter(_tok(), lambda t: t != "")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    w = tf.join(F.broadcast(df), "term").withColumn(
+    df = size_guarded_persist(
+        docs, tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    )
+    # size-routed broadcast (_vocab_routed): the routing count doubles as
+    # the cache warm-up, so under the persist cap the join reuses the
+    # materialized document-frequency table instead of re-aggregating
+    vsz = df.count()
+    w = tf.join(_vocab_routed(df, vsz), "term").withColumn(
         "weight", (F.col("c") * F.lit(n_docs)).cast("double") / F.col("df")
     )
     rank = F.row_number().over(
@@ -1185,15 +1193,23 @@ def t8_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("p")
     ).select("p.w1", "p.w2")
+    from medvedi_spark.operators._persist import size_guarded_persist
+
     pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    uni = l.select(F.explode("l").alias("w")).groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    # the unigram table feeds THREE consumers (n_total scalar, u1, u2) —
+    # persist it once, size-guarded; the routing count warms the cache
+    uni = size_guarded_persist(
+        docs,
+        l.select(F.explode("l").alias("w")).groupBy("w").agg(F.count(F.lit(1)).alias("n_w")),
+    )
+    vsz = uni.count()
     n_total = uni.agg(F.sum("n_w")).first()[0]  # scalar corpus statistic
     u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
     return (
         pair_counts.filter(F.col("n_pair") >= _T8_MIN_PAIR)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(_vocab_routed(u1, vsz), "w1")
+        .join(_vocab_routed(u2, vsz), "w2")
         .select(
             "w1", "w2", "n_pair",
             ((F.col("n_pair") * F.lit(int(n_total))).cast("double") / (F.col("n_w1") * F.col("n_w2"))).alias("lift"),
@@ -2042,6 +2058,18 @@ _T12_SCALE = 1_000_000
 _T12_BC_CAP = (32 << 20) // 64
 
 
+def _vocab_routed(df: DataFrame, vocab_rows: int) -> DataFrame:
+    """Size-routed broadcast for VOCABULARY-shaped tables (distinct-term
+    aggregates): hint only when the known row count is under the shared
+    ~32 MB budget; above it — Heap's law puts the distinct-term table at
+    10⁷–10⁹ rows on 100 TB of web text — an unconditional hint OOMs the
+    driver, so return the frame unhinted and let the planner shuffle.
+    The t12 router (VERDICT r6 #2) extracted for every text op touching
+    a vocabulary (VERDICT r7 #2: t7's document-frequency join, t8's
+    unigram joins had reintroduced the hard hint)."""
+    return F.broadcast(df) if vocab_rows <= _T12_BC_CAP else df
+
+
 def _bigram_structs_of(toks):
     """(w1, 'w1 w2') structs per occurrence, CAPTURE-FREE (see
     _bigrams_of): zip_with of two shifted slices."""
@@ -2114,7 +2142,7 @@ def t12_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the already-computed vsz — no extra probe job. Under the cap the
     # hint saves the w1 shuffle of the occurrence stream; above it (Heap's
     # law at corpus scale) a forced hint would OOM, so shuffle instead.
-    uc_side = F.broadcast(uc) if vsz <= _T12_BC_CAP else uc
+    uc_side = _vocab_routed(uc, vsz)
     w = F.expr(f"CAST(((c1 + {vsz}) * {_T12_SCALE}) DIV (c12 + 1) AS BIGINT)")
     return (
         occ.join(bc, "bg")
@@ -2242,7 +2270,7 @@ T14_ORACLE = f"""
              CAST(len(l) AS BIGINT) AS n_words,
              CAST(COALESCE(list_sum(list_transform(l, w -> len(w))), 0)
                   AS BIGINT) AS sum_len,
-             CAST(len(list_filter(l, w -> regexp_matches(w, '[a-z]')))
+             CAST(len(list_filter(l, w -> regexp_matches(w, '[A-Za-z]')))
                   AS BIGINT) AS n_alpha,
              CAST(len(list_filter(l, w -> w LIKE '%#%' OR w LIKE '%...%'))
                   AS BIGINT) AS n_symbol,
@@ -2312,7 +2340,10 @@ def gopher_rules_frame(docs: DataFrame) -> DataFrame:
             ),
             zero,
         ).alias("sum_len"),
-        F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+        # [A-Za-z] not [a-z]: Gopher Table A1's rule is "at least one
+        # ALPHABETIC character" — all-caps words (acronyms, shouting)
+        # count as alphabetic (ADVICE r7); engine and oracle in lockstep
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
         .cast("bigint").alias("n_alpha"),
         F.size(
             F.filter(toks, lambda w: w.contains("#") | w.contains("..."))

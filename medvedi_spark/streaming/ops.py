@@ -27,8 +27,9 @@ _SCHEMA_CACHE: dict[tuple[str, float, int], object] = {}
 
 
 def stream_source_schema(spark: SparkSession, path: str):
-    st = os.stat(path)
-    key = (path, st.st_mtime, st.st_size)
+    from ..catalog import dataset_fingerprint
+
+    key = dataset_fingerprint(path)
     if key not in _SCHEMA_CACHE:
         _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
     return _SCHEMA_CACHE[key]

@@ -106,3 +106,29 @@ def test_gated_queries_all_have_oracles():
     oracles = entry_mod.oracle_sql()
     missing = [n for n in names if n not in oracles]
     assert missing == [], f"gated queries without oracle: {missing}"
+
+
+def test_every_registered_query_has_a_bench_row():
+    """No registration without a committed sf0.1 bench row (VERDICT r7 #3).
+
+    st16 entered the registry and the correctness sweep with a '~1.5 s'
+    ESTIMATE and benched 41.2 s in the driver run — the first wall-clock
+    number anyone saw. This pins the discipline structurally: every name
+    in queries() must have a measured row in the committed
+    BENCH_local.json ledger (and the ledger must be the sf0.1 one — a
+    stray sf0.01 run that clobbers it also fails here)."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ledger = json.load(open(os.path.join(root, "BENCH_local.json")))
+    assert ledger.get("sf") == 0.1, (
+        f"BENCH_local.json is an sf={ledger.get('sf')} ledger — restore the "
+        "sf0.1 one (git checkout -- BENCH_local.json) and re-bench"
+    )
+    benched = set(ledger.get("queries", {}))
+    unbenched = sorted(set(entry_mod.queries()) - benched)
+    assert unbenched == [], (
+        f"registered without a bench row (run `python bench.py` on an idle "
+        f"machine and commit the ledger): {unbenched}"
+    )

@@ -23,14 +23,27 @@ def main() -> None:
     rep = scale_probe.probe(100, 2, ("d2_token_jaccard", "d11_duplicate_spans"))
     path = os.path.join(ROOT, "SCALE_PROBE_100x.json")
     merged = json.load(open(path))
-    # the recorded file's top-level "ops" became a name LIST once the
-    # checksum-action block landed — merge measurements into whichever
-    # shape is present instead of crashing on a re-run
+    # Tag every merged entry with the report's timing action (ADVICE r7:
+    # the earlier merge filed checksum-timed entries indistinguishably
+    # next to count()-timed ones — the exact silent cross-action
+    # comparison the action field exists to prevent), and merge into
+    # whichever top-level shape ("ops" list vs dict) is present.
+    tagged = {
+        name: dict(e, action=rep.get("action", "unknown"))
+        for name, e in rep["ops"].items()
+    }
     if isinstance(merged.get("ops"), list):
-        merged["ops"] = sorted(set(merged["ops"]) | set(rep["ops"]))
-        merged.setdefault("count_action_ops", {}).update(rep["ops"])
+        merged["ops"] = sorted(set(merged["ops"]) | set(tagged))
+        merged.setdefault("checksum_action_ops", {}).update(tagged)
+        # migrate the misnamed key from the earlier merge: its entries
+        # were checksum-timed (probe ran after the action change)
+        if "count_action_ops" in merged:
+            for name, e in merged.pop("count_action_ops").items():
+                merged["checksum_action_ops"].setdefault(
+                    name, dict(e, action="checksum_full_eval")
+                )
     else:
-        merged["ops"].update(rep["ops"])
+        merged["ops"].update(tagged)
     merged.setdefault("violations", []).extend(rep.get("violations", []))
     if rep.get("adaptive_flips"):
         merged.setdefault("adaptive_flips", []).extend(rep["adaptive_flips"])
