@@ -93,6 +93,11 @@ ADAPTIVE_ROUTED_OPS = frozenset(
         "d16_fuzzy_dedup_corpus",  # wraps d3's router
         "t12_bigram_surprisal",  # vsz-capped context-count broadcast
         "p11_split_leakage",     # wraps d3's router (minhash_lsh_pairs)
+        # r8: the duplicated-gram verdict broadcast is row-count-routed
+        # (persist+count under the cap, shuffled semi join above it) —
+        # d18 wraps d11's span kernel
+        "d11_duplicate_spans",
+        "d18_exact_substring_removal",
     }
 )
 
