@@ -1048,20 +1048,16 @@ def bloom_build_bits(
     """Build a Bloom-filter bitmap over the distinct values of ``df[col]``.
 
     Returns the filter as ``m_bits / 64`` signed 64-bit words — MODEL
-    STATE, like k-means centroids: the collect is bounded by ``m_bits``
-    distinct positions (8 KB of longs at the default), never by the data.
-    The position set is computed distributed (explode → distinct) so the
-    input side can be arbitrarily large.
+    STATE, like k-means centroids: the collect is bounded by
+    ``m_bits / 64`` WORDS (1 KB of longs at the default; the word-keyed
+    ``bit_or`` aggregate in :func:`_collect_bitmap_words` folds the
+    position stream distributed), never by the data.
     """
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     pos_cols = [_bloom_pos(F.col(col), i, m_bits) for i in range(k_hashes)]
-    pos = df.select(F.explode(F.array(*pos_cols)).alias("p")).distinct()
-    words = [0] * (m_bits // 64)
-    for r in pos.collect():
-        words[r["p"] // 64] |= 1 << (r["p"] % 64)
-    # Spark long literals are signed; re-bias the high bit.
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    pos = df.select(F.explode(F.array(*pos_cols)).alias("p"))
+    return _collect_bitmap_words(pos, m_bits)
 
 
 def bits_array_expr(words: list[int]) -> Column:
@@ -1078,6 +1074,31 @@ def bits_array_expr(words: list[int]) -> Column:
     return F.expr(
         "cast(split('" + ",".join(map(str, words)) + "', ',') as array<bigint>)"
     )
+
+
+def _collect_bitmap_words(pos: DataFrame, m_bits: int) -> list[int]:
+    """OR a bit-position stream into ``m_bits / 64`` signed words — the
+    bitmap assembly DISTRIBUTED (word-keyed `bit_or` aggregate), so the
+    driver collects at most ``m_bits / 64`` rows (1M longs at the 2^26
+    cap) instead of one row per distinct POSITION: at st16's 100× probe
+    the position set is tens of millions of rows, and the previous
+    row-at-a-time driver loop was a single-core multi-minute stall
+    (observed load-average 1.0 during the fit). The shifted masks are
+    already Spark-signed longs — no high-bit re-bias needed."""
+    agg = (
+        pos.select(
+            (F.col("p") / F.lit(64)).cast("int").alias("w"),
+            # F.shiftleft takes only a literal shift — the SQL form
+            # accepts a column
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    words = [0] * (m_bits // 64)
+    for r in agg.collect():
+        words[r["w"]] = r["mask"]
+    return words
 
 
 def bloom_member(value: Column, bits: Column, m_bits: int, k_hashes: int) -> Column:
@@ -1126,11 +1147,8 @@ def bloom_build_bits_sliced(
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     digest = F.md5(F.col(col))
     pos_cols = [_bloom_pos_sliced(digest, i, m_bits) for i in range(k_hashes)]
-    pos = df.select(F.explode(F.array(*pos_cols)).alias("p")).distinct()
-    words = [0] * (m_bits // 64)
-    for r in pos.collect():
-        words[r["p"] // 64] |= 1 << (r["p"] % 64)
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    pos = df.select(F.explode(F.array(*pos_cols)).alias("p"))
+    return _collect_bitmap_words(pos, m_bits)
 
 
 def bloom_member_sliced(
@@ -2562,6 +2580,33 @@ def semantic_dedup(
     )
 
 
+def _fan_out_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin a NARROW batch frame to the session's parallelism when
+    its scan is under-partitioned — the guarded fix for single-row-group
+    inputs (parquet cannot split inside a row group, so a one-row-group
+    file is ONE partition no matter what ``maxPartitionBytes`` says).
+
+    The ExactSubstr family explodes ~``k``× the input text: one 128 MB
+    scan partition becomes a multi-GB single-task partial aggregate that
+    spills and merge-sorts on one core — measured at the 100× probe as
+    a >1 h straggler (jstack: ``UnsafeSorterSpillMerger`` at load 1.0),
+    the true cause of d11's r7 160.8× curve point. Shuffling the narrow
+    doc frame first costs one exchange of the RAW text (trivial next to
+    the 30× anchor volume) and restores full-width parallelism.
+
+    No-op when the scan already supplies >= half the session's cores
+    (any real multi-file corpus — at 100 TB this never fires), and on
+    any frame where partition introspection fails (streaming)."""
+    try:
+        n = df.rdd.getNumPartitions()
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 — streaming / detached frame
+        return df
+    if n * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def _span_anchors(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """Every char position's length-``k`` substring: ``(doc_id, pos,
     gram)``, 1-based — the shared anchor projection of the ExactSubstr
@@ -2590,7 +2635,7 @@ def span_bloom_fit(
     the eval suite for st14. The cross-doc verdict reuses d11's
     skew-proof hash aggregate (one gram-keyed shuffle); the bitmap
     collect is bounded by ``m_bits``, never by the corpus."""
-    anchors = _span_anchors(df, id_col, text_col, k_gram)
+    anchors = _span_anchors(_fan_out_narrow(df), id_col, text_col, k_gram)
     cross = (
         anchors.groupBy("gram")
         .agg((F.min("doc_id") != F.max("doc_id")).alias("__cross__"))
@@ -2752,7 +2797,7 @@ def duplicate_span_rows(
     ``k`` substitute a 128-bit md5 key to bound shuffle width, which
     keeps collisions below 10^-18 per corpus.
     """
-    anchors = _span_anchors(df, id_col, text_col, k)
+    anchors = _span_anchors(_fan_out_narrow(df), id_col, text_col, k)
     # The anchor table is consumed TWICE (gram-verdict agg + join-back
     # left side). Persisting it trades one MEMORY_AND_DISK copy for the
     # second posexplode+scan pass (measured at sf0.1: warm min
