@@ -2586,23 +2586,31 @@ def _fan_out_narrow(df: DataFrame) -> DataFrame:
     inputs (parquet cannot split inside a row group, so a one-row-group
     file is ONE partition no matter what ``maxPartitionBytes`` says).
 
-    The ExactSubstr family explodes ~``k``× the input text: one 128 MB
-    scan partition becomes a multi-GB single-task partial aggregate that
-    spills and merge-sorts on one core — measured at the 100× probe as
-    a >1 h straggler (jstack: ``UnsafeSorterSpillMerger`` at load 1.0),
-    the true cause of d11's r7 160.8× curve point. Shuffling the narrow
-    doc frame first costs one exchange of the RAW text (trivial next to
-    the 30× anchor volume) and restores full-width parallelism.
+    The ExactSubstr family explodes ~``k``× the input text: one
+    row-group's scan partition becomes a multi-GB single-task partial
+    aggregate that spills and merge-sorts on one core — measured at the
+    100× probe as a >1 h straggler (jstack: ``UnsafeSorterSpillMerger``
+    at load 1.0), the true cause of d11's r7 160.8× curve point.
+    Shuffling the narrow doc frame first costs one exchange of the RAW
+    text (trivial next to the 30× anchor volume) and restores
+    full-width parallelism.
 
-    No-op when the scan already supplies >= half the session's cores
-    (any real multi-file corpus — at 100 TB this never fires), and on
-    any frame where partition introspection fails (streaming)."""
+    The guard is the free Catalyst size estimate, NOT the scan's
+    partition count: Spark schedules ``totalBytes / parallelism``-sized
+    splits, but a split only yields rows if a ROW-GROUP midpoint falls
+    inside it — the 118 MB single-row-group probe file scheduled 29
+    splits of which 28 were empty, so ``rdd.getNumPartitions()`` reads
+    as "parallel" while one task does everything. Under the shared 1 GB
+    cap the round-robin exchange is trivially cheap and guarantees
+    real parallelism; above it a genuine corpus is multi-file/
+    multi-row-group and the scan's own parallelism is trusted (at
+    100 TB this never repartitions)."""
     try:
-        n = df.rdd.getNumPartitions()
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         target = df.sparkSession.sparkContext.defaultParallelism
     except Exception:  # noqa: BLE001 — streaming / detached frame
         return df
-    if n * 2 <= target:
+    if est <= PERSIST_INPUT_CAP:
         return df.repartition(target)
     return df
 
