@@ -91,6 +91,10 @@ def token_jaccard_pairs(
 
     Both are exact: identical output either way.
     """
+    # NOT fanned out (_fan_out_narrow): measured sf0.1 A/B 2.31 s ->
+    # 5.92 s with the exchange (BASELINE.md r8 rejection) — the in-row
+    # array_distinct bounds this family's explosion to ~distinct tokens
+    # per doc, and its 100x curve was healthy without it.
     tok = tokenize_distinct(df, id_col, text_col)
     return _jaccard_adaptive(tok, threshold, bitset_vocab_limit)
 
@@ -121,6 +125,7 @@ def ngram_jaccard_pairs(
     family as :func:`token_jaccard_pairs`, with the wide-bitset middle
     tier carrying the n-gram sweet spot (n-gram vocabularies are
     alphabet^n-bounded, usually hundreds-to-thousands)."""
+    # not fanned out — same measured rejection as token_jaccard_pairs
     grams = char_ngrams_distinct(df, id_col, text_col, n)
     return _jaccard_adaptive(grams, threshold, bitset_vocab_limit, wide_bitset_vocab_limit)
 
@@ -524,6 +529,10 @@ def minhash_band_index(df: DataFrame, id_col: str, text_col: str) -> tuple[DataF
     """
     from medvedi_spark.functions.hashing import MINHASH_COEFFS, minhash_agg_cols, token_hash
 
+    # not fanned out (_fan_out_narrow): sf0.1 A/B measured neutral for
+    # d3/d16/st10 (BASELINE.md r8 rejection note) and the 26.7x r7 100x
+    # curve was healthy — the one groupBy pass aggregates the explosion
+    # immediately, unlike the ExactSubstr anchor family.
     toks = df.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("l"))
     bigrams = F.zip_with(
         F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
