@@ -23,6 +23,11 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> None:
+    # Bench-harness opt-in for the streaming ingest fan-out (ADVICE r8):
+    # the production default is 0 (no exchange — a real source supplies
+    # its own partitions), but the sf fixtures are single-row-group
+    # parquet files whose micro-batches land on ONE task without it.
+    os.environ.setdefault("SPARK_GRAFT_STREAM_INGEST_PARTITIONS", "32")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.isdir(sf_dir):
         raise SystemExit(f"bench: SPARK_GRAFT_SF_DIR={sf_dir!r} is not a directory")

@@ -33,19 +33,34 @@ def dataset_fingerprint(path: str) -> tuple:
     and second-resolution ``st_mtime`` can miss a same-second in-place
     regeneration — silently serving a stale model, which breaks the
     no-false-negative guarantees st14/st16 advertise. So: nanosecond
-    mtimes, and for directories the aggregate ``(name, size, mtime_ns)``
-    of every data file inside (dotfiles/_SUCCESS markers excluded from
-    naming but included via the tuple if present as data parts)."""
+    mtimes, and for directories the aggregate ``(relpath, size,
+    mtime_ns)`` of every data file REACHABLE under the root — recursive
+    (ADVICE r8: a key=value-partitioned dataset keeps its part files in
+    subdirectories, and a non-recursive listdir only saw the directory
+    entries, so an in-place part rewrite inside a partition served a
+    stale model — the exact failure this fingerprint exists to catch).
+    A file deleted between listing and stat (concurrent rewrite) is
+    recorded as a sentinel tuple — i.e. a CHANGED fingerprint / cache
+    miss — instead of raising."""
     real = os.path.realpath(path)
     st = os.stat(real)
     if not os.path.isdir(real):
         return (real, st.st_size, st.st_mtime_ns)
     parts = []
-    for name in sorted(os.listdir(real)):
-        if name.startswith((".", "_")):
-            continue
-        pst = os.stat(os.path.join(real, name))
-        parts.append((name, pst.st_size, pst.st_mtime_ns))
+    for dirpath, dirnames, filenames in os.walk(real):
+        # deterministic traversal + skip hidden/marker subtrees
+        dirnames.sort()
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for name in sorted(filenames):
+            if name.startswith((".", "_")):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, name), real)
+            try:
+                pst = os.stat(os.path.join(dirpath, name))
+            except OSError:
+                parts.append((rel, -1, -1))  # raced delete → changed key
+                continue
+            parts.append((rel, pst.st_size, pst.st_mtime_ns))
     return (real, tuple(parts))
 
 TABLES = (

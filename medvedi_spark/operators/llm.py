@@ -3413,10 +3413,18 @@ def hamming_topk(
     # estimate of the probe side stays in the ~32 MB budget (the
     # _mask_broadcast_cap / t12-router discipline); a bulk probe workload
     # falls back to a plain shuffled join instead of blowing the driver.
+    # The payload actually broadcast is `pb` — `queries` AFTER the
+    # block explosion (n_blocks rows per probe, each carrying the packed
+    # sig + blk + val) — so the raw-probe estimate is scaled by the
+    # fan-out before it is compared to the budget (ADVICE r8: hinting on
+    # the pre-explosion size let a real payload exceed the cap by the
+    # fan-out factor while the guard passed). The embedding column
+    # dominates the raw estimate and is NOT in pb, so fan-out × raw is a
+    # safe overestimate of the broadcast bytes.
     try:
         probe_bytes = int(
             queries._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        ) * n_blocks
     except Exception:  # noqa: BLE001 — estimate unavailable → don't hint
         probe_bytes = (32 << 20) + 1
     pb_side = F.broadcast(pb) if probe_bytes <= (32 << 20) else pb

@@ -967,14 +967,18 @@ _ST16_H = 3   # bloom hashes — d14's
 # file → one partition → the whole flag pass on one core (the dominant
 # term in the r7 41 s measurement). One round-robin exchange of the raw
 # docs (~1.5 MB at sf0.1) fans the kernel out to the session's cores.
-# At production scale the source supplies thousands of partitions per
-# micro-batch and this knob is set to 0 (= no exchange — shuffling raw
+# DEFAULT 0 = no exchange (ADVICE r8): at production scale the source
+# supplies thousands of partitions per micro-batch, and shuffling raw
 # text at 100 TB to "parallelize" an already-parallel scan is the
-# anti-pattern); it exists because degenerate single-file batches are
-# real at ingest-tail and bench time.
-_ST16_INGEST_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_STREAM_INGEST_PARTITIONS", "32")
-)
+# anti-pattern — the safe default must be the production one. The
+# bench/test harness OPTS IN (bench.py exports 32) because degenerate
+# single-row-group fixture batches are real at bench time; a streaming
+# frame has no Catalyst size estimate, so the batch path's
+# _fan_out_narrow self-guard cannot be reused here.
+def _st16_ingest_partitions() -> int:
+    """Read the knob per call, not at import — the bench harness sets
+    the env var after this module may already be imported."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_INGEST_PARTITIONS", "0"))
 
 # session cache of the fitted span bitmap (model state; the d14/st14
 # _bloom_model discipline — fit once per frozen corpus generation)
@@ -1075,8 +1079,9 @@ def st16_stream_span_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     words, m_bits = _span_bloom_model(spark, sf_dir)
     stream = _read_documents_stream(spark, sf_dir)
-    if _ST16_INGEST_PARTITIONS > 0:
-        stream = stream.repartition(_ST16_INGEST_PARTITIONS)
+    ingest_parts = _st16_ingest_partitions()
+    if ingest_parts > 0:
+        stream = stream.repartition(ingest_parts)
     flagged = ops.bloom_span_flag(
         stream, "doc_id", "text", words, m_bits, k_gram=_ST16_K, k_hashes=_ST16_H
     )

@@ -1,0 +1,127 @@
+"""Round-9 directive fixes (VERDICT r8 "Next round" + ADVICE):
+
+7. st16's ingest fan-out knob defaults OFF (production-safe): the bench
+   harness opts in via env; the streaming plan has no repartition unless
+   asked.
+A. dataset_fingerprint recurses into partitioned datasets (key=value
+   subdirectories) and treats a raced-away file as a cache miss, not an
+   OSError.
+A. hamming_topk's broadcast guard scales the probe estimate by the block
+   fan-out before comparing to the budget.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medvedi_spark.catalog import dataset_fingerprint
+
+
+# ----------------------------------------------- st16 ingest knob default
+
+
+def test_st16_ingest_partitions_default_off(monkeypatch):
+    from medvedi_spark.queries import stream_ops
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_INGEST_PARTITIONS", raising=False)
+    assert stream_ops._st16_ingest_partitions() == 0
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_INGEST_PARTITIONS", "32")
+    assert stream_ops._st16_ingest_partitions() == 32
+
+
+def test_st16_plan_has_no_exchange_by_default(spark, sf_dir, monkeypatch):
+    """With the knob unset, the st16 streaming frame must NOT carry a
+    repartition — the production plan is exchange-free per-row work."""
+    from medvedi_spark.operators import llm as ops
+    from medvedi_spark.queries import stream_ops
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_INGEST_PARTITIONS", raising=False)
+    words, m_bits = stream_ops._span_bloom_model(spark, sf_dir)
+    stream = stream_ops._read_documents_stream(spark, sf_dir)
+    parts = stream_ops._st16_ingest_partitions()
+    assert parts == 0
+    flagged = ops.bloom_span_flag(
+        stream, "doc_id", "text",
+        words, m_bits, k_gram=stream_ops._ST16_K, k_hashes=stream_ops._ST16_H,
+    )
+    plan = flagged._jdf.queryExecution().logical().toString()
+    assert "Repartition" not in plan
+
+
+# --------------------------------------- recursive dataset_fingerprint
+
+
+def test_dataset_fingerprint_recurses_into_partition_dirs(tmp_path):
+    d = tmp_path / "ds.parquet"
+    (d / "cell=1").mkdir(parents=True)
+    (d / "cell=2").mkdir()
+    p1 = d / "cell=1" / "part-0.parquet"
+    p2 = d / "cell=2" / "part-0.parquet"
+    p1.write_bytes(b"one")
+    p2.write_bytes(b"two")
+    fp0 = dataset_fingerprint(str(d))
+    # in-place rewrite of a nested part file MUST change the fingerprint
+    os.utime(p1, ns=(1, 1))
+    fp1 = dataset_fingerprint(str(d))
+    assert fp1 != fp0
+    # content growth inside a partition dir changes it too
+    p2.write_bytes(b"two-and-more")
+    assert dataset_fingerprint(str(d)) != fp1
+
+
+def test_dataset_fingerprint_flat_dir_and_delete(tmp_path):
+    d = tmp_path / "flat.parquet"
+    d.mkdir()
+    (d / "part-0").write_bytes(b"a")
+    (d / "part-1").write_bytes(b"b")
+    (d / "_SUCCESS").write_bytes(b"")
+    fp0 = dataset_fingerprint(str(d))
+    # marker files stay excluded
+    (d / "_SUCCESS").write_bytes(b"x")
+    assert dataset_fingerprint(str(d)) == fp0
+    (d / "part-1").unlink()
+    assert dataset_fingerprint(str(d)) != fp0
+
+
+# --------------------------------- hamming_topk broadcast guard fan-out
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_hamming_guard_scales_by_block_fanout(spark):
+    """The broadcast payload is the EXPLODED probe-block frame, so the
+    hint decision must survive ~n_blocks× the raw estimate: a probe set
+    whose raw bytes fit the 32 MB budget but whose ×6 fan-out does not
+    must NOT be hinted."""
+    from medvedi_spark.operators import llm as ops
+
+    vec = [float(i % 7) for i in range(8)]
+    # range-backed frames carry a real Catalyst size estimate (a
+    # LogicalRDD estimates as "unknown = huge" and is never hinted)
+    small = spark.range(0, 4).select(
+        F.col("id").alias("vec_id"), F.array(*[F.lit(1.0)] * 8).alias("embedding")
+    )
+    corpus = spark.createDataFrame(
+        [(100 + i, vec) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    hinted = ops.hamming_topk(corpus, small, "vec_id", "embedding", k=2, radius=5)
+    assert "ResolvedHint" in _analyzed(hinted)
+
+    # A probe frame whose RAW estimate sits between cap/n_blocks and cap
+    # would previously be hinted; with the fan-out scaling it must not
+    # be. Catalyst's range estimate is rows × row-width, so a wide
+    # synthetic frame reaches the band deterministically.
+    big = (
+        spark.range(0, 1_000_000)
+        .select(F.col("id").alias("vec_id"), F.array(*[F.lit(1.0)] * 8).alias("embedding"))
+    )
+    est = int(big._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert est <= (32 << 20), "fixture raw estimate must be under the cap"
+    assert est * 6 > (32 << 20), "fixture must exceed the scaled cap"
+    unhinted = ops.hamming_topk(corpus, big, "vec_id", "embedding", k=2, radius=5)
+    assert "ResolvedHint" not in _analyzed(unhinted)
