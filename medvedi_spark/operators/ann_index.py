@@ -50,6 +50,7 @@ from medvedi_spark.operators.llm import (
     _sq8_rank,
     _sq8_train,
     pq_encode,
+    sqdist_dec,
 )
 
 __all__ = [
@@ -63,6 +64,7 @@ __all__ = [
     "ivfadc_save",
     "ivfadc_load",
     "ivfadc_query",
+    "ivfadc_query_rerank",
 ]
 
 
@@ -196,13 +198,19 @@ def ivf_sq8_query(
 class IvfPqIndex:
     """Loaded IVFADC index: cell-partitioned dense PQ codes, the PQ
     codebook, coarse centroids, and the scalar metadata (n_subspaces,
-    n_codes) a serving session must not have to re-derive."""
+    n_codes) a serving session must not have to re-derive. ``vectors``
+    (optional — FAISS ``IndexRefineFlat``'s flat store) carries the
+    ORIGINAL full-precision vectors cell-partitioned alongside the
+    codes, so the exact-rerank refine stage can fetch candidates from
+    the same partition-pruned directories instead of re-reading the
+    source corpus."""
 
     codes: DataFrame  # (vec_id, code0..code{S-1}, cell) — partitioned by cell
     pq_centroids: DataFrame  # (cent_id, c_emb)
     centroids: DataFrame  # (cent_id, c_emb)
     n_subspaces: int
     n_codes: int
+    vectors: DataFrame | None = None  # (vec_id, embedding, cell)
 
 
 def ivfadc_build(
@@ -233,6 +241,7 @@ def ivfadc_build(
         centroids=coarse_centroids.select("cent_id", "c_emb"),
         n_subspaces=n_subspaces,
         n_codes=int(n_codes),
+        vectors=e.join(assign, "vec_id"),  # lazy — written only on request
     )
 
 
@@ -245,9 +254,15 @@ def ivfadc_save(
     path: str,
     n_subspaces: int = 8,
     n_codes: int | None = None,
+    store_vectors: bool = False,
 ) -> str:
     """Build and persist: cell-partitioned ``codes/``, the two codebooks,
-    and a ``meta.json`` carrying (n_subspaces, n_codes). Overwrites."""
+    and a ``meta.json`` carrying (n_subspaces, n_codes). With
+    ``store_vectors`` the ORIGINAL full-precision vectors are also
+    written cell-partitioned under ``vectors/`` (FAISS
+    ``IndexRefineFlat``): the refine stage then reads candidates from
+    the same partition-pruned inverted-list directories — at 100 TB the
+    rerank never rescans the source corpus. Overwrites."""
     import json
 
     idx = ivfadc_build(
@@ -256,6 +271,10 @@ def ivfadc_save(
     idx.codes.write.mode("overwrite").partitionBy("cell").parquet(os.path.join(path, "codes"))
     idx.pq_centroids.write.mode("overwrite").parquet(os.path.join(path, "pq_centroids"))
     idx.centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    if store_vectors:
+        idx.vectors.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "vectors")
+        )
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump({"n_subspaces": idx.n_subspaces, "n_codes": idx.n_codes}, fh)
     return path
@@ -270,31 +289,31 @@ def ivfadc_load(spark: SparkSession, path: str) -> IvfPqIndex:
     codes = codes.select(
         *[c for c in codes.columns if c != "cell"], F.col("cell").cast("long").alias("cell")
     )
+    vec_path = os.path.join(path, "vectors")
+    vectors = None
+    if os.path.isdir(vec_path):
+        vectors = spark.read.parquet(vec_path)
+        vectors = vectors.select(
+            *[c for c in vectors.columns if c != "cell"],
+            F.col("cell").cast("long").alias("cell"),
+        )
     return IvfPqIndex(
         codes=codes,
         pq_centroids=spark.read.parquet(os.path.join(path, "pq_centroids")),
         centroids=spark.read.parquet(os.path.join(path, "centroids")),
         n_subspaces=int(meta["n_subspaces"]),
         n_codes=int(meta["n_codes"]),
+        vectors=vectors,
     )
 
 
-def ivfadc_query(
-    index: IvfPqIndex,
-    queries: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 10,
-    nprobe: int = 2,
-) -> DataFrame:
-    """Serve IVFADC top-k from a loaded index: the per-query ADC LUT is
-    built against the LOADED codebook (queries × n_codes model state —
-    FAISS stores centroids, never LUTs), routing ranks only the query
-    vectors, and the cell-partitioned codes scan partition-prunes to the
-    probed cells. Same no-training-stages / collected-once-routed-twice
-    shape as :func:`ivf_sq8_query`; results equal the inline
-    :func:`~medvedi_spark.operators.llm.ivfadc_topk` bit-for-bit (the
-    s12 oracle is s6's SQL verbatim)."""
+def _ivfadc_scored(
+    index: IvfPqIndex, queries: DataFrame, id_col: str, vec_col: str, nprobe: int
+) -> tuple[DataFrame, list]:
+    """Shared ADC candidate scoring for the loaded serving paths:
+    returns the (query_id, neighbor_id, d2_approx) candidate frame plus
+    the probed cell list (the partition-pruning predicate, reused by the
+    refine stage's vectors scan)."""
     spark = index.codes.sparkSession
     qe = queries.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     _, probe_cells = _coarse_route(qe, index.centroids, F.lit(True), nprobe)
@@ -317,9 +336,90 @@ def ivfadc_query(
             d2_approx.cast("string").cast("double").alias("d2_approx"),
         )
     )
+    return scored, cells
+
+
+def ivfadc_query(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve IVFADC top-k from a loaded index: the per-query ADC LUT is
+    built against the LOADED codebook (queries × n_codes model state —
+    FAISS stores centroids, never LUTs), routing ranks only the query
+    vectors, and the cell-partitioned codes scan partition-prunes to the
+    probed cells. Same no-training-stages / collected-once-routed-twice
+    shape as :func:`ivf_sq8_query`; results equal the inline
+    :func:`~medvedi_spark.operators.llm.ivfadc_topk` bit-for-bit (the
+    s12 oracle is s6's SQL verbatim)."""
+    scored, _ = _ivfadc_scored(index, queries, id_col, vec_col, nprobe)
     w = Window.partitionBy("query_id").orderBy(F.asc("d2_approx"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "d2_approx")
+    )
+
+
+def ivfadc_query_rerank(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    shortlist: int = 30,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The PRODUCTION serving composition (VERDICT r8 directive #2):
+    loaded-index ADC shortlist + exact full-precision re-rank — FAISS's
+    ``IndexRefineFlat`` over ``IndexIVFPQ`` — so a user following the
+    index lifecycle serves the high-recall two-stage shape
+    (:func:`~medvedi_spark.operators.llm.ivfadc_rerank_topk`, s7's 0.90
+    recall band) instead of raw ADC's PQ-budget-bound quality (s12's
+    documented 0.44 at 10×).
+
+    Plan shape: the ADC shortlist is ``queries × shortlist`` rows (model
+    state), and the exact vectors come from the index's OWN
+    cell-partitioned ``vectors/`` store restricted to the probed cells —
+    the refine scan partition-prunes exactly like the codes scan, and
+    the source corpus is never touched at serve time. Quantization
+    decides only the shortlist membership; the final top-k ordering is
+    the order-free exact-decimal L2 the oracle replays (results equal
+    the inline two-stage :func:`ivfadc_rerank_topk` bit-for-bit — s15's
+    oracle is s7's SQL verbatim).
+
+    Requires an index saved with ``store_vectors=True``."""
+    if index.vectors is None:
+        raise ValueError(
+            "ivfadc_query_rerank needs a vectors/ store — save the index "
+            "with store_vectors=True (FAISS IndexRefineFlat keeps the "
+            "flat vectors alongside the quantized codes)"
+        )
+    scored, cells = _ivfadc_scored(index, queries, id_col, vec_col, nprobe)
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2_approx"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cell_filter = F.col("cell").isin(cells) if cells else F.lit(False)
+    nvec = index.vectors.filter(cell_filter).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    rescored = (
+        cand.join(nvec, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("d2", sqdist_dec(F.col("q_emb"), F.col("n_emb")))
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2")
     )

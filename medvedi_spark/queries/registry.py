@@ -265,8 +265,58 @@ GATE_ROTATION_R8 = frozenset(
     }
 )
 
+# Round-9 gate rotation (VERDICT r8 directive #3). R9 gates:
+# - the new query in its priority slot: s15 (loaded-index + exact
+#   rerank — the production ANN serving composition, directive #2);
+# - the stalest evidence in the ledger: st3_stream_dedup (last green
+#   r3 — demoted extra, still rotates) and the r5-stale relational
+#   tail q10-q13, q18, q19, q21, q30;
+# - every query whose code or oracle changed in r9: d14/st14/st16
+#   (blocked-Bloom bitmap layout — directive #4 — with new oracle
+#   position CTEs), s14 (broadcast guard scaled by block fan-out,
+#   ADVICE), s12 (ivfadc_query refactored through _ivfadc_scored for
+#   the s15 composition);
+# - 35 fills re-verifying the entire r6-stale set except three ceded
+#   slots (c11/q27/d10 — all r6-driver-green, code-unchanged, families
+#   in-window via c1-c9, q30, d15/d16): the c1-c6/c8/c9 compat
+#   surface, d1/d2/d8/d9/d15/d16, m1-m5, q4/q5/q9/q16/q20/q26/q31,
+#   s9/s10/s11/s13, t1-t4/t13.
+# After this round no query's newest driver-green is older than r6.
+# Membership OVERRIDES the per-registration ``gate=`` flag.
+GATE_ROTATION_R9 = frozenset(
+    {
+        # new in r9 — priority slot (first driver proof)
+        "s15_ivfadc_index_rerank",
+        # stalest driver evidence (r3 / r5)
+        "st3_stream_dedup",
+        "q10_explode_tokens", "q11_fillna_isnull_json",
+        "q12_sort_nulls_topk", "q13_window_funcs",
+        "q18_pivot", "q19_sessionize", "q21_range_join",
+        "q30_shipmode_priority",
+        # code/oracle changed in r9 — re-prove through the driver
+        "d14_bloom_decontaminate", "st14_stream_decontaminate",
+        "st16_stream_span_flag", "s14_hamming_topk", "s12_ivfadc_index",
+        # r6-stale fills
+        "c1_arrow_roundtrip", "c2_iloc_slice", "c3_sort_index_rank",
+        "c4_index_diff", "c5_duplicated_mask", "c6_index_accessors",
+        "c8_join_fill_defaults", "c9_join_last_wins",
+        "d1_exact_dedup", "d2_token_jaccard", "d8_edit_distance",
+        "d9_decontamination", "d15_cross_source_overlap",
+        "d16_fuzzy_dedup_corpus",
+        "m1_multimodal_meta", "m2_media_pipeline", "m3_audio_pipeline",
+        "m4_image_ahash_dedup", "m5_audio_fingerprint_dedup",
+        "q4_project_cast_rename", "q5_distinct_segments", "q9_concat_union",
+        "q16_setops", "q20_nonemin_nonemax", "q26_approx_sketches",
+        "q31_grouping_multi",
+        "s9_sq8_topk", "s10_ivf_sq8_topk", "s11_ivf_sq8_index",
+        "s13_jl_projection_topk",
+        "t1_langid", "t2_quality_score", "t3_token_stats", "t4_fingerprint",
+        "t13_readability",
+    }
+)
+
 # The active rotation (tests reference this alias, not the round name).
-GATE_ROTATION = GATE_ROTATION_R8
+GATE_ROTATION = GATE_ROTATION_R9
 
 
 @dataclass

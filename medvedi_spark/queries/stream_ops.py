@@ -1026,15 +1026,18 @@ def _span_bloom_model(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]
     ),
     bpos AS (
       SELECT DISTINCT
-             CAST('0x' || substr(md5(d.gram), CAST(1 + 8 * idx.i AS INT), 15) AS BIGINT)
-               % (SELECT m FROM msize) AS p
+             (CAST('0x' || substr(md5(d.gram), 1, 15) AS BIGINT)
+                % ((SELECT m FROM msize) // 64)) * 64
+             + CAST('0x' || substr(md5(d.gram), CAST(16 + 5 * idx.i AS INT), 5) AS BIGINT) % 64
+               AS p
       FROM dup_g d, idx
     ),
     hits AS (
       SELECT a.doc_id, a.pos
       FROM anchors a, idx
-      WHERE CAST('0x' || substr(md5(a.gram), CAST(1 + 8 * idx.i AS INT), 15) AS BIGINT)
-              % (SELECT m FROM msize)
+      WHERE (CAST('0x' || substr(md5(a.gram), 1, 15) AS BIGINT)
+               % ((SELECT m FROM msize) // 64)) * 64
+            + CAST('0x' || substr(md5(a.gram), CAST(16 + 5 * idx.i AS INT), 5) AS BIGINT) % 64
             IN (SELECT p FROM bpos)
       GROUP BY a.doc_id, a.pos
       HAVING count(*) = {_ST16_H}
@@ -1068,10 +1071,12 @@ def _span_bloom_model(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]
         "stateless in-row fold — zero joins, zero streaming state; no "
         "false negatives, FP tail replayed exactly by the oracle. "
         "Kernel rebuilt per VERDICT r7 #1 (staged gram/digest arrays, "
-        "ONE md5 per gram with slice-derived bit positions, explode-"
-        "as-filter so predicate pushdown can't duplicate the kernel, "
-        "split-string bitmap literal, ingest fan-out): 41.2 s → ~1.3 s "
-        "at sf0.1. Gates the r8 rotation (priority slot).",
+        "ONE md5 per gram, explode-as-filter so predicate pushdown "
+        "can't duplicate the kernel, split-string bitmap literal); "
+        "BLOCKED bitmap layout per VERDICT r8 #4 — all k bits in one "
+        "64-bit word, ONE element_at fetch per position instead of k "
+        "DRAM-random ones (oracle replays the blocked positions). "
+        "Driver-proven r8; gates the r9 rotation (code changed).",
     gate=False,
 )
 def st16_stream_span_flag(spark: SparkSession, sf_dir: str) -> DataFrame:

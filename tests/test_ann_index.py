@@ -151,6 +151,61 @@ def test_ivfadc_roundtrip_equals_inline(spark, sf_dir, idx_path):
     assert "Generate" not in plan and "ArrowEvalPython" not in plan and "FlatMapsInPandas" not in plan
 
 
+def test_ivfadc_rerank_roundtrip_equals_inline(spark, sf_dir, idx_path):
+    """s15's property: loaded shortlist + persisted-vector exact rerank
+    equals the inline two-stage ivfadc_rerank_topk bit-for-bit (the
+    s6/s12 lifecycle property applied stagewise)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pq_cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    path = idx_path + "_rr"
+    ann_index.ivfadc_save(
+        emb, _coarse(emb), pq_cents, "vec_id", "embedding", path,
+        n_subspaces=8, n_codes=16, store_vectors=True,
+    )
+    idx = ann_index.ivfadc_load(spark, path)
+    assert idx.vectors is not None
+    loaded = ann_index.ivfadc_query_rerank(
+        idx, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=K, shortlist=15, nprobe=NPROBE,
+    )
+    inline = llm.ivfadc_rerank_topk(
+        emb, _coarse(emb), pq_cents, "vec_id", "embedding",
+        probe=F.col("vec_id") < 5, k=K, shortlist=15, nprobe=NPROBE,
+        n_subspaces=8, n_codes=16, vectorized_encode=True,
+    )
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.d2) for r in loaded.collect()}
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.d2) for r in inline.collect()}
+    assert got == want and got
+    # serving plan: no training stages; BOTH the codes scan and the
+    # refine's vectors scan are partition-pruned to the probed cells
+    plan = loaded._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan and "ArrowEvalPython" not in plan
+    pruned_scans = plan.count("PartitionFilters: [cell")
+    assert pruned_scans >= 2, plan[:2000]
+
+
+def test_ivfadc_rerank_requires_vectors(spark, sf_dir, idx_path):
+    """An index saved without store_vectors must refuse the refine path
+    loudly, not silently fall back to the source corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    pq_cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    path = idx_path + "_novec"
+    ann_index.ivfadc_save(
+        emb, _coarse(emb), pq_cents, "vec_id", "embedding", path,
+        n_subspaces=8, n_codes=16,
+    )
+    idx = ann_index.ivfadc_load(spark, path)
+    assert idx.vectors is None
+    with pytest.raises(ValueError, match="store_vectors"):
+        ann_index.ivfadc_query_rerank(
+            idx, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding"
+        )
+
+
 def test_empty_query_set(spark, sf_dir, idx_path):
     emb = load(spark, sf_dir, "embeddings")
     if not os.path.exists(idx_path):

@@ -332,25 +332,34 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
 
 def test_bloom_member_matches_position_set(spark):
     """bloom_member's bit arithmetic is exactly 'all k positions in the
-    distinct position set' — the property the SQL oracle relies on."""
-    vals = spark.createDataFrame([(f"tok{i}",) for i in range(64)], "v string")
+    distinct position set' under the BLOCKED scheme — the property the
+    SQL oracle relies on. Positions are replayed INDEPENDENTLY in Python
+    (one md5; word = hex[0:15] % (m/64); bit_i = hex[15+5i:20+5i] % 64;
+    p = word*64 + bit_i), so an engine-side slice drift breaks here."""
+    import hashlib
+
+    vals = [f"tok{i}" for i in range(64)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
     m_bits, k = 512, 3
-    bits = llm.bloom_build_bits(vals.limit(20), "v", m_bits=m_bits, k_hashes=k)
-    pos = {
-        r.p
-        for r in vals.limit(20)
-        .select(F.explode(F.array(*[llm._bloom_pos(F.col("v"), i, m_bits) for i in range(k)])).alias("p"))
-        .collect()
-    }
+    bits = llm.bloom_build_bits(df.limit(20), "v", m_bits=m_bits, k_hashes=k)
+
+    def positions(v: str) -> list[int]:
+        d = hashlib.md5(v.encode()).hexdigest()
+        w = int(d[0:15], 16) % (m_bits // 64)
+        return [w * 64 + int(d[15 + 5 * i : 20 + 5 * i], 16) % 64 for i in range(k)]
+
+    pos = {p for v in vals[:20] for p in positions(v)}
+    # the fitted bitmap IS the python-replayed position set
+    fitted = {wi * 64 + b for wi, word in enumerate(bits) for b in range(64) if (word >> b) & 1}
+    assert fitted == pos
     got = {
         r.v: r.m
-        for r in vals.select(
+        for r in df.select(
             "v", llm.bloom_member(F.col("v"), F.lit(bits), m_bits, k).alias("m")
         ).collect()
     }
-    for r in vals.select("v", *[llm._bloom_pos(F.col("v"), i, m_bits).alias(f"p{i}") for i in range(k)]).collect():
-        expect = all(r[f"p{i}"] in pos for i in range(k))
-        assert got[r.v] == expect
+    for v in vals:
+        assert got[v] == all(p in pos for p in positions(v)), v
     assert any(got.values()) and not all(got.values())
 
 

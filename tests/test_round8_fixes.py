@@ -162,18 +162,26 @@ def test_bits_array_expr_equals_lit(spark):
     assert list(got) == words
 
 
-def test_sliced_bloom_fit_and_member_agree(spark):
-    """Fit and membership share the slice scheme: every fitted value is
-    a member (no false negatives by construction)."""
+def test_blocked_bloom_fit_and_member_agree(spark):
+    """Fit and membership share the blocked scheme: every fitted value
+    is a member (no false negatives by construction), both through the
+    one-shot bloom_member and the staged word-prefetch bloom_member_word
+    path the hot kernels use."""
     vals = [("alpha",), ("bravo",), ("charlie",), ("delta",)]
     df = spark.createDataFrame(vals, "g string")
     m_bits = 65536
-    words = llm.bloom_build_bits_sliced(df, "g", m_bits, 3)
+    words = llm.bloom_build_bits(df, "g", m_bits, 3)
     bits = llm.bits_array_expr(words)
     out = df.select(
-        "g", llm.bloom_member_sliced(F.md5(F.col("g")), bits, m_bits, 3).alias("hit")
+        "g", llm.bloom_member(F.col("g"), bits, m_bits, 3).alias("hit")
     ).collect()
     assert all(r.hit for r in out)
+    digest = F.md5(F.col("g"))
+    word = F.element_at(bits, llm._bloom_block_word(digest, m_bits).cast("int") + 1)
+    staged = df.select(
+        "g", llm.bloom_member_word(digest, word, 3).alias("hit")
+    ).collect()
+    assert all(r.hit for r in staged)
 
 
 def test_dataset_fingerprint_file_and_dir(tmp_path):
