@@ -81,6 +81,33 @@ def main() -> None:
     release_persisted()
     control_sec = round(sum(control.values()), 4) if control else None
 
+    # Streaming drift anchor (VERDICT r8 "What's wrong" #1): the batch
+    # control cannot separate availableNow/micro-batch machinery drift
+    # from a streaming regression (st7 went 2.17→8.31 s across driver
+    # rounds with ZERO code change and the batch anchor blind to it).
+    # One fixed trivial drain — stream-read documents, project one
+    # column, drain to a memory sink — prices the whole streaming floor
+    # (source listing, checkpoint, state-store spin-up, sink writes)
+    # with near-zero per-row work. Recorded SEPARATELY from control_sec
+    # so the batch anchor stays comparable with pre-r9 ledgers;
+    # tools/ledger.py --compare normalizes st* rows against it.
+    stream_control_sec = None
+    try:
+        from medvedi_spark.queries.stream_ops import _read_documents_stream
+        from medvedi_spark.streaming.ops import run_to_memory
+
+        scs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_to_memory(
+                _read_documents_stream(spark, sf_dir).select("doc_id"),
+                output_mode="append",
+            ).count()
+            scs.append(time.perf_counter() - t0)
+        stream_control_sec = round(sorted(scs)[len(scs) // 2], 4)
+    except Exception:  # noqa: BLE001 — anchor must never fail the bench
+        pass
+
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -123,6 +150,7 @@ def main() -> None:
         "queries_min": timings_min,
         "control": control,
         "control_sec": control_sec,
+        "stream_control_sec": stream_control_sec,
         "sf": sf,
     }
     if errors:
@@ -146,6 +174,7 @@ def main() -> None:
         "value": total,
         "value_min": total_min,
         "control_sec": control_sec,
+        "stream_control_sec": stream_control_sec,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),

@@ -57,6 +57,32 @@ def compare(cur_path: str, old_path: str) -> None:
     print(f"raw per-query ratio: {per_q:.3f}")
     print(f"anchor-normalized total ratio: {raw / ctl:.3f}")
     print(f"anchor-normalized per-query ratio: {per_q / ctl:.3f}")
+
+    # Streaming family normalization (VERDICT r8 "What's wrong" #1): the
+    # st* rows ride availableNow/micro-batch machinery whose session
+    # drift is INDEPENDENT of the batch anchor's (r7→r8: streaming rows
+    # +15% while batch fell 12%, unattributable at the time). When both
+    # ledgers carry the trivial-drain anchor, compare the streaming
+    # family against IT, not the batch control.
+    s_cur, s_old = cur.get("stream_control_sec"), old.get("stream_control_sec")
+    st_cur = {k: v for k, v in cur.get("queries", {}).items() if k.startswith("st")}
+    st_old = {k: v for k, v in old.get("queries", {}).items() if k.startswith("st")}
+    if s_cur and s_old and st_cur and st_old:
+        sctl = s_cur / s_old
+        st_raw = sum(st_cur.values()) / sum(st_old.values())
+        shared = sorted(set(st_cur) & set(st_old))
+        st_pq = (sum(st_cur[k] for k in shared) / sum(st_old[k] for k in shared)) if shared else None
+        print(f"stream control ratio (drain-machinery drift): {sctl:.3f}")
+        print(f"streaming family raw ratio: {st_raw:.3f}  "
+              f"({sum(st_cur.values()):.1f}s/{len(st_cur)}q vs "
+              f"{sum(st_old.values()):.1f}s/{len(st_old)}q)")
+        if st_pq is not None:
+            print(f"streaming shared-rows ratio: {st_pq:.3f}; "
+                  f"stream-anchor-normalized: {st_pq / sctl:.3f}")
+    elif st_cur:
+        print("(no stream_control_sec in one ledger — streaming rows can only "
+              "be batch-anchor-normalized; re-bench both sides to attribute "
+              "streaming drift)")
     if ctl > DRIFT_GATE or ctl < 1.0 / DRIFT_GATE:
         print(
             f"\nDRIFT GATE: control ratio {ctl:.2f} exceeds {DRIFT_GATE}× — the "
