@@ -230,6 +230,12 @@ def _ab(spark, corpus_dir: str, kind: str, reps: int = 2) -> dict:
     from medvedi_spark.operators._persist import release_persisted
 
     docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    # The probe corpora are single-row-group parquet files: without an
+    # explicit exchange the flag kernels run as ONE task (parquet cannot
+    # split inside a row group) and the A/B measures a serialized core,
+    # not the kernel. Fan BOTH arms out identically — the same 32-way
+    # round-robin st16's bench config applies to its micro-batches.
+    docs = docs.repartition(32)
     if kind == "span":
         w_new, m_new = llm.span_bloom_fit(docs, "doc_id", "text", K_GRAM, K_HASH)
         release_persisted()
@@ -270,9 +276,20 @@ def main() -> None:
 
     from medvedi_spark.session import get_spark
 
+    # Match the bench/driver st16 configuration (and r8's probe rows,
+    # measured when 32 was the import-time default): the r9 production
+    # default is 0, but the probe fixtures are single-row-group files.
+    os.environ.setdefault("SPARK_GRAFT_STREAM_INGEST_PARTITIONS", "32")
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    root = os.path.join(tempfile.gettempdir(), f"medvedi_scale_probe_{os.getpid()}")
+    # reuse a prior run's generated corpora when present (gen_corpus
+    # validates the manifest and regenerates on mismatch)
+    import glob as _glob
+
+    root = next(
+        iter(sorted(_glob.glob(os.path.join(tempfile.gettempdir(), "medvedi_scale_probe_*")))),
+        os.path.join(tempfile.gettempdir(), f"medvedi_scale_probe_{os.getpid()}"),
+    )
     dirs = {
         10: scale_probe.gen_corpus(
             os.path.join(root, "x10"), scale_probe.BASE_DOCS * 10, scale_probe.BASE_VECS * 10
@@ -302,7 +319,7 @@ def main() -> None:
     # fresh 100x curve point for st16 under the blocked kernel (merged
     # into SCALE_PROBE_100x.json, r9 addendum — comparable to the r8 row:
     # same probe harness, same corpus generator, same checksum action)
-    rep = scale_probe.probe(100, 2, ("st16_stream_span_flag",))
+    rep = scale_probe.probe(100, 2, ("st16_stream_span_flag",), root=root)
     path = os.path.join(ROOT, "SCALE_PROBE_100x.json")
     merged = json.load(open(path))
     tagged = {

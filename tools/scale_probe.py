@@ -220,7 +220,12 @@ def _force_eval(df) -> None:
     df.select(F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
 
 
-def probe(factor: int = 10, runs: int = 2, ops: tuple[str, ...] = PROBE_OPS) -> dict:
+def probe(
+    factor: int = 10,
+    runs: int = 2,
+    ops: tuple[str, ...] = PROBE_OPS,
+    root: str | None = None,
+) -> dict:
     from medvedi_spark.operators._persist import release_persisted
     from medvedi_spark.queries.registry import QUERIES, _ensure_loaded
     from medvedi_spark.session import get_spark
@@ -231,7 +236,8 @@ def probe(factor: int = 10, runs: int = 2, ops: tuple[str, ...] = PROBE_OPS) -> 
 
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), f"medvedi_scale_probe_{os.getpid()}")
+    if root is None:
+        root = os.path.join(tempfile.gettempdir(), f"medvedi_scale_probe_{os.getpid()}")
     dirs = {
         1: gen_corpus(os.path.join(root, "x1"), BASE_DOCS, BASE_VECS),
         factor: gen_corpus(
