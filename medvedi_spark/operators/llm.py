@@ -181,12 +181,36 @@ def _jaccard_adaptive(
         if stats.n_docs <= _mask_broadcast_cap(1):
             return _jaccard_bitset(tok, vocab, threshold)
         return _jaccard_bitset_wide_shuffled(tok, vocab, n_vocab, threshold)
-    if n_vocab <= wide_bitset_vocab_limit and stats.avg_set >= dense_fraction * n_vocab:
+    # FAT-POSTING arm (r9, VERDICT r8 #6's d2 decomposition): prefix
+    # filtering prunes by RARE tokens, so when the MEAN posting list is
+    # already ≥ _FAT_POSTING_DF docs, even each doc's rarest prefix
+    # tokens carry huge document frequencies and the candidate set
+    # explodes quadratically per token (measured on the probe corpus:
+    # vocab 239 / avg_df 922 → 362k candidate pairs for 5k docs, the
+    # Σ df·(df−1)/2 bound 4.2M; the routed prefix plan 9.1-10.5 s vs
+    # the forced wide-bitset 2.3-4.4 s — interleaved, D2_DECOMP_r9).
+    # The arm is deliberately capped at _FAT_POSTING_VOCAB (16-word
+    # masks): at the probe's 10× shape (vocab ~2k, 32-word masks) the
+    # wide compare measured WORSE than prefix, so only the regime the
+    # A/B proved routes differently.
+    avg_df = stats.n_docs * stats.avg_set / n_vocab if n_vocab else 0.0
+    dense = stats.avg_set >= dense_fraction * n_vocab
+    fat = n_vocab <= _FAT_POSTING_VOCAB and avg_df >= _FAT_POSTING_DF
+    if n_vocab <= wide_bitset_vocab_limit and (dense or fat):
         nwords = (n_vocab + 63) // 64
         if stats.n_docs <= _mask_broadcast_cap(nwords):
             return _jaccard_bitset_wide(tok, vocab, n_vocab, threshold)
         return _jaccard_bitset_wide_shuffled(tok, vocab, n_vocab, threshold)
     return _jaccard_prefix_filter(tok, threshold)
+
+
+# Fat-posting routing bounds (see _jaccard_adaptive): the wide tier is
+# forced over prefix filtering only where the r9 interleaved A/B proved
+# it — masks of at most 16 longs, mean posting list ≥ 64 docs (below
+# that, each token in <64 docs keeps per-token candidate blocks small
+# and prefix pruning works as designed).
+_FAT_POSTING_VOCAB = 1024
+_FAT_POSTING_DF = 64
 
 
 def _mask_broadcast_cap(nwords: int) -> int:

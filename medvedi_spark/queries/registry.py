@@ -275,7 +275,10 @@ GATE_ROTATION_R8 = frozenset(
 #   (blocked-Bloom bitmap layout — directive #4 — with new oracle
 #   position CTEs), s14 (broadcast guard scaled by block fan-out,
 #   ADVICE), s12 (ivfadc_query refactored through _ivfadc_scored for
-#   the s15 composition);
+#   the s15 composition), d7 (the shared _jaccard_adaptive router
+#   gained the fat-posting arm late in r9 — d2 was already in; d7 takes
+#   m5's fill slot, m5 r6-driver-green and code-unchanged, m-family
+#   stays in-window via m1-m4);
 # - 35 fills re-verifying the entire r6-stale set except three ceded
 #   slots (c11/q27/d10 — all r6-driver-green, code-unchanged, families
 #   in-window via c1-c9, q30, d15/d16): the c1-c6/c8/c9 compat
@@ -304,7 +307,7 @@ GATE_ROTATION_R9 = frozenset(
         "d9_decontamination", "d15_cross_source_overlap",
         "d16_fuzzy_dedup_corpus",
         "m1_multimodal_meta", "m2_media_pipeline", "m3_audio_pipeline",
-        "m4_image_ahash_dedup", "m5_audio_fingerprint_dedup",
+        "m4_image_ahash_dedup", "d7_ngram_jaccard",
         "q4_project_cast_rename", "q5_distinct_segments", "q9_concat_union",
         "q16_setops", "q20_nonemin_nonemax", "q26_approx_sketches",
         "q31_grouping_multi",

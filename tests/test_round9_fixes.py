@@ -86,6 +86,74 @@ def test_dataset_fingerprint_flat_dir_and_delete(tmp_path):
     assert dataset_fingerprint(str(d)) != fp0
 
 
+# ------------------------------------- d2 router: fat-posting arm (r9)
+
+
+def _tok_frame(spark, n_docs: int, vocab: int, set_size: int):
+    """Synthetic corpus with exact router statistics: every doc holds
+    ``set_size`` distinct tokens drawn round-robin from ``vocab`` ids,
+    so avg_df = n_docs * set_size / vocab deterministically."""
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % vocab}" for j in range(set_size)))
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _routes_to_prefix(df) -> bool:
+    # only the prefix tier computes per-token document frequency
+    return "tok_df" in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_router_fat_postings_take_wide_tier(spark):
+    """vocab ≤ 1024 with a fat mean posting list (avg_df ≥ 64) must NOT
+    route to prefix filtering: rare-token pruning cannot prune when
+    every token sits in ≥64 docs (measured 2-3.7× regression on the
+    probe corpus — D2_DECOMP_r9.json)."""
+    from medvedi_spark.operators import llm
+
+    # density 15/100 = 0.15 < 0.25 (not dense); avg_df = 600*15/100 = 90
+    fat = _tok_frame(spark, 600, 100, 15)
+    out = llm.token_jaccard_pairs(fat, "doc_id", "text", threshold=0.95)
+    assert not _routes_to_prefix(out)
+
+    # same density, thin postings: avg_df = 100*15/100 = 15 < 64 → prefix
+    thin = _tok_frame(spark, 100, 100, 15)
+    out2 = llm.token_jaccard_pairs(thin, "doc_id", "text", threshold=0.95)
+    assert _routes_to_prefix(out2)
+
+
+def test_router_fat_arm_capped_at_16_words(spark):
+    """The fat-posting arm must not extend past 1024-token vocabularies
+    (the 10× probe shape, vocab ~2k / 32-word masks, measured WORSE on
+    the wide tier): fat postings over a >1024 vocab still route prefix."""
+    from medvedi_spark.operators import llm
+
+    big = _tok_frame(spark, 12_000, 1100, 12)  # avg_df ≈ 131, vocab 1100
+    out = llm.token_jaccard_pairs(big, "doc_id", "text", threshold=0.95)
+    assert _routes_to_prefix(out)
+
+
+def test_router_fat_arm_output_equals_prefix(spark):
+    """Tier choice must never change the answer: the fat-routed corpus
+    produces identical pairs under the forced prefix plan."""
+    from medvedi_spark.operators import llm
+
+    fat = _tok_frame(spark, 120, 40, 10)  # avg_df = 30 < 64? -> adjust
+    # avg_df = 120*10/40 = 30; force fat by lowering the gate instead
+    tok = llm._persist_tracked(llm.tokenize_distinct(fat, "doc_id", "text"))
+    wide = llm._jaccard_bitset_wide_shuffled(
+        tok, tok.select("t").distinct(), 40, 0.9
+    ).collect()
+    prefix = llm._jaccard_prefix_filter(tok, 0.9).collect()
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    assert sorted(map(key, wide)) == sorted(map(key, prefix))
+    wj = {key(r): r.jaccard for r in wide}
+    pj = {key(r): r.jaccard for r in prefix}
+    for k in wj:
+        assert abs(wj[k] - pj[k]) < 1e-12
+
+
 # --------------------------------- hamming_topk broadcast guard fan-out
 
 

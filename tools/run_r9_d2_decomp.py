@@ -108,11 +108,31 @@ def main() -> None:
             else "prefix_filter"
         )
 
-        # stage 1: candidate generation alone
+        # stage 1: candidate volume. Exact count at x1; at x10 the exact
+        # distinct-count stage itself runs tens of minutes (the explosion
+        # being diagnosed), so the ANALYTIC upper bound Σ df·(df-1)/2
+        # over the prefix tokens — one agg job — stands in.
+        df_map = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tok_df"))
+        w = Window.partitionBy("doc_id").orderBy("tok_df", "t")
+        w_sz = Window.partitionBy("doc_id")
+        prefix_tok = (
+            tok.join(F.broadcast(df_map), "t")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(w_sz))
+            .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(THRESHOLD) * F.col("n")) + 1)
+        )
         t0 = time.perf_counter()
-        n_cand = _candidates(tok, THRESHOLD).count()
-        entry["candidates_sec"] = round(time.perf_counter() - t0, 3)
-        entry["n_candidates"] = n_cand
+        bound = (
+            prefix_tok.groupBy("t").agg(F.count(F.lit(1)).alias("pdf"))
+            .select(F.sum(F.col("pdf") * (F.col("pdf") - 1) / 2).alias("b"))
+            .first()["b"]
+        )
+        entry["candidate_upper_bound"] = int(bound or 0)
+        entry["bound_sec"] = round(time.perf_counter() - t0, 3)
+        if f == 1:
+            t0 = time.perf_counter()
+            entry["n_candidates"] = _candidates(tok, THRESHOLD).count()
+            entry["candidates_sec"] = round(time.perf_counter() - t0, 3)
         release_persisted()
 
         # stage 2: the full routed op (tok re-derived inside — the real
@@ -129,22 +149,48 @@ def main() -> None:
         entry["full_op_sec_min2"] = min(samples)
         entry["full_op_samples"] = samples
 
-        # stage 3: interleaved tier A/B — routed vs forced wide-shuffled
-        arms: dict[str, list[float]] = {"routed": [], "forced_wide_shuffled": []}
+        # stage 3: interleaved tier A/B. Three arms:
+        #   routed           — the registered op exactly as shipped;
+        #   routed_fanout    — same router, tok repartitioned to session
+        #                      parallelism first (AQE coalesces the
+        #                      small-bytes/CPU-heavy tok table to 1-2
+        #                      partitions otherwise — the jstack'd
+        #                      single-task straggler);
+        #   forced_wide      — the wide-bitset-shuffled tier forced, tok
+        #                      fanned out identically (else it
+        #                      single-tasks and measures nothing).
+        par = spark.sparkContext.defaultParallelism
+
+        def _routed():
+            return llm.token_jaccard_pairs(docs, "doc_id", "text", threshold=THRESHOLD)
+
+        def _routed_fanout():
+            tok2 = llm._persist_tracked(
+                llm.tokenize_distinct(docs, "doc_id", "text").repartition(par)
+            )
+            return llm._jaccard_adaptive(tok2, THRESHOLD)
+
+        def _forced_wide():
+            tok2 = llm._persist_tracked(
+                llm.tokenize_distinct(docs, "doc_id", "text").repartition(par)
+            )
+            nv = tok2.select(F.countDistinct("t")).first()[0]
+            return llm._jaccard_bitset_wide_shuffled(
+                tok2, tok2.select("t").distinct(), nv, THRESHOLD
+            )
+
+        arms_fn = {
+            "routed": _routed,
+            "routed_fanout": _routed_fanout,
+            "forced_wide_shuffled": _forced_wide,
+        }
+        arms: dict[str, list[float]] = {a: [] for a in arms_fn}
         for _ in range(2):
-            for arm in arms:
+            for arm, fn in arms_fn.items():
                 release_persisted()
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                if arm == "routed":
-                    out = llm.token_jaccard_pairs(docs, "doc_id", "text", threshold=THRESHOLD)
-                else:
-                    tok2 = llm._persist_tracked(llm.tokenize_distinct(docs, "doc_id", "text"))
-                    nv = tok2.select(F.countDistinct("t")).first()[0]
-                    out = llm._jaccard_bitset_wide_shuffled(
-                        tok2, tok2.select("t").distinct(), nv, THRESHOLD
-                    )
-                scale_probe._force_eval(out)
+                scale_probe._force_eval(fn())
                 arms[arm].append(round(time.perf_counter() - t0, 3))
         entry["tier_ab_min2"] = {a: min(v) for a, v in arms.items()}
         entry["tier_ab_samples"] = arms
@@ -154,8 +200,8 @@ def main() -> None:
 
     r1, r10 = report["sizes"]["x1"], report["sizes"]["x10"]
     report["full_op_ratio_10x"] = round(r10["full_op_sec_min2"] / r1["full_op_sec_min2"], 2)
-    report["candidate_ratio_10x"] = round(
-        r10["candidates_sec"] / max(r1["candidates_sec"], 1e-9), 2
+    report["candidate_bound_ratio_10x"] = round(
+        r10["candidate_upper_bound"] / max(r1["candidate_upper_bound"], 1), 2
     )
     with open(os.path.join(ROOT, "D2_DECOMP_r9.json"), "w") as fh:
         json.dump(report, fh, indent=1)
