@@ -101,6 +101,14 @@ ADAPTIVE_ROUTED_OPS = frozenset(
     }
 )
 
+# Ops whose router picks a WHOLE TIER (bitset / wide-bitset / prefix)
+# from corpus statistics — a cross-size facts change here is a designed
+# tier flip when the larger size lands on the more conservative plan
+# (see the classification below). Their cross-size TIME ratio can span
+# two different plans; the same-tier ratio is the honest scaling number
+# (recorded in D2_DECOMP_r9.json for d2).
+TIER_ROUTED_OPS = frozenset({"d2_token_jaccard", "d7_ngram_jaccard"})
+
 # Bump when gen_corpus's CONTENT changes (vocab growth law, doc/near-dup
 # mix, embedding distribution) — cached corpora regenerate on mismatch
 # so curve points stay comparable (round-6 ADVICE: the growing-vocab fix
@@ -294,18 +302,43 @@ def probe(
                 and fN["shuffle_joins"] >= f1["shuffle_joins"]
                 and fN["exch"] >= f1["exch"]
             )
-            bucket = "adaptive_flips" if benign else "violations"
-            report.setdefault(bucket, []).append(
-                {"op": name, "kind": "plan_facts_changed", "x1": f1, f"x{factor}": fN}
+            # Tier-routed ops (the jaccard family's bitset/wide/prefix
+            # router) legitimately change WHOLE PLAN SHAPE with corpus
+            # statistics, not just broadcast→shuffle: the r9 fat-posting
+            # arm routes a small fat corpus to the wide tier (which
+            # carries a designed, broadcast-capped BNLJ for the distinct-
+            # mask compare) while the larger corpus keeps prefix. The
+            # benign DIRECTION is the larger size on the MORE
+            # conservative plan: no new python UDFs and no MORE
+            # nested-loop joins at scale than at 1×.
+            tier_flip = (
+                name in TIER_ROUTED_OPS
+                and fN["pyudf"] <= f1["pyudf"]
+                and fN["bnlj"] <= f1["bnlj"]
             )
+            bucket = "adaptive_flips" if (benign or tier_flip) else "violations"
+            entry_rec = {"op": name, "kind": "plan_facts_changed", "x1": f1, f"x{factor}": fN}
+            if tier_flip and not benign:
+                entry_rec["kind"] = "tier_flip"
+            report.setdefault(bucket, []).append(entry_rec)
         # the gate is calibrated per decade: 30x at factor 10 (linear = 10,
         # quadratic ~ 100); scale it with the factor so a 100x probe judges
         # against 300 (linear = 100, quadratic ~ 10 000)
         gate = SUBLINEAR_GATE * (factor / 10.0)
         if entry["ratio"] is not None and entry["ratio"] > gate:
-            report["violations"].append(
-                {"op": name, "kind": "super_linear_time", "ratio": entry["ratio"], "gate": gate}
-            )
+            rec = {"op": name, "kind": "super_linear_time", "ratio": entry["ratio"], "gate": gate}
+            if name in TIER_ROUTED_OPS and not entry["facts_invariant"]:
+                # the ratio spans two DIFFERENT designed plans (tier
+                # flip): still recorded as a violation — the gate is not
+                # waived — but flagged so the reader checks the
+                # same-tier ratio instead of reading a quadratic cliff
+                rec["kind"] = "super_linear_time_cross_tier"
+                rec["note"] = (
+                    "x1 and x10 routed to different tiers; compare the "
+                    "same-tier ratio (D2_DECOMP_r9.json) before "
+                    "diagnosing a quadratic"
+                )
+            report["violations"].append(rec)
     return report
 
 
