@@ -2839,6 +2839,127 @@ def bloom_span_flag(
     )
 
 
+def bloom_span_remove(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bitmap_words: list[int],
+    m_bits: int,
+    k_gram: int = 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Streaming-legal ExactSubstr REMOVAL against a frozen span-Bloom
+    bitmap: :func:`bloom_span_flag`'s in-row span detection (staged
+    gram/digest/block-word arrays, one bitmap fetch per position,
+    ascending-fold span merge) composed with
+    :func:`exact_substring_removal`'s gap-fold rewrite — every flagged
+    span is excised and the remaining text reassembled, ENTIRELY IN-ROW
+    (no join, no window, no shuffle, NO STREAMING STATE), so the
+    identical plan runs on a batch frame and a readStream frame at wire
+    speed. This is the ingest-time cleaner of the Lee et al. 2021
+    pipeline: st16 flags, this rewrites.
+
+    Output matches d18's ``(doc_id, clean_text, removed_chars)`` for
+    EVERY input row (clean docs pass through verbatim with
+    ``removed_chars = 0``), up to the filter's deterministic
+    false-positive tail — no false negatives: every d18-removed char is
+    removed here too (every true duplicate span is contained in a
+    flagged span; unit-tested).
+
+    Unlike st16's contaminated-docs-only output there is NO filter
+    anywhere in this plan (every row is emitted), so the
+    explode-as-filter guard against predicate-pushdown kernel
+    duplication is unnecessary — the kernel appears exactly once.
+    """
+    bits = bits_array_expr(bitmap_words)
+    t = F.col("__t__")
+    k = k_gram
+    grams = F.when(
+        F.length(t) >= k,
+        F.expr(
+            f"transform(sequence(1, length(__t__) - {k - 1}), i -> substring(__t__, i, {k}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    digests = F.transform(F.col("__g__"), lambda g: F.md5(g))
+    word_of = F.transform(
+        F.col("__dg__"),
+        lambda d: F.struct(
+            d.alias("d"),
+            F.element_at(bits, _bloom_block_word(d, m_bits).cast("int") + 1).alias("w"),
+        ),
+    )
+    neg1 = F.lit(-1).cast("bigint")
+    pos_or_neg = F.transform(
+        F.col("__dw__"),
+        lambda x, i: F.when(
+            bloom_member_word(x["d"], x["w"], k_hashes),
+            (i + 1).cast("bigint"),
+        ).otherwise(neg1),
+    )
+    hit_positions = F.filter(F.col("__pn__"), lambda p: p > 0)
+    empty_spans = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    neg = F.lit(-1).cast("bigint")
+    folded = F.aggregate(
+        F.col("__hits__"),
+        F.struct(neg.alias("cs"), neg.alias("ce"), empty_spans.alias("sp")),
+        lambda acc, p: F.struct(
+            F.when((acc["cs"] >= 0) & (p <= acc["ce"] + 1), acc["cs"])
+            .otherwise(p).alias("cs"),
+            (p + F.lit(k - 1)).cast("bigint").alias("ce"),
+            F.when(
+                (acc["cs"] >= 0) & (p > acc["ce"] + 1),
+                F.concat(
+                    acc["sp"],
+                    F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+                ),
+            ).otherwise(acc["sp"]).alias("sp"),
+        ),
+        lambda acc: F.when(
+            acc["cs"] >= 0,
+            F.concat(
+                acc["sp"],
+                F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+            ),
+        ).otherwise(acc["sp"]),
+    )
+    # d18's gap-fold rewrite over the (ascending by construction) span
+    # array: each span contributes the gap before it, the finisher
+    # appends the tail — O(spans + chars) per doc, no per-char explode.
+    clean = F.aggregate(
+        F.col("__sp__"),
+        F.struct(F.lit(1).cast("bigint").alias("pos"), F.lit("").alias("acc")),
+        lambda acc, x: F.struct(
+            (x["e"] + 1).alias("pos"),
+            F.concat(
+                acc["acc"],
+                t.substr(acc["pos"].cast("int"), (x["s"] - acc["pos"]).cast("int")),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            t.substr(acc["pos"].cast("int"), (F.length(t) - acc["pos"] + 1).cast("int")),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t__"))
+        .select("doc_id", "__t__", grams.alias("__g__"))
+        .select("doc_id", "__t__", digests.alias("__dg__"))
+        .select("doc_id", "__t__", word_of.alias("__dw__"))
+        .select("doc_id", "__t__", pos_or_neg.alias("__pn__"))
+        .select("doc_id", "__t__", hit_positions.alias("__hits__"))
+        .select("doc_id", "__t__", folded.alias("__sp__"))
+        # clean is staged before removed_chars references it: a single
+        # projection would evaluate the whole gap-fold twice per row
+        # (interpreted HOF, no CSE)
+        .select("doc_id", "__t__", clean.alias("clean_text"))
+        .select(
+            "doc_id",
+            "clean_text",
+            (F.length("__t__") - F.length("clean_text")).cast("bigint").alias("removed_chars"),
+        )
+    )
+
+
 def duplicate_span_rows(
     df: DataFrame,
     id_col: str,

@@ -1206,3 +1206,126 @@ def st17_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id", "dup_of"])
     )
     return run_to_memory(out, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st18 — STREAMING EXACT-SUBSTRING REMOVAL: the REWRITE half of the
+# Lee et al. 2021 ExactSubstr pipeline at ingest time. st16 FLAGS a
+# document's duplicate spans against the frozen span-Bloom bitmap;
+# st18 composes the same in-row span detection with d18's gap-fold
+# rewrite, so arriving documents are CLEANED — every flagged span
+# excised, the remainder reassembled in order — in one stateless
+# projection: no join, no window, ZERO streaming state. Model state is
+# st16's session-cached bitmap (one fit per frozen corpus generation,
+# shared). No false negatives: every char d18 removes is removed here
+# (every true duplicate span is contained in a flagged span); the
+# deterministic false-positive tail excises slightly more, replayed
+# bit-for-bit by the oracle, which rebuilds the bloom span set in SQL
+# (st16's CTEs) and reconstructs each document from its KEPT chars —
+# an independent construction, so the hash match proves the gap-fold,
+# not just replays it (the d18 discipline).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "st18_stream_substring_removal",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT doc_id, i AS pos,
+             substr(text, CAST(i AS INT), {_ST16_K}) AS gram
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - {_ST16_K - 1})) AS i)
+      WHERE length(text) >= {_ST16_K}
+    ),
+    dup_g AS (
+      SELECT gram FROM anchors GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    idx AS (SELECT unnest(generate_series(0, {_ST16_H - 1})) AS i),
+    msize AS (
+      SELECT GREATEST(65536, LEAST(67108864,
+        CAST(power(2, length(bin(CAST(
+          (CAST(count(*) AS BIGINT) * {_ST16_H} * 1000000) // 693147
+        AS BIGINT)))) AS BIGINT))) AS m
+      FROM dup_g
+    ),
+    bpos AS (
+      SELECT DISTINCT
+             (CAST('0x' || substr(md5(d.gram), 1, 15) AS BIGINT)
+                % ((SELECT m FROM msize) // 64)) * 64
+             + CAST('0x' || substr(md5(d.gram), CAST(16 + 5 * idx.i AS INT), 5) AS BIGINT) % 64
+               AS p
+      FROM dup_g d, idx
+    ),
+    hits AS (
+      SELECT a.doc_id, a.pos
+      FROM anchors a, idx
+      WHERE (CAST('0x' || substr(md5(a.gram), 1, 15) AS BIGINT)
+               % ((SELECT m FROM msize) // 64)) * 64
+            + CAST('0x' || substr(md5(a.gram), CAST(16 + 5 * idx.i AS INT), 5) AS BIGINT) % 64
+            IN (SELECT p FROM bpos)
+      GROUP BY a.doc_id, a.pos
+      HAVING count(*) = {_ST16_H}
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_ST16_K}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {_ST16_K - 1} AS e
+      FROM sp GROUP BY doc_id, span_id
+    ),
+    chars AS (
+      SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS ch
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+    ),
+    kept AS (
+      SELECT c.doc_id, c.i, c.ch
+      FROM chars c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = c.doc_id AND c.i BETWEEN s.s AND s.e
+      )
+    ),
+    clean AS (
+      SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(cl.clean_text, '') AS clean_text,
+           CAST(length(d.text) - length(COALESCE(cl.clean_text, '')) AS BIGINT)
+             AS removed_chars
+    FROM documents d LEFT JOIN clean cl USING (doc_id)
+    """,
+    tags=("streaming", "dedup", "substring", "rewrite", "bloom", "llm"),
+    doc="Streaming ExactSubstr removal at ingest: st16's blocked-Bloom "
+        "span detection composed with d18's gap-fold rewrite — arriving "
+        "docs are cleaned (flagged spans excised, remainder reassembled) "
+        "in one stateless in-row projection; zero joins, zero streaming "
+        "state; no false negatives vs d18, FP tail replayed exactly by "
+        "the oracle's independent kept-chars reconstruction. Registered "
+        "after the r9 gate window froze: proven by the local oracle "
+        "harness (CORRECTNESS_local_r9) + the superset-of-d18 and "
+        "st16-consistency unit tests; gates next rotation.",
+    gate=False,
+)
+def st18_stream_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from medvedi_spark.operators import llm as ops
+
+    words, m_bits = _span_bloom_model(spark, sf_dir)
+    stream = _read_documents_stream(spark, sf_dir)
+    ingest_parts = _st16_ingest_partitions()
+    if ingest_parts > 0:
+        stream = stream.repartition(ingest_parts)
+    cleaned = ops.bloom_span_remove(
+        stream, "doc_id", "text", words, m_bits, k_gram=_ST16_K, k_hashes=_ST16_H
+    )
+    return run_to_memory(cleaned, output_mode="append")

@@ -154,6 +154,59 @@ def test_router_fat_arm_output_equals_prefix(spark):
         assert abs(wj[k] - pj[k]) < 1e-12
 
 
+# ------------------------- st18: streaming ExactSubstr removal (new r9)
+
+
+def test_st18_removes_superset_of_d18(spark, sf_dir):
+    """No false negatives: every char the exact d18 rewrite removes is
+    removed by the bloom-driven st18 rewrite too (bloom spans contain
+    every true duplicate span; the FP tail removes slightly more)."""
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators import llm as ops
+    from medvedi_spark.queries.stream_ops import _ST16_H, _ST16_K, _span_bloom_model
+
+    docs = load(spark, sf_dir, "documents")
+    words, m_bits = _span_bloom_model(spark, sf_dir)
+    bloom = {
+        r.doc_id: r.removed_chars
+        for r in ops.bloom_span_remove(
+            docs, "doc_id", "text", words, m_bits, _ST16_K, _ST16_H
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r.removed_chars
+        for r in ops.exact_substring_removal(docs, "doc_id", "text", k=_ST16_K).collect()
+    }
+    assert set(bloom) == set(exact)
+    assert all(bloom[d] >= exact[d] for d in exact)
+    assert any(v > 0 for v in exact.values())  # fixture has real dups
+
+
+def test_st18_removed_equals_st16_dup_chars(spark, sf_dir):
+    """The rewrite excises exactly the spans st16 flags: removed_chars
+    equals st16's dup_chars for flagged docs and 0 for the rest."""
+    from medvedi_spark.catalog import load
+    from medvedi_spark.operators import llm as ops
+    from medvedi_spark.queries.stream_ops import _ST16_H, _ST16_K, _span_bloom_model
+
+    docs = load(spark, sf_dir, "documents")
+    words, m_bits = _span_bloom_model(spark, sf_dir)
+    removed = {
+        r.doc_id: r.removed_chars
+        for r in ops.bloom_span_remove(
+            docs, "doc_id", "text", words, m_bits, _ST16_K, _ST16_H
+        ).collect()
+    }
+    flagged = {
+        r.doc_id: r.dup_chars
+        for r in ops.bloom_span_flag(
+            docs, "doc_id", "text", words, m_bits, _ST16_K, _ST16_H
+        ).collect()
+    }
+    for d, rc in removed.items():
+        assert rc == flagged.get(d, 0), d
+
+
 # --------------------------------- hamming_topk broadcast guard fan-out
 
 
