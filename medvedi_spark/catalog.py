@@ -41,13 +41,32 @@ def dataset_fingerprint(path: str) -> tuple:
     stale model — the exact failure this fingerprint exists to catch).
     A file deleted between listing and stat (concurrent rewrite) is
     recorded as a sentinel tuple — i.e. a CHANGED fingerprint / cache
-    miss — instead of raising."""
+    miss — instead of raising.
+
+    Symlinked partition directories ARE followed (ADVICE r9: the
+    default ``followlinks=False`` walk never descended a symlinked
+    subdirectory and recorded nothing for it, so an in-place rewrite
+    under a symlinked partition silently served a stale cached model).
+    A visited-``(st_dev, st_ino)`` guard breaks symlink cycles: a
+    directory already walked is pruned instead of re-descended."""
     real = os.path.realpath(path)
     st = os.stat(real)
     if not os.path.isdir(real):
         return (real, st.st_size, st.st_mtime_ns)
     parts = []
-    for dirpath, dirnames, filenames in os.walk(real):
+    visited: set[tuple[int, int]] = set()
+    for dirpath, dirnames, filenames in os.walk(real, followlinks=True):
+        try:
+            dst = os.stat(dirpath)
+            dkey = (dst.st_dev, dst.st_ino)
+        except OSError:
+            parts.append((os.path.relpath(dirpath, real), -1, -1))
+            dirnames[:] = []
+            continue
+        if dkey in visited:  # symlink cycle / diamond — walk each dir once
+            dirnames[:] = []
+            continue
+        visited.add(dkey)
         # deterministic traversal + skip hidden/marker subtrees
         dirnames.sort()
         dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]

@@ -600,7 +600,7 @@ def d9_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a broadcast that grows with the eval corpus; d14 folds the eval grams
 # into a bounded bitmap (AUTO-SIZED from the eval-side distinct-gram
 # count via bloom_auto_m_bits — n·k/ln2 in exact integer arithmetic,
-# next power of two, clamped to [2^16, 2^26] — so a 10⁶-gram eval suite
+# next power of two, clamped to [2^16, 2^28] — so a 10⁶-gram eval suite
 # can't saturate the filter into a pass-everything no-op) and the corpus
 # side becomes a zero-join map-side projection: per doc, count distinct
 # 4-grams whose 3 bit positions are all set. The bitmap is BLOCKED
@@ -617,9 +617,9 @@ def d9_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _D14_K = 3
 # bloom_auto_m_bits(n, k) replayed in SQL: q = n·k·10⁶ // 693147,
-# m = clamp(2^bitlen(q), 2^16, 2^26)
+# m = clamp(2^bitlen(q), 2^16, 2^28)
 _D14_MSIZE_SQL = f"""
-      SELECT GREATEST(65536, LEAST(67108864,
+      SELECT GREATEST(65536, LEAST(268435456,
         CAST(power(2, length(bin(CAST(
           (CAST(count(*) AS BIGINT) * {_D14_K} * 1000000) // 693147
         AS BIGINT)))) AS BIGINT))) AS m

@@ -1018,7 +1018,7 @@ def _span_bloom_model(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]
     ),
     idx AS (SELECT unnest(generate_series(0, {_ST16_H - 1})) AS i),
     msize AS (
-      SELECT GREATEST(65536, LEAST(67108864,
+      SELECT GREATEST(65536, LEAST(268435456,
         CAST(power(2, length(bin(CAST(
           (CAST(count(*) AS BIGINT) * {_ST16_H} * 1000000) // 693147
         AS BIGINT)))) AS BIGINT))) AS m
@@ -1242,7 +1242,7 @@ def st17_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     idx AS (SELECT unnest(generate_series(0, {_ST16_H - 1})) AS i),
     msize AS (
-      SELECT GREATEST(65536, LEAST(67108864,
+      SELECT GREATEST(65536, LEAST(268435456,
         CAST(power(2, length(bin(CAST(
           (CAST(count(*) AS BIGINT) * {_ST16_H} * 1000000) // 693147
         AS BIGINT)))) AS BIGINT))) AS m

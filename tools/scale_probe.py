@@ -309,12 +309,20 @@ def probe(
             # carries a designed, broadcast-capped BNLJ for the distinct-
             # mask compare) while the larger corpus keeps prefix. The
             # benign DIRECTION is the larger size on the MORE
-            # conservative plan: no new python UDFs and no MORE
-            # nested-loop joins at scale than at 1×.
+            # conservative plan: no new python UDFs, no MORE nested-loop
+            # joins, and at least as many exchanges/shuffle-joins at
+            # scale as at 1× (ADVICE r9: without the exchange direction,
+            # a non-tier regression on d2/d7 that kept pyudf/bnlj flat —
+            # e.g. a lost broadcast replaced by extra exchanges in a
+            # non-router stage — was filed under adaptive_flips; every
+            # DESIGNED flip in the router moves bitset/broadcast →
+            # wide_shuffled/prefix, which only ADDS exchanges).
             tier_flip = (
                 name in TIER_ROUTED_OPS
                 and fN["pyudf"] <= f1["pyudf"]
                 and fN["bnlj"] <= f1["bnlj"]
+                and fN["shuffle_joins"] >= f1["shuffle_joins"]
+                and fN["exch"] >= f1["exch"]
             )
             bucket = "adaptive_flips" if (benign or tier_flip) else "violations"
             entry_rec = {"op": name, "kind": "plan_facts_changed", "x1": f1, f"x{factor}": fN}
