@@ -107,6 +107,14 @@ def _serve_candidates(
     Returns ``(candidates, probed_cells)``: codes ⋈ routed on cell with
     ``vec_id`` renamed ``neighbor_id``, plus the sorted cell list (the
     rerank stage reuses it to prune the ``vectors/`` scan)."""
+    from medvedi_spark.operators._persist import persist_tracked
+
+    # probe_cells is consumed twice (the cell-set aggregate below AND
+    # the routed join's lineage) — persist it or the coarse-routing
+    # ranking runs twice per serve (+~0.8 s on every lifecycle query at
+    # sf0.1 when this landed unpersisted). queries × nprobe rows of
+    # (query_id, cell): bounded, cache-safe in bulk mode too.
+    probe_cells = persist_tracked(probe_cells)
     per_cell = probe_cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     cells = sorted(r["cell"] for r in per_cell)
     n_routed = sum(r["n"] for r in per_cell)

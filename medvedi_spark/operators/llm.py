@@ -423,6 +423,13 @@ def _jaccard_bitset_wide_shuffled(tok: DataFrame, vocab: DataFrame, vocab_size: 
     return _expand_mask_groups(groups, near)
 
 
+#: pin the prefix tier's pair-expansion/verify exchanges only when the
+#: analytic candidate bound Σ df·(df−1)/2 over the PREFIX tokens says
+#: the CPU work is real — below this, AQE's byte-coalescing to 1-2
+#: tasks is the right plan (tiny corpora) and the pin is pure overhead.
+_VERIFY_PIN_MIN_PAIRS = 1 << 16
+
+
 def _jaccard_prefix_filter(tok: DataFrame, threshold: float) -> DataFrame:
     # global document frequency per token (vocab-sized → broadcast join)
     df_map = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tok_df"))
@@ -435,6 +442,36 @@ def _jaccard_prefix_filter(tok: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
         .select("doc_id", "t", "n")
     )
+    # AQE coalesces post-shuffle partitions by BYTES, but the pair
+    # expansion and verify stages here are small-bytes/CPU-heavy: at the
+    # 10× probe shape the routed plan rode an AQE-coalesced 1-2
+    # partition stream side for its whole 142 s (D2_DECOMP_r9 — jstack'd
+    # hashAgg→Generate→BHJ single-task straggler; VERDICT r9 what's-
+    # wrong #1). Fix: EXPLICIT-count key-based repartitions on the two
+    # exchanges the joins insert anyway — a user REPARTITION_BY_NUM
+    # shuffle is exempt from AQE coalescing, keeps the join's
+    # co-partitioning (so no NET-NEW shuffle, unlike the rejected r9
+    # tok.repartition(par) fan-out arm, which added a round-robin
+    # shuffle and lost 2.2 s at x1), and holds the expansion/verify
+    # stages at session parallelism. SIZE-GUARDED by the exact
+    # Σ df·(df−1)/2 bound over prefix tokens (one vocab-sized agg job on
+    # the already-persisted tok): tiny corpora keep AQE's 1-2 tasks.
+    spark = tok.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # guard statistic: Σ df·(df−1)/2 over the FULL-token posting lists —
+    # every candidate pair shares at least one token, so this upper-
+    # bounds the candidate volume whatever the prefix truncation keeps.
+    # One light agg on the router-persisted tok (the prefix-token bound
+    # would be tighter but costs a join + two window passes — the A/B's
+    # whole x1 overhead); over-triggering costs ≤0.7 s, under-triggering
+    # costs the 6× single-task stall, so the bias is deliberate.
+    bound = (
+        df_map.select(F.sum(F.col("tok_df") * (F.col("tok_df") - 1) / 2).alias("b"))
+        .first()["b"]
+    )
+    pin = bound is not None and bound >= _VERIFY_PIN_MIN_PAIRS
+    if pin:
+        prefix = prefix.repartition(n_part, "t")
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # PPJoin LENGTH filter, applied inside the candidate join: jaccard =
     # |∩|/|∪| ≤ min(|a|,|b|)/max(|a|,|b|), so any pair above the
@@ -457,6 +494,12 @@ def _jaccard_prefix_filter(tok: DataFrame, threshold: float) -> DataFrame:
         .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
         .distinct()
     )
+    if pin:
+        # verify-join input: replaces join1's own doc_a exchange with a
+        # coalesce-exempt one; join2's doc_b exchange carries the full
+        # toks_a arrays (corpus-proportional bytes), so AQE's byte model
+        # is honest there and it stays adaptive.
+        candidates = candidates.repartition(n_part, "doc_a")
     token_sets = tok.groupBy("doc_id").agg(F.sort_array(F.collect_list("t")).alias("toks"))
     ta = token_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = token_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))

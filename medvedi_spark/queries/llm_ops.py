@@ -1089,11 +1089,14 @@ def s5_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S6_COARSE = 8
 _S6_NPROBE = 2
 
-# Shared oracle CTE chains. _COARSE_CTES: coarse assignment + query
-# routing (s6/s7/s8). _S6_CTES adds raw-vector PQ codes → LUT →
+# Shared oracle CTE chains. _coarse_ctes(): coarse assignment + query
+# routing (s6/s7/s8) — the probe-set predicate is a parameter so the
+# batched serving oracle (s16) can widen it without duplicating the
+# chain. _S6_CTES adds raw-vector PQ codes → LUT →
 # cell-bounded ADC scores; s6 ranks it directly, s7 re-scores a
 # shortlist of it exactly, s8 swaps in residual encoding.
-_COARSE_CTES = f"""ccent AS (
+def _coarse_ctes(probe_pred: str) -> str:
+    return f"""ccent AS (
       SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < {_S6_COARSE}
     ),
     capairs AS (
@@ -1112,10 +1115,14 @@ _COARSE_CTES = f"""ccent AS (
     assign AS (SELECT vec_id, cent_id AS cell FROM car WHERE rn = 1),
     probes AS (
       SELECT vec_id AS query_id, cent_id AS cell FROM car
-      WHERE vec_id < {_S5_PROBES} AND rn <= {_S6_NPROBE}
+      WHERE {probe_pred} AND rn <= {_S6_NPROBE}
     )"""
 
-_S6_CTES = f"""{_COARSE_CTES},
+
+_COARSE_CTES = _coarse_ctes(f"vec_id < {_S5_PROBES}")
+
+def _s6_ctes(probe_pred: str) -> str:
+    return f"""{_coarse_ctes(probe_pred)},
     {_PQ_TRAIN_CTES},
     sub AS (SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS s),
     pairs AS (
@@ -1137,7 +1144,7 @@ _S6_CTES = f"""{_COARSE_CTES},
     ),
     lut AS (
       SELECT vec_id AS query_id, cent_id AS code, s, d2
-      FROM d WHERE vec_id < {_S5_PROBES}
+      FROM d WHERE {probe_pred}
     ),
     cand AS (
       SELECT p.query_id, a.vec_id AS neighbor_id
@@ -1151,6 +1158,9 @@ _S6_CTES = f"""{_COARSE_CTES},
       JOIN lut l ON l.query_id = c.query_id AND l.s = k.s AND l.code = k.code
       GROUP BY c.query_id, c.neighbor_id
     )"""
+
+
+_S6_CTES = _s6_ctes(f"vec_id < {_S5_PROBES}")
 
 
 # Shared by s6 (inline IVFADC) and s12 (the index-lifecycle round-trip,
@@ -1200,11 +1210,14 @@ def s6_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _S7_SHORTLIST = 30
 
-# Shared by s7 (inline two-stage) and s15 (the index-lifecycle serving
+# Shared by s7 (inline two-stage), s15 (the index-lifecycle serving
 # composition, whose loaded shortlist + persisted-vector rescore is
-# bit-identical by construction — the s6/s12 property applied stagewise).
-_S7_RERANK_ORACLE = f"""
-    WITH {_S6_CTES},
+# bit-identical by construction — the s6/s12 property applied stagewise)
+# and s16 (the batched serving form — per-batch s7 semantics, the probe
+# predicate widened to the batch union and batch_id projected out).
+def _s7_rerank_oracle(probe_pred: str, select_prefix: str = "") -> str:
+    return f"""
+    WITH {_s6_ctes(probe_pred)},
     shortlist AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
@@ -1222,12 +1235,15 @@ _S7_RERANK_ORACLE = f"""
       SELECT query_id, neighbor_id, {_S4_DEC_D2} AS d2
       FROM xpairs GROUP BY query_id, neighbor_id
     )
-    SELECT query_id, neighbor_id, rank, d2 FROM (
+    SELECT {select_prefix}query_id, neighbor_id, rank, d2 FROM (
       SELECT query_id, neighbor_id, d2,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
       FROM xd
     ) WHERE rank <= {_S5_K}
     """
+
+
+_S7_RERANK_ORACLE = _s7_rerank_oracle(f"vec_id < {_S5_PROBES}")
 
 
 @register(
@@ -1671,6 +1687,72 @@ def s15_ivfadc_index_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.ivfadc_query_rerank(
         idx, emb.filter(F.col("vec_id") < _S5_PROBES), "vec_id", "embedding",
         k=_S5_K, shortlist=_S7_SHORTLIST, nprobe=_S6_NPROBE,
+    )
+
+
+# --------------------------------------------------------------------------
+# s16 — BATCHED serving against ONE loaded index (VERDICT r9 directive
+# #6): s15 prices a full build+save+load+serve lifecycle per run, so the
+# serve half's fixed driver jobs (~8: centroid/codebook loads, routing
+# aggregate, payload size-route) looked per-query. s16 serves
+# _S16_BATCHES probe batches in a SINGLE plan against one loaded index:
+# the batches union into one query frame (batch_id = query_id div
+# _S5_PROBES — disjoint id ranges), routing/LUT/candidate join run ONCE
+# over the union, and every fixed cost amortizes across the batches —
+# the marginal batch cost is the ledger-quantified delta vs s15's
+# single-batch serve. Oracle = per-batch s7 SQL: the serve kernel is
+# batch-agnostic, so the per-batch UNION of s7 chains equals one chain
+# with the probe predicate widened to the batch union and batch_id
+# projected out.
+# --------------------------------------------------------------------------
+
+_S16_BATCHES = 3
+
+
+@register(
+    "s16_ivfadc_batched_serve",
+    oracle=_s7_rerank_oracle(
+        f"vec_id < {_S16_BATCHES * _S5_PROBES}",
+        select_prefix=f"query_id // {_S5_PROBES} AS batch_id, ",
+    ),
+    tags=("similarity", "ann", "quantization", "ivf", "rerank",
+          "index-lifecycle", "serving", "llm"),
+    doc="Batched production ANN serving: N probe batches against one "
+        "loaded IVFADC index in a single plan — routing, LUT build, "
+        "candidate join and rerank run once over the batch union, so "
+        "the lifecycle's fixed driver jobs amortize across batches "
+        "(the claim s15's per-run lifecycle pricing could not "
+        "demonstrate). Oracle is s7's SQL with the probe predicate "
+        "widened to the batch union and batch_id projected out.",
+    gate=False,
+)
+def s16_ivfadc_batched_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.ann_index.ivfadc_query_rerank — one serve call over
+    the union of _S16_BATCHES disjoint probe batches; batch_id is a
+    projection of the disjoint id ranges, never a join key, so the plan
+    is exactly s15's serve shape at 3× the query rows."""
+    from medvedi_spark.operators import ann_index
+    from medvedi_spark.queries.compat_ops import _fmt_tmp
+
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = emb.filter(F.col("vec_id") < _S6_COARSE).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    cent = _trained_codebook(spark, sf_dir)
+    path = _fmt_tmp(sf_dir, "s16idx")
+    ann_index.ivfadc_save(
+        emb, coarse, cent, "vec_id", "embedding", path,
+        n_subspaces=_PQ_SUBS, n_codes=_PQ_K, store_vectors=True,
+    )
+    idx = ann_index.ivfadc_load(spark, path)
+    batches = emb.filter(F.col("vec_id") < _S16_BATCHES * _S5_PROBES)
+    served = ann_index.ivfadc_query_rerank(
+        idx, batches, "vec_id", "embedding",
+        k=_S5_K, shortlist=_S7_SHORTLIST, nprobe=_S6_NPROBE,
+    )
+    return served.select(
+        F.floor(F.col("query_id") / _S5_PROBES).cast("long").alias("batch_id"),
+        "query_id", "neighbor_id", "rank", "d2",
     )
 
 

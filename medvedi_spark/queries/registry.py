@@ -318,8 +318,60 @@ GATE_ROTATION_R9 = frozenset(
     }
 )
 
+# Round-10 gate rotation (VERDICT r9 directive #1). R10 gates:
+# - st18 in its promised priority slot (the one query with no driver
+#   row — closes cumulative coverage at 145/145) and s16 (NEW: batched
+#   serving against one loaded index, directive #6);
+# - every query whose code or oracle changed in r10: the Jaccard
+#   prefix-tier AQE-coalescing pin (directive #2) reaches d2/d6/d7 via
+#   the shared router; the Bloom broadcast-bits provider + 2^28 cap with
+#   lockstep oracle msize CTEs (directive #3) reaches d14/st14 (word
+#   filter) and st16/st17/st18 (span filter); the ANN serve routing
+#   size-guard (directive #4) reaches s11/s12/s15;
+# - the verdict-named stale set d3/d4/d5/q6/q7 (d6 already in via the
+#   router change) and the r6-stale quartet c11/d10/m5/q27;
+# - 29 fills from the r7-stale set, ceding 15 slots with families still
+#   in-window: c12/c13 (mdf surface via c11), m7 (m-family via m5), p9
+#   (BPE via p8), p10 (p-family via p8/p11), q15/q36/q38 (agg-shape
+#   family via q41/q42), q37/q39 (window family via q41), s5/s8 (ADC
+#   family via s6/s7), st1/st4 (stream-window family via st2), st8
+#   (stream-static join exercised harder by in-gate st14/st16/st18).
+# After this round no query's newest driver-green is older than r7.
+# Membership OVERRIDES the per-registration ``gate=`` flag.
+GATE_ROTATION_R10 = frozenset(
+    {
+        # priority slots
+        "st18_stream_substring_removal", "s16_ivfadc_batched_serve",
+        # code/oracle changed in r10 — re-prove through the driver
+        "d2_token_jaccard", "d6_dedup_clusters", "d7_ngram_jaccard",
+        "d14_bloom_decontaminate", "st14_stream_decontaminate",
+        "st16_stream_span_flag", "st17_stream_dedup_ingest",
+        "s11_ivf_sq8_index", "s12_ivfadc_index", "s15_ivfadc_index_rerank",
+        # verdict-named stale + r6-stale
+        "d3_minhash_lsh", "d4_simhash", "d5_embedding_neardup",
+        "q6_dedup_keep_first", "q7_duplicated_pairs",
+        "c11_mdf_dedup_pipeline", "d10_semantic_dedup",
+        "m5_audio_fingerprint_dedup", "q27_sql_shipping_priority",
+        # r7-stale fills
+        "c14_csv_roundtrip", "c15_json_roundtrip", "c16_orc_roundtrip",
+        "c17_upsert_merge", "c18_bucketed_join", "c19_partition_pruned_scan",
+        "c20_schema_evolution",
+        "d13_repeated_block_removal", "d17_fuzzy_dedup_ingest",
+        "p8_bpe_merges", "p11_split_leakage",
+        "q17_asof_join", "q32_array_roundtrip", "q33_datetime_surface",
+        "q34_string_surface", "q40_salted_skew_join",
+        "q41_range_frame_window", "q42_grouping_sets",
+        "s6_ivfadc_topk", "s7_ivfadc_rerank",
+        "st2_session_window", "st5_watermark_append", "st6_stateful_counter",
+        "st7_stream_stream_join", "st9_stream_ingest",
+        "st11_watermarked_dedup", "st12_stream_outer_join",
+        "st13_stream_index_ingest",
+        "t11_rake_keywords",
+    }
+)
+
 # The active rotation (tests reference this alias, not the round name).
-GATE_ROTATION = GATE_ROTATION_R9
+GATE_ROTATION = GATE_ROTATION_R10
 
 
 @dataclass

@@ -23,7 +23,12 @@ def _cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
-def get_spark(app_name: str = "medvedi-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "medvedi-spark",
+    *,
+    shuffle_partitions: int | None = None,
+    ui: bool = False,
+) -> SparkSession:
     """Create (or fetch) the tuned SparkSession.
 
     The config is scale-first:
@@ -55,7 +60,7 @@ def get_spark(app_name: str = "medvedi-spark", *, shuffle_partitions: int | None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", str(ui).lower())  # probes read stage facts from the UI REST API
         .config("spark.sql.ansi.enabled", "false")
         # Earlier testdata generations stored events.ts as TIMESTAMP(NANOS),
         # which Spark's parquet reader rejects; keep the long fallback so the

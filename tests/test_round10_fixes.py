@@ -248,3 +248,89 @@ def test_dataset_fingerprint_follows_symlinked_partitions(tmp_path):
     # symlink cycles terminate (visited-inode guard)
     os.symlink(ds, ds / "loop", target_is_directory=True)
     dataset_fingerprint(str(ds))
+
+
+# --------------------------------------------------------------------------
+# directive #2 — Jaccard prefix-tier AQE-coalescing pin
+# --------------------------------------------------------------------------
+
+
+def _prefix_corpus(spark, n_docs=120):
+    # vocab > 4096 distinct tokens forces the prefix tier (sparse sets)
+    rows = [
+        (i, " ".join(f"tok{(i * 37 + j * 5) % 6000}" for j in range(18)))
+        for i in range(n_docs)
+    ] + [(n_docs + i, " ".join(f"tok{(i * 37 + j * 5) % 6000}" for j in range(18)))
+         for i in range(6)]  # exact dups → jaccard 1.0 pairs exist
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_prefix_pin_output_invariant(spark):
+    """The pin only moves exchange placement — pinned and unpinned
+    prefix plans must emit identical pair sets."""
+    docs = _prefix_corpus(spark)
+    saved = ops._VERIFY_PIN_MIN_PAIRS
+
+    def _pairs():
+        res = ops.token_jaccard_pairs(docs, "doc_id", "text", threshold=0.95)
+        return sorted(map(tuple, res.collect()))
+
+    try:
+        ops._VERIFY_PIN_MIN_PAIRS = 0  # force the pin
+        pinned = _pairs()
+        ops._VERIFY_PIN_MIN_PAIRS = float("inf")  # r9 plan
+        unpinned = _pairs()
+    finally:
+        ops._VERIFY_PIN_MIN_PAIRS = saved
+    assert pinned == unpinned and len(pinned) >= 6
+
+
+def test_jaccard_prefix_pin_plan_shape(spark):
+    """Pinned: the expansion/verify exchanges are user REPARTITION_BY_NUM
+    (AQE-coalesce-exempt). Unpinned: no such exchange in the plan."""
+    docs = _prefix_corpus(spark)
+    saved = ops._VERIFY_PIN_MIN_PAIRS
+
+    def _plan():
+        df = ops.token_jaccard_pairs(docs, "doc_id", "text", threshold=0.95)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        ops._VERIFY_PIN_MIN_PAIRS = 0
+        assert "REPARTITION_BY_NUM" in _plan()
+        ops._VERIFY_PIN_MIN_PAIRS = float("inf")
+        assert "REPARTITION_BY_NUM" not in _plan()
+    finally:
+        ops._VERIFY_PIN_MIN_PAIRS = saved
+
+
+# --------------------------------------------------------------------------
+# directive #6 — batched serving (s16)
+# --------------------------------------------------------------------------
+
+
+def test_s16_batched_serve_structure(spark, sf_dir):
+    """One serve plan over the batch union: every batch present, k rows
+    per (batch, query), batch_id a pure projection of the id ranges."""
+    from medvedi_spark.queries import registry
+    from medvedi_spark.queries.llm_ops import _S5_K, _S5_PROBES, _S16_BATCHES
+
+    registry._ensure_loaded()
+    out = registry.QUERIES["s16_ivfadc_batched_serve"].builder(spark, sf_dir)
+    rows = out.collect()
+    assert {r["batch_id"] for r in rows} == set(range(_S16_BATCHES))
+    per_q: dict = {}
+    for r in rows:
+        assert r["batch_id"] == r["query_id"] // _S5_PROBES
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(per_q) == _S16_BATCHES * _S5_PROBES
+    assert all(sorted(v) == list(range(1, _S5_K + 1)) for v in per_q.values())
+
+
+def test_r10_rotation_priority_slots():
+    """st18 (the one never-driver-gated query) and s16 (new) must hold
+    gate slots this round — VERDICT r9 directive #1."""
+    from medvedi_spark.queries.registry import GATE_ROTATION
+
+    assert "st18_stream_substring_removal" in GATE_ROTATION
+    assert "s16_ivfadc_batched_serve" in GATE_ROTATION

@@ -35,8 +35,20 @@ def compare(cur_path: str, old_path: str) -> None:
     """Round-over-round totals, drift-gated by the control anchor."""
     def _load(p: str) -> dict:
         d = json.load(open(p))
-        # driver-recorded BENCH_r*.json wraps the emitted line in 'parsed'
-        return d.get("parsed", d)
+        # driver-recorded BENCH_r*.json wraps the emitted line in
+        # 'parsed' (summary fields only) plus a front-truncated 'tail'
+        # of the raw line; recover the per-query rows from the tail so
+        # the streaming table below works against driver ledgers too.
+        out = d.get("parsed", d)
+        if "queries" not in out and isinstance(d.get("tail"), str):
+            import re
+
+            _ensure_loaded()
+            pairs = re.findall(r'"([a-z][a-z0-9_]+)":\s*([0-9.]+)', d["tail"])
+            q = {k: float(v) for k, v in pairs if k in QUERIES}
+            if q:
+                out = dict(out, queries=q)
+        return out
 
     cur, old = _load(cur_path), _load(old_path)
     for label, b, p in (("current", cur, cur_path), ("baseline", old, old_path)):
@@ -79,6 +91,17 @@ def compare(cur_path: str, old_path: str) -> None:
         if st_pq is not None:
             print(f"streaming shared-rows ratio: {st_pq:.3f}; "
                   f"stream-anchor-normalized: {st_pq / sctl:.3f}")
+        # Per-query streaming table (VERDICT r9 directive #8): every
+        # shared st* row with its raw and stream-anchor-normalized
+        # ratio, so round verdicts can quote code-attributable streaming
+        # movers directly instead of re-deriving them from the tails.
+        if shared:
+            print("\n| query | cur s | old s | raw | stream-norm |")
+            print("|---|---|---|---|---|")
+            for k in shared:
+                r = st_cur[k] / st_old[k] if st_old[k] else float("inf")
+                print(f"| {k} | {st_cur[k]:.2f} | {st_old[k]:.2f} "
+                      f"| {r:.2f} | {r / sctl:.2f} |")
     elif st_cur:
         print("(no stream_control_sec in one ledger — streaming rows can only "
               "be batch-anchor-normalized; re-bench both sides to attribute "

@@ -70,6 +70,10 @@ PROBE_OPS = (
     "s14_hamming_topk",
     "p11_split_leakage",
     "d18_exact_substring_removal",
+    # round-10 additions (VERDICT r9 directive #5: the only 9-10
+    # exchange plans never scale-probed)
+    "d4_simhash",
+    "d12_gram_containment",
 )
 
 BASE_DOCS = 5_000  # sf0.1-sized
