@@ -1130,25 +1130,24 @@ def _bloom_block_bit(digest: Column, i: int) -> Column:
 #: auto-size clamp for :func:`bloom_auto_m_bits` — floor keeps tiny eval
 #: sets on the historical 8 KB default; the cap (2^28 bits = 32 MiB of
 #: longs) bounds the bitmap model state a session holds and ships. The
-#: cap was 2^26 through r9 because the bitmap rode the plan as ONE
-#: split-string literal (~20 MB of SQL text at 2^26 — the real binder,
-#: VERDICT r9 "what's wrong" #2); past `_BLOOM_LITERAL_MAX_WORDS` the
-#: bitmap now ships as a BROADCAST one-row array instead
-#: (:func:`_bloom_bits_source`), so the cap moved to the broadcast
-#: budget: 32 MiB of longs — the same ~32 MB routing discipline every
-#: other broadcast in the tree follows.
+#: cap was 2^26 through r9 on the belief that the split-string plan
+#: literal's SQL text was the binder past that; round-10 MEASURED the
+#: alternatives (BLOOM150_r10.json + the litbench matrix in BASELINE):
+#: the literal's real per-action cost is fold + JavaSerializer boxing of
+#: the folded GenericArrayData into the task closure — ~1 s at 2^17
+#: words, ~7-15 s at 2^21, LINEAR in words and INDEPENDENT of rows —
+#: while every attribute-bound alternative (broadcast one-row array
+#: join, scalar subquery materialized to a column) inlines the full
+#: bitmap into EVERY row at the interpreted-HOF boundary (measured 570 s
+#: vs ~90 s expected at the 150× probe; scalar subqueries are outright
+#: illegal inside higher-order functions). The literal is therefore the
+#: right plan at every size: corpora large enough to want 2^21+ words
+#: run kernels that dwarf the fixed per-action cost. Cap raised to 2^28
+#: = 2^22 words ≈ 30 s/action worst-case — acceptable against the
+#: corpus scans such a filter implies, and the FP warning path stays for
+#: anything larger.
 _BLOOM_M_FLOOR = 1 << 16
 _BLOOM_M_CAP = 1 << 28
-
-#: largest bitmap still shipped as a constant-folded plan literal
-#: (2^17 words = 2^23 bits = 1 MiB of longs ≈ 2.6 MB of SQL text).
-#: Below: the literal wins — zero extra plan nodes, constant-folded
-#: once. Above: the split-string literal itself becomes the binder
-#: (parse + fold + ship ~20 MB of SQL text per plan at the old 2^26
-#: cap), so the bitmap rides a broadcast one-row array joined on a
-#: constant key — a stream-static inner equi-join, legal in Structured
-#: Streaming plans (st14/st16/st18 use the same code path).
-_BLOOM_LITERAL_MAX_WORDS = 1 << 17
 
 
 def bloom_auto_m_bits(n_grams: int, k_hashes: int = 3) -> int:
@@ -1233,38 +1232,27 @@ def bits_array_expr(words: list[int]) -> Column:
 def _bloom_bits_source(df: DataFrame, words: list[int]) -> tuple[DataFrame, Column]:
     """Attach a Bloom bitmap to ``df`` and return ``(df', bits_col)``.
 
-    SIZE-ROUTED (VERDICT r9 directive #3 — the 2^26 literal cap): up to
-    ``_BLOOM_LITERAL_MAX_WORDS`` the bitmap rides the plan as the
-    constant-folded split-string literal (:func:`bits_array_expr` — zero
-    extra plan nodes). Past that, the literal's ~20 MB of SQL text is
-    itself the binder, so the bitmap ships ONCE as a broadcast one-row
-    ``array<bigint>`` joined on a constant key — a broadcast hash join
-    whose build side is the 8 B/word bitmap, i.e. the executor cost the
-    literal already paid, minus the parse/fold/ship of the giant plan
-    string. The join is a stream-static INNER EQUI-join, so the same
-    plan stays legal when ``df`` is a readStream frame (st14/st16/st18).
+    Always the constant-folded split-string LITERAL
+    (:func:`bits_array_expr`), at every size up to the 2^28 cap. This
+    round's directive #3 first shipped a broadcast one-row-array join
+    for bitmaps past 2^17 words — and the 150× probe then measured it at
+    570 s where the literal extrapolates to ~90 s: an attribute-bound
+    array column is INLINED into every row's UnsafeRow at the
+    interpreted-HOF boundary (the bloom kernels are CodegenFallback
+    lambdas, so the stage materializes rows; 750k docs × 16 MB of
+    copies = the whole wall). A scalar subquery avoids the join but is
+    illegal inside higher-order functions
+    (UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.HIGHER_ORDER_FUNCTION),
+    and materializing it to a column re-creates the same per-row copy.
+    A folded Literal is the ONLY attachment whose value is one shared
+    instance per task — its cost is fold + closure-serialization of the
+    boxed array, ~1 s at 2^17 words and ~7-15 s at 2^21, linear in
+    words, independent of rows (measured matrix in BASELINE r10).
 
-    Callers attach at the LAST possible stage (right before the
-    word-fetch projection) so the bits column never rides intermediate
-    projections it isn't used in."""
-    if len(words) <= _BLOOM_LITERAL_MAX_WORDS:
-        return df, bits_array_expr(words)
-    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
-
-    spark = df.sparkSession
-    schema = StructType(
-        [
-            StructField("__bloom_key__", IntegerType(), False),
-            StructField("__bloom_bits__", ArrayType(LongType(), False), False),
-        ]
-    )
-    bits_df = spark.createDataFrame([(1, list(words))], schema)
-    joined = (
-        df.withColumn("__bloom_key__", F.lit(1))
-        .join(F.broadcast(bits_df), "__bloom_key__")
-        .drop("__bloom_key__")
-    )
-    return joined, F.col("__bloom_bits__")
+    Kept as a seam (and for the r10 test that pins this decision): the
+    signature still returns a possibly-augmented ``df`` so a future
+    zero-copy attachment can slot in without touching the kernels."""
+    return df, bits_array_expr(words)
 
 
 def _collect_bitmap_words(pos: DataFrame, m_bits: int) -> list[int]:
@@ -1411,9 +1399,8 @@ def bloom_flag(
         .select("doc_id", grams.alias("__g__"))
         .select("doc_id", digests.alias("__dg__"))
     )
-    # bitmap attach is size-routed: plan literal below the cap, broadcast
-    # one-row array above it (the attach sits right before the word
-    # fetch, the bits column's only consumer)
+    # bitmap attach (plan literal — see _bloom_bits_source) sits right
+    # before the word fetch, the bits column's only consumer
     staged, bits = _bloom_bits_source(staged, bitmap_words)
     word_of = F.transform(
         F.col("__dg__"),
@@ -2889,8 +2876,9 @@ def bloom_span_flag(
         .select("doc_id", grams.alias("__g__"))
         .select("doc_id", digests.alias("__dg__"))
     )
-    # size-routed bitmap attach: plan literal below _BLOOM_LITERAL_MAX_WORDS,
-    # broadcast one-row array above (streaming-legal stream-static join)
+    # bitmap attach: always the constant-folded plan literal (see
+    # _bloom_bits_source — attribute-bound arrays inline per row at the
+    # interpreted-HOF boundary)
     staged, bits = _bloom_bits_source(staged, bitmap_words)
     word_of = F.transform(
         F.col("__dg__"),
@@ -3021,7 +3009,7 @@ def bloom_span_remove(
         .select("doc_id", "__t__", grams.alias("__g__"))
         .select("doc_id", "__t__", digests.alias("__dg__"))
     )
-    # size-routed bitmap attach (see _bloom_bits_source)
+    # bitmap attach (plan literal — see _bloom_bits_source)
     staged, bits = _bloom_bits_source(staged, bitmap_words)
     word_of = F.transform(
         F.col("__dg__"),

@@ -1,10 +1,12 @@
 """Round-10 directive tests.
 
 Covers (VERDICT r9 "Next round"):
-#3 Bloom 2^26 literal-cap lift — broadcast one-row bits provider above
-   ``_BLOOM_LITERAL_MAX_WORDS``, hash-equal to the literal path, legal in
-   streaming plans; cap raised to 2^28 with the oracle msize CTEs moved
-   in lockstep.
+#3 Bloom 2^26 cap lift — cap raised to 2^28 with the oracle msize CTEs
+   moved in lockstep; the bitmap attach stays a constant-folded plan
+   LITERAL at every size (the broadcast one-row-array arm shipped first
+   was measured inlining the bitmap into every row at the
+   interpreted-HOF boundary — 570 s vs ~90 s at the 150× probe — and
+   reverted; _bloom_bits_source pins the decision).
 #4 ANN serve routing size-guard — bulk-probe path (shuffled cell-join)
    bit-equal to the collected/broadcast path; static partition pruning
    survives both modes.
@@ -32,41 +34,44 @@ def _docs(spark, n=40):
 
 
 # --------------------------------------------------------------------------
-# directive #3 — Bloom broadcast bits provider
+# directive #3 — Bloom bitmap attach past the old 2^26-era threshold
 # --------------------------------------------------------------------------
 
+#: 2^23 bits = 2^17 words — 2× past the threshold where r10's first
+#: (reverted) design switched to a broadcast join; the literal must
+#: stay correct and join-free here
+_BIG_M = 1 << 24
 
-def test_bloom_flag_broadcast_equals_literal(spark):
-    """Forced above _BLOOM_LITERAL_MAX_WORDS the bitmap ships as a
-    broadcast one-row array; output must be bit-equal to the plan-literal
-    path at the same m_bits."""
+
+def test_bloom_flag_large_m_literal_and_joinless(spark):
+    """A bitmap 2× past the old threshold still rides the plan as a
+    constant-folded literal: correct output, and NO join node in the
+    plan (the reverted broadcast arm added a BroadcastHashJoin whose
+    per-row bitmap inlining was the 150×-probe regression)."""
     docs = _docs(spark)
     ev = docs.filter("doc_id % 10 = 0")
-    big_m = (ops._BLOOM_LITERAL_MAX_WORDS * 64) * 2  # 2x past the literal cap
-    words, _ = ops.bloom_fit(ev, "text", n=4, m_bits=big_m)
-    assert len(words) > ops._BLOOM_LITERAL_MAX_WORDS
-    bc = ops.bloom_flag(docs, "doc_id", "text", words, big_m, n=4).orderBy("doc_id").collect()
-    saved = ops._BLOOM_LITERAL_MAX_WORDS
-    try:
-        ops._BLOOM_LITERAL_MAX_WORDS = 1 << 30  # force the literal path
-        lit = ops.bloom_flag(docs, "doc_id", "text", words, big_m, n=4).orderBy("doc_id").collect()
-    finally:
-        ops._BLOOM_LITERAL_MAX_WORDS = saved
-    assert [r.asDict() for r in bc] == [r.asDict() for r in lit]
-    assert len(bc) > 0  # contaminated docs exist by construction
+    words, _ = ops.bloom_fit(ev, "text", n=4, m_bits=_BIG_M)
+    out = ops.bloom_flag(docs, "doc_id", "text", words, _BIG_M, n=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    rows = out.orderBy("doc_id").collect()
+    assert len(rows) > 0
+    # every eval doc is flagged (its own grams are all in the filter);
+    # neighbors may flag too — overlapping windows share real grams
+    flagged = {r["doc_id"] for r in rows}
+    assert {i for i in range(40) if i % 10 == 0} <= flagged
 
 
-def test_bloom_span_flag_broadcast_streaming_legal(spark, sf_dir):
-    """The broadcast bits provider is a stream-static inner equi-join —
-    the st16/st18 plans stay legal on a readStream frame and match the
-    batch run row-for-row."""
+def test_bloom_span_flag_large_m_streaming_legal(spark, sf_dir):
+    """The literal attach keeps the st16/st18 plans legal on a
+    readStream frame at large m and matching the batch run
+    row-for-row."""
     from medvedi_spark.catalog import load
     from medvedi_spark.queries.stream_ops import _read_documents_stream, run_to_memory
 
     docs = load(spark, sf_dir, "documents")
-    big_m = (ops._BLOOM_LITERAL_MAX_WORDS * 64) * 2
-    words, m = ops.span_bloom_fit(docs, "doc_id", "text", k_gram=20, m_bits=big_m)
-    assert len(words) > ops._BLOOM_LITERAL_MAX_WORDS
+    words, m = ops.span_bloom_fit(docs, "doc_id", "text", k_gram=20, m_bits=_BIG_M)
+    assert m == _BIG_M
     stream = _read_documents_stream(spark, sf_dir)
     got = run_to_memory(
         ops.bloom_span_flag(stream, "doc_id", "text", words, m, k_gram=20),
@@ -86,8 +91,8 @@ def test_bloom_span_flag_broadcast_streaming_legal(spark, sf_dir):
 
 
 def test_bloom_auto_m_cap_is_2_28():
-    """The cap moved 2^26 → 2^28 with the broadcast provider (the
-    split-string literal was the old binder). The oracle msize CTEs in
+    """The cap moved 2^26 → 2^28 (the old cap guarded a literal-parse
+    cost that measurement attributed elsewhere). The oracle msize CTEs in
     llm_ops/stream_ops carry the same constant — grep-pinned here so the
     two can't drift apart."""
     assert ops._BLOOM_M_CAP == 1 << 28

@@ -39,6 +39,7 @@ SKIP_QUERIES = frozenset(
         # write the saved index, and their serving-plan facts (no training
         # stages, partition-pruned scan) are pinned by tests/test_ann_index
         "s11_ivf_sq8_index", "s12_ivfadc_index", "s15_ivfadc_index_rerank",
+        "s16_ivfadc_batched_serve",
         # writes the dedup signature index; ingest-plan facts pinned by
         # tests/test_round7_fixes
         "d17_fuzzy_dedup_ingest",

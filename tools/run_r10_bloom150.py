@@ -6,7 +6,10 @@ Through r9 the bitmap rode the plan as ONE split-string literal, so
 `bloom_auto_m_bits` clamped at 2^26 bits — and the 100× corpus landed
 EXACTLY at the cap (47% fill); any larger corpus warned and ran with an
 elevated FP rate. r10 ships the bitmap as a broadcast one-row array
-past `_BLOOM_LITERAL_MAX_WORDS`, cap now 2^28 (broadcast budget).
+r10 first tried a broadcast one-row array past 2^17 words; this probe
+measured that arm at 570 s (per-row bitmap inlining at the interpreted-
+HOF boundary) and the design reverted to the plan literal at EVERY size,
+cap now 2^28.
 
 This probe runs the BATCH kernel of st18 (span_bloom_fit →
 bloom_span_remove — the streaming query's exact model + projection,
@@ -56,12 +59,15 @@ def main() -> None:
         "kernel": "span_bloom_fit + bloom_span_remove (st18's batch kernel)",
         "caps": {
             "m_cap_bits": llm._BLOOM_M_CAP,
-            "literal_max_words": llm._BLOOM_LITERAL_MAX_WORDS,
         },
         "sizes": {},
     }
     for f, d in dirs.items():
-        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        # probe corpora are single-row-group parquet — without an
+        # explicit fan-out the whole explode/agg pipeline up to the
+        # first shuffle runs in ONE task (the established probe-harness
+        # discipline: repartition both sizes identically)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet")).repartition(32)
         release_persisted()
         spark.catalog.clearCache()
         t0 = time.perf_counter()
@@ -79,7 +85,7 @@ def main() -> None:
         report["sizes"][f"x{f}"] = {
             "m_bits": m_bits,
             "m_words": len(words),
-            "attach_path": "literal" if len(words) <= llm._BLOOM_LITERAL_MAX_WORDS else "broadcast",
+            "attach_path": "literal",
             "cap_warning_fired": bool(warned),
             "warnings": warned,
             "nonzero_word_frac": round(set_words / max(len(words), 1), 4),

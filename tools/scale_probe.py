@@ -311,22 +311,28 @@ def probe(
             # statistics, not just broadcast→shuffle: the r9 fat-posting
             # arm routes a small fat corpus to the wide tier (which
             # carries a designed, broadcast-capped BNLJ for the distinct-
-            # mask compare) while the larger corpus keeps prefix. The
-            # benign DIRECTION is the larger size on the MORE
-            # conservative plan: no new python UDFs, no MORE nested-loop
-            # joins, and at least as many exchanges/shuffle-joins at
-            # scale as at 1× (ADVICE r9: without the exchange direction,
-            # a non-tier regression on d2/d7 that kept pyudf/bnlj flat —
-            # e.g. a lost broadcast replaced by extra exchanges in a
-            # non-router stage — was filed under adaptive_flips; every
-            # DESIGNED flip in the router moves bitset/broadcast →
-            # wide_shuffled/prefix, which only ADDS exchanges).
+            # mask compare) while the larger corpus keeps prefix — a
+            # flip that REMOVES exchanges at scale, so ADVICE r9's
+            # conservative exchange-direction condition misfiled it
+            # (observed: this round's 10× run, wide x1 exch 20 → prefix
+            # x10 exch 10). ADVICE's option 2 instead: a flip is benign
+            # only when the at-scale plan LANDS ON a known router-tier
+            # signature — pyudf/bnlj never grow at scale AND the larger
+            # size is either the prefix tier's shape (no BNLJ, no
+            # shuffle-join: its joins are equi-joins AQE may broadcast;
+            # a lost broadcast inside it would surface as shuffle_joins
+            # > 0 and fall off the signature) or the broadcast→shuffled
+            # conservative direction (shuffle-joins and exchanges both
+            # grew — the wide_shuffled fallback).
+            lands_prefix = fN["bnlj"] == 0 and fN["shuffle_joins"] == 0
+            conservative = (
+                fN["shuffle_joins"] >= f1["shuffle_joins"] and fN["exch"] >= f1["exch"]
+            )
             tier_flip = (
                 name in TIER_ROUTED_OPS
                 and fN["pyudf"] <= f1["pyudf"]
                 and fN["bnlj"] <= f1["bnlj"]
-                and fN["shuffle_joins"] >= f1["shuffle_joins"]
-                and fN["exch"] >= f1["exch"]
+                and (lands_prefix or conservative)
             )
             bucket = "adaptive_flips" if (benign or tier_flip) else "violations"
             entry_rec = {"op": name, "kind": "plan_facts_changed", "x1": f1, f"x{factor}": fN}
