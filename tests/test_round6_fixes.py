@@ -21,9 +21,11 @@ from medvedi_spark.operators import llm
 
 def test_bloom_auto_m_bits_formula():
     """Exact integer inversion of m = n·k/ln2, next power of two,
-    clamped to [2^16, 2^26] — the values the DuckDB msize CTE replays
-    (parity of power(2,length(bin(q))) vs 1 << q.bit_length() was
-    verified over 0..10^7 grams when the oracle was authored)."""
+    clamped to [2^16, _BLOOM_M_CAP] — the values the DuckDB msize CTE
+    replays (parity of power(2,length(bin(q))) vs 1 << q.bit_length()
+    was verified over 0..10^7 grams when the oracle was authored).
+    The cap moved 2^26 → 2^28 in round 10 (literal-attach cost matrix
+    in BLOOM150_r10.json); the formula below the cap is unchanged."""
     # floor: tiny eval sets stay on the historical 8 KB default
     assert llm.bloom_auto_m_bits(0) == 1 << 16
     assert llm.bloom_auto_m_bits(1000) == 1 << 16
@@ -34,7 +36,7 @@ def test_bloom_auto_m_bits_formula():
     # cap, with a warning (saturation = silent pass-everything prefilter)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        assert llm.bloom_auto_m_bits(100_000_000) == 1 << 26
+        assert llm.bloom_auto_m_bits(10**9) == llm._BLOOM_M_CAP
     assert any("cap" in str(x.message) for x in w)
     # no warning under the cap
     with warnings.catch_warnings(record=True) as w:
