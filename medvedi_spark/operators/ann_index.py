@@ -36,6 +36,7 @@ the ~32 MB routing budget, shuffled cell-join for bulk probe batches
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
@@ -75,6 +76,39 @@ __all__ = [
 _ROUTING_BROADCAST_BUDGET = 32 << 20
 
 
+def _read_pinned(spark: SparkSession, path: str, schema_json: str | None) -> DataFrame:
+    """Open parquet with the schema PINNED from the writer's own
+    ``df.schema.json()`` (carried in the index ``meta.json``): Spark
+    then skips the footer/partition schema-inference job every plain
+    ``read.parquet`` pays (measured: load of a 4-artifact index = 3-4
+    driver jobs for a supposedly lazy open — guide §5, the driver should
+    do almost no work). Partition columns (``cell``) are part of the
+    pinned schema; their directory values parse directly to the pinned
+    type. Falls back to inference when the writer predates the pin."""
+    if not schema_json:
+        return spark.read.parquet(path)
+    from pyspark.sql.types import StructType
+
+    return spark.read.schema(StructType.fromJson(json.loads(schema_json))).parquet(path)
+
+
+def _parallel_writes(*writes) -> None:
+    """Run independent write jobs concurrently from a small driver
+    thread pool (guide §2.6: actions are only sequential because driver
+    code calls them sequentially; concurrent jobs back-fill executors
+    freed by each other's task tails). Sized to the job count — these
+    are 2-4 independent artifact writes, never a wide fan-out. Any
+    failure propagates (``result()`` re-raises)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(writes) == 1:
+        writes[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()
+
+
 def _serve_candidates(
     codes: DataFrame,
     routed: DataFrame,
@@ -106,23 +140,44 @@ def _serve_candidates(
 
     Returns ``(candidates, probed_cells)``: codes ⋈ routed on cell with
     ``vec_id`` renamed ``neighbor_id``, plus the sorted cell list (the
-    rerank stage reuses it to prune the ``vectors/`` scan)."""
+    rerank stage reuses it to prune the ``vectors/`` scan).
+
+    Round-10 (guide §1/§5 — the serve phase measured as 16 sequential
+    driver jobs at sf0.1, ~half the wall spent in planning gaps between
+    them): the old shape paid TWO collect round-trips — a per-cell
+    aggregate to size-route, then the payload collect. Now ONE
+    ``limit(budget_rows + 1).collect()`` both detects the budget and, in
+    the common under-budget case, IS the payload (a limit that returned
+    ≤ budget_rows rows returned the complete result, so broadcasting the
+    collected rows is bit-identical to collecting without the limit);
+    the cell set is derived from the same rows. Only the bulk-probe
+    fallback still runs the bounded distinct-cell aggregate — there the
+    extra probe-batch-sized routing pass is noise against the
+    corpus-scale candidate join it guards."""
     from medvedi_spark.operators._persist import persist_tracked
 
-    # probe_cells is consumed twice (the cell-set aggregate below AND
-    # the routed join's lineage) — persist it or the coarse-routing
-    # ranking runs twice per serve (+~0.8 s on every lifecycle query at
-    # sf0.1 when this landed unpersisted). queries × nprobe rows of
-    # (query_id, cell): bounded, cache-safe in bulk mode too.
+    budget_rows = _ROUTING_BROADCAST_BUDGET // max(1, payload_bytes_per_row)
+    if budget_rows >= 1:
+        head = routed.limit(budget_rows + 1).collect()
+        if len(head) <= budget_rows:
+            # limit did not truncate: `head` is the COMPLETE routed table.
+            # Cells derived from it equal the probe_cells cell set for the
+            # candidate join's purposes (cand ⊆ codes ⋈ routed cells).
+            cells = sorted({r["cell"] for r in head})
+            cell_filter = F.col("cell").isin(cells) if cells else F.lit(False)
+            cand = codes.filter(cell_filter).withColumnRenamed("vec_id", "neighbor_id")
+            routed_small = spark.createDataFrame(head, schema=routed.schema)
+            return cand.join(F.broadcast(routed_small), "cell"), cells
+    # bulk-probe: the routing payload stays DISTRIBUTED (nothing
+    # batch-proportional reaches the driver); only the codebook-bounded
+    # cell set is collected. probe_cells is consumed twice here (the
+    # distinct below and the routed join's lineage), so persist it.
     probe_cells = persist_tracked(probe_cells)
-    per_cell = probe_cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-    cells = sorted(r["cell"] for r in per_cell)
-    n_routed = sum(r["n"] for r in per_cell)
+    cells = sorted(
+        r["cell"] for r in probe_cells.select("cell").distinct().collect()
+    )
     cell_filter = F.col("cell").isin(cells) if cells else F.lit(False)
     cand = codes.filter(cell_filter).withColumnRenamed("vec_id", "neighbor_id")
-    if n_routed * payload_bytes_per_row <= _ROUTING_BROADCAST_BUDGET:
-        routed_small = spark.createDataFrame(routed.collect(), schema=routed.schema)
-        return cand.join(F.broadcast(routed_small), "cell"), cells
     return cand.join(routed, "cell"), cells
 
 
@@ -169,23 +224,50 @@ def ivf_sq8_save(
     """Build and persist the index under ``path``: ``codes/`` parquet
     PARTITIONED BY cell (the inverted lists as directories — query-time
     cell restriction partition-prunes the scan), ``ranges/`` and
-    ``centroids/`` as plain parquet model state. Overwrites."""
+    ``centroids/`` as plain parquet model state. Overwrites.
+
+    The three writes are INDEPENDENT jobs, so they run from a small
+    driver thread pool (guide §2.6): the model-state writes back-fill
+    executor capacity the codes write's tail leaves idle instead of
+    paying three sequential job latencies."""
     idx = ivf_sq8_build(emb, coarse_centroids, id_col, vec_col)
-    idx.codes.write.mode("overwrite").partitionBy("cell").parquet(os.path.join(path, "codes"))
-    idx.ranges.write.mode("overwrite").parquet(os.path.join(path, "ranges"))
-    idx.centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    _parallel_writes(
+        lambda: idx.codes.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "codes")
+        ),
+        lambda: idx.ranges.write.mode("overwrite").parquet(os.path.join(path, "ranges")),
+        lambda: idx.centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids")),
+    )
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "schemas": {
+                    "codes": idx.codes.schema.json(),
+                    "ranges": idx.ranges.schema.json(),
+                    "centroids": idx.centroids.schema.json(),
+                }
+            },
+            fh,
+        )
     return path
 
 
 def ivf_sq8_load(spark: SparkSession, path: str) -> IvfSq8Index:
-    """Open a saved index. Lazy — three parquet scans, no jobs. The
-    partition column comes back type-inferred, so ``cell`` is re-cast to
-    long to match the build-side cent_id domain."""
-    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+    """Open a saved index. Lazy — three parquet scans with the schemas
+    PINNED from meta.json (no inference jobs; see :func:`_read_pinned`).
+    ``cell`` is re-cast to long to match the build-side cent_id domain
+    (a no-op under the pin, real for pre-pin indexes whose partition
+    column type-infers as int)."""
+    schemas: dict = {}
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            schemas = json.load(fh).get("schemas", {})
+    codes = _read_pinned(spark, os.path.join(path, "codes"), schemas.get("codes")).select(
         "vec_id", "codes", F.col("cell").cast("long").alias("cell")
     )
-    ranges = spark.read.parquet(os.path.join(path, "ranges"))
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    ranges = _read_pinned(spark, os.path.join(path, "ranges"), schemas.get("ranges"))
+    cents = _read_pinned(spark, os.path.join(path, "centroids"), schemas.get("centroids"))
     return IvfSq8Index(codes=codes, ranges=ranges, centroids=cents)
 
 
@@ -322,44 +404,70 @@ def ivfadc_save(
     ``IndexRefineFlat``): the refine stage then reads candidates from
     the same partition-pruned inverted-list directories — at 100 TB the
     rerank never rescans the source corpus. Overwrites."""
-    import json
-
     idx = ivfadc_build(
         emb, coarse_centroids, pq_centroids, id_col, vec_col, n_subspaces, n_codes
     )
-    idx.codes.write.mode("overwrite").partitionBy("cell").parquet(os.path.join(path, "codes"))
-    idx.pq_centroids.write.mode("overwrite").parquet(os.path.join(path, "pq_centroids"))
-    idx.centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    # The artifact writes are independent jobs — run them from a driver
+    # thread pool (guide §2.6). codes and vectors share the coarse
+    # assignment lineage; concurrently they compute it side by side
+    # instead of back to back, which is strictly less wall time.
+    writes = [
+        lambda: idx.codes.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "codes")
+        ),
+        lambda: idx.pq_centroids.write.mode("overwrite").parquet(
+            os.path.join(path, "pq_centroids")
+        ),
+        lambda: idx.centroids.write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        ),
+    ]
     if store_vectors:
-        idx.vectors.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(path, "vectors")
+        writes.append(
+            lambda: idx.vectors.write.mode("overwrite").partitionBy("cell").parquet(
+                os.path.join(path, "vectors")
+            )
         )
+    _parallel_writes(*writes)
+    schemas = {
+        "codes": idx.codes.schema.json(),
+        "pq_centroids": idx.pq_centroids.schema.json(),
+        "centroids": idx.centroids.schema.json(),
+    }
+    if store_vectors:
+        schemas["vectors"] = idx.vectors.schema.json()
     with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump({"n_subspaces": idx.n_subspaces, "n_codes": idx.n_codes}, fh)
+        json.dump(
+            {"n_subspaces": idx.n_subspaces, "n_codes": idx.n_codes, "schemas": schemas},
+            fh,
+        )
     return path
 
 
 def ivfadc_load(spark: SparkSession, path: str) -> IvfPqIndex:
-    import json
-
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+    schemas = meta.get("schemas", {})
+    codes = _read_pinned(spark, os.path.join(path, "codes"), schemas.get("codes"))
     codes = codes.select(
         *[c for c in codes.columns if c != "cell"], F.col("cell").cast("long").alias("cell")
     )
     vec_path = os.path.join(path, "vectors")
     vectors = None
     if os.path.isdir(vec_path):
-        vectors = spark.read.parquet(vec_path)
+        vectors = _read_pinned(spark, vec_path, schemas.get("vectors"))
         vectors = vectors.select(
             *[c for c in vectors.columns if c != "cell"],
             F.col("cell").cast("long").alias("cell"),
         )
     return IvfPqIndex(
         codes=codes,
-        pq_centroids=spark.read.parquet(os.path.join(path, "pq_centroids")),
-        centroids=spark.read.parquet(os.path.join(path, "centroids")),
+        pq_centroids=_read_pinned(
+            spark, os.path.join(path, "pq_centroids"), schemas.get("pq_centroids")
+        ),
+        centroids=_read_pinned(
+            spark, os.path.join(path, "centroids"), schemas.get("centroids")
+        ),
         n_subspaces=int(meta["n_subspaces"]),
         n_codes=int(meta["n_codes"]),
         vectors=vectors,

@@ -241,6 +241,19 @@ def test_multi_consumer_subplans_are_cached(spark, sf_dir):
     )
     if est > PERSIST_INPUT_CAP:
         pytest.skip(f"documents estimate {est} exceeds the persist cap — guard disables the cache")
+    # Warm the session codebook caches FIRST: when s6/s8 train cold,
+    # pq_train's own size-guarded training persist is still registered
+    # while the plan string renders, so s6's plan would show the
+    # TRAINING cache (released between queries by every real session),
+    # not a query-plan persist — an order-dependent false failure when
+    # this test runs before any other codebook consumer.
+    from medvedi_spark.queries.llm_ops import (
+        _trained_codebook,
+        _trained_residual_codebook,
+    )
+
+    _trained_codebook(spark, sf_dir)
+    _trained_residual_codebook(spark, sf_dir)
     try:
         for name, cached in (
             ("s8_ivfadc_residual", True),
