@@ -743,12 +743,23 @@ def connected_components(
     # localCheckpoint (not persist): each round's plan must TRUNCATE, or
     # the nested lineage of N rounds blows up the optimizer (observed
     # OOM at ~10 rounds on a 2k-edge graph with plain persist).
-    # materialize the edge input ONCE before symmetrizing — the unionAll
-    # references it twice, and without this the (possibly expensive)
-    # upstream plan that produced the pairs executes twice.
-    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).localCheckpoint(eager=True)
+    # Symmetrize IN-ROW (explode of the edge + its reverse) rather than
+    # via self-union: one pass over the (possibly expensive) upstream
+    # pairs plan instead of two lineage branches, which also drops the
+    # eager pre-union checkpoint that existed only to guard the double
+    # execution — one driver job fewer per dedup finisher (d6/d16/d17/
+    # st17/c11 all pay this prologue; guide §1.4/§5).
+    src, dst = F.col(a_col), F.col(b_col)
     sym = (
-        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(src.alias("src"), dst.alias("dst")),
+                    F.struct(dst.alias("src"), src.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
