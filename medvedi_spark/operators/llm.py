@@ -3575,7 +3575,14 @@ def jl_topk(
     """
     signs = jl_sign_matrix(dim, out_dim)
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    proj = e.select("vec_id", jl_project("embedding", signs).alias("yproj"))
+    # corpus projection IS fanned out (_fan_out_narrow): the out_dim
+    # decimal aggregate HOFs are CodegenFallback-interpreted, so this is
+    # the heavy-per-row case (like the ExactSubstr anchors, unlike the
+    # rejected d2/d3 fan-outs) — a single-row-group fixture file runs
+    # the whole corpus projection in ONE task. Size-guarded: never
+    # repartitions a real multi-row-group corpus. Interleaved A/B at
+    # sf0.1 in JL_AB_r10.json.
+    proj = _fan_out_narrow(e).select("vec_id", jl_project("embedding", signs).alias("yproj"))
     # ONE query-side frame built from emb.filter(probe) — a tiny pruned
     # scan — carrying BOTH the projected vector (candidate stage) and the
     # full vector (rerank stage). Never built from the corpus projection:

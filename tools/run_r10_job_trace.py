@@ -86,6 +86,13 @@ def main() -> None:
                     idx, emb.filter(F.col("vec_id") < Q._S5_PROBES),
                     "vec_id", "embedding", k=Q._S5_K,
                     shortlist=Q._S7_SHORTLIST, nprobe=Q._S6_NPROBE).count())
+    elif which in QUERIES:
+        # generic mode: trace any registered query's builder+count twice
+        q = QUERIES[which]
+        for i in range(2):
+            trace(spark, f"{which}#{i}", lambda: q.builder(spark, SF).count())
+            from medvedi_spark.operators.llm import release_persisted as _rp
+            _rp(spark)
     elif which == "d17":
         docs = load(spark, SF, "documents")
         old = docs.filter(F.col("doc_id") % 3 != 0)
