@@ -305,7 +305,8 @@ def ivf_sq8_query(
     integer-exact and merely over-weights the escaping dimension.
     """
     spark = index.codes.sparkSession
-    stats = index.ranges.orderBy("dim").collect()
+    # driver-side sort of the dims-row stats (see llm._sq8_train)
+    stats = sorted(index.ranges.collect(), key=lambda r: r["dim"])
     _sq8_check_stats(stats)
     vmin_lit, vmax_lit = _sq8_range_literals(stats)
     qe = queries.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))

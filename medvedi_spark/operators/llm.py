@@ -1802,7 +1802,10 @@ def _sq8_check_stats(stats) -> None:
 def _sq8_train(emb: DataFrame, vec_col: str):
     """Collect + validate the SQ8 per-dimension range stats (model
     state: dims rows of ``(dim, vmin, vmax, n)``, ordered)."""
-    stats = sq8_minmax(emb, vec_col).orderBy("dim").collect()
+    # collected unordered, sorted driver-side: .orderBy on the dims-row
+    # aggregate adds a range-partition sample job + full exchange before
+    # the collect (same ruling as the vectorized-encode codebook sort)
+    stats = sorted(sq8_minmax(emb, vec_col).collect(), key=lambda r: r["dim"])
     _sq8_check_stats(stats)
     return stats
 
@@ -2113,10 +2116,17 @@ def _pq_encode_vectorized(
     import numpy as np
 
     spark = emb.sparkSession
+    # codebook order established DRIVER-SIDE: a Spark .orderBy on this
+    # k-row model-state frame pays a range-partition sampling job plus a
+    # full shuffle-partition-count exchange before the collect (measured
+    # 3 driver jobs / ~0.7 s per encode at sf0.1); pandas sort of the
+    # collected rows is plan-free and identical for the unique ids this
+    # function enforces (na_position='first' mirrors ASC NULLS FIRST).
     cb = (
         centroids.select(F.col(cent_id_col).alias("cent_id"), F.col(cent_vec_col).alias("c_emb"))
-        .orderBy("cent_id")
         .toPandas()
+        .sort_values("cent_id", na_position="first", kind="mergesort")
+        .reset_index(drop=True)
     )
     id_type = emb.select(F.col(id_col).alias("vec_id")).schema["vec_id"].dataType.simpleString()
     cid_type = (
