@@ -531,8 +531,19 @@ def _stream_minhash_candidates(stream: DataFrame) -> DataFrame:
     document stream: ``(doc_id, toks, band_idx, band_val)``, stateless,
     band-compatible with the batch ``minhash_band_index`` (so the stream
     side can probe either an inline corpus index — st10 — or the
-    persisted d17 signature index — st17 — without drift)."""
+    persisted d17 signature index — st17 — without drift).
+
+    Honors the same opt-in ingest fan-out as the st16/st18 span kernels
+    (``SPARK_GRAFT_STREAM_INGEST_PARTITIONS``, default 0 = no exchange —
+    the production scan supplies its own parallelism): the row-wise
+    shingle/hash/minhash chain is interpreted-HOF-heavy, and a
+    single-row-group fixture batch otherwise runs it in ONE task
+    (measured 1.8 s of a 6.7 s st17 warm run in the r10 job trace)."""
     from medvedi_spark.functions.hashing import token_hash
+
+    ingest_parts = _st16_ingest_partitions()
+    if ingest_parts > 0:
+        stream = stream.repartition(ingest_parts)
 
     sl = F.split(F.col("text"), " ")
     sbigrams = F.zip_with(
