@@ -663,13 +663,20 @@ def _c18_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     od = MDF.read_parquet(os.path.join(sf_dir, "orders.parquet"), spark=spark)
     li_sub = MDF.from_spark(li.df.select("l_orderkey", "l_quantity", ROW_ID))
     od_sub = MDF.from_spark(od.df.select("o_orderkey", "o_totalprice", ROW_ID))
-    readers.write_bucketed(
-        li_sub, tli, ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"],
-        path=_fmt_tmp(sf_dir, "c18li"),
-    )
-    readers.write_bucketed(
-        od_sub, tod, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
-        path=_fmt_tmp(sf_dir, "c18od"),
+    # the two bucketed ingests are independent write jobs — overlap them
+    # from the shared driver thread pool (guide §2.6, the ann_index save
+    # ruling): the orders write back-fills the lineitem write's task tail
+    from medvedi_spark.operators.ann_index import _parallel_writes
+
+    _parallel_writes(
+        lambda: readers.write_bucketed(
+            li_sub, tli, ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"],
+            path=_fmt_tmp(sf_dir, "c18li"),
+        ),
+        lambda: readers.write_bucketed(
+            od_sub, tod, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
+            path=_fmt_tmp(sf_dir, "c18od"),
+        ),
     )
     return tli, tod
 
