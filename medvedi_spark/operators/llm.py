@@ -542,7 +542,14 @@ def gram_containment_pairs(
     """
     from medvedi_spark.functions.hashing import token_hash
 
-    toks = df.select(F.col(id_col).alias("doc_id"), F.filter(F.split(text_col, " "), lambda t: t != "").alias("l"))
+    # fanned out (_fan_out_narrow): the pre-distinct map side (word
+    # split → n-gram explode → md5 per gram) is the heavy-per-row case
+    # — a single-row-group fixture runs it as ~1 s single-task leaf
+    # stages (r10 job trace). Size-guarded: a real multi-row-group
+    # corpus never repartitions. A/B in D12_AB_r10.json.
+    toks = _fan_out_narrow(df).select(
+        F.col(id_col).alias("doc_id"), F.filter(F.split(text_col, " "), lambda t: t != "").alias("l")
+    )
     grams = (
         toks.select("doc_id", F.explode(word_ngrams_of(F.col("l"), n)).alias("g"))
         .select("doc_id", token_hash(F.col("g")).alias("h"))
