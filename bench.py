@@ -116,6 +116,10 @@ def main() -> None:
             continue
         samples = []
         for i in range(max(1, RUNS)):
+            # Label the jobs so the UI/event-log trace attributes every
+            # job to its query and rep (guide §1.3); thread-local, no
+            # effect on the timed work itself.
+            spark.sparkContext.setJobDescription(f"bench:{name}:run{i}")
             t0 = time.perf_counter()
             # Per-query isolation: one broken query must cost one ledger
             # row, never the whole bench (round-2 lost ALL numbers to a
@@ -129,6 +133,7 @@ def main() -> None:
         # operator-persisted inputs (adaptive-Jaccard gram tables etc.)
         # are released between queries so a 100+-query session doesn't
         # accumulate stale cache blocks (round-4 ADVICE)
+        spark.sparkContext.setJobDescription(f"bench:{name}:release")
         release_persisted()
         if samples:
             samples.sort()
