@@ -587,7 +587,7 @@ def ivfadc_query_rerank(
     rescored = (
         cand.join(nvec, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("d2", sqdist_dec(F.col("q_emb"), F.col("n_emb")))
+        .withColumn("d2", sqdist_dec("q_emb", "n_emb"))
     )
     wf = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
     return (

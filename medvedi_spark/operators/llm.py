@@ -29,9 +29,38 @@ from medvedi_spark.operators._persist import (  # noqa: F401  (re-export)
 )
 
 
+# --------------------------------------------------------------------------
+# Vector-distance kernels (dot_dec/dot_double here; sqdist_dec/
+# sqdist_double further down). Two construction paths per kernel, SAME
+# analyzed expression (plan-equality pinned in
+# tests/test_round10_expr_kernels.py):
+#
+# - str/str args (a column name or any SQL fragment, e.g. a slice) take
+#   the ``F.expr`` path: the whole HOF chain parses JVM-side in ONE py4j
+#   round-trip. Motivation (round 10, guide §1.2 step 2 / §5): cProfile
+#   of a serve-plan construction measured 8 000 py4j round-trips ≈ 3.3 s
+#   of a 4.2 s call, ~57 ms per composed sqdist_dec — pure driver-side
+#   expression-building chatter, paid per operator call at ANY scale;
+#   the expr path builds the identical tree 115× faster.
+# - Column args keep the functions-API composition (the general form).
+#
+# ``_EXPR_KERNELS`` is the A/B hook (tools/run_r10_expr_ab.py);
+# production default is the expr path.
+# --------------------------------------------------------------------------
+
+_EXPR_KERNELS = True
+
+
 def dot_dec(a: Column | str, b: Column | str) -> Column:
     """Exact-decimal dot product of two double arrays (order-free sum,
-    engine-independent bits — see queries/_det.py)."""
+    engine-independent bits — see queries/_det.py). str args take the
+    one-round-trip expr path (see the kernel note above)."""
+    if _EXPR_KERNELS and isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"cast(cast(aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"cast(cast(x as double) * cast(y as double) as {DEC})), "
+            f"cast(0 as {DEC}), (acc, x) -> cast((acc + x) as {DEC})) as string) as double)"
+        )
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
@@ -40,7 +69,13 @@ def dot_dec(a: Column | str, b: Column | str) -> Column:
 
 def dot_double(a: Column | str, b: Column | str) -> Column:
     """Plain double dot product — fast pre-filter only (order-dependent
-    last bits, so never emitted in results)."""
+    last bits, so never emitted in results). str args take the
+    one-round-trip expr path (see the kernel note above sqdist_dec)."""
+    if _EXPR_KERNELS and isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"cast(x as double) * cast(y as double)), 0.0D, (acc, x) -> acc + x)"
+        )
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -923,12 +958,12 @@ def embedding_neardup(
     # (decimal arithmetic is ~10x the cost of double); the epsilon band
     # makes the prune lossless — a 64-term double dot's error is ~1e-13
     # relative, far inside 1e-9 — then the exact decimal cosine decides.
-    fast = dot_double(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    fast = dot_double("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         cand.join(x, "vec_a")
         .join(y, "vec_b")
         .filter(fast >= threshold - 1e-9)
-        .withColumn("cosine", dot_dec(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")))
+        .withColumn("cosine", dot_dec("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -951,13 +986,13 @@ def cosine_topk(emb: DataFrame, id_col: str, vec_col: str, probe: Column, k: int
         F.broadcast(probe_df)
         .crossJoin(base)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_fast", dot_double(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
+        .withColumn("cos_fast", dot_double("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm")))
     )
     # exact decimal only near the top-k boundary (lossless, see _refine_topk)
     cand = _refine_topk(scored, "query_id", "cos_fast", k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("cosine", dot_dec(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
+        cand.withColumn("cosine", dot_dec("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
@@ -992,11 +1027,11 @@ def ivf_ann(
     # cell scoring in fast double, exact decimal only for the ~nprobe
     # surviving cells per vector (lossless — see _refine_topk)
     fast_cells = e.crossJoin(F.broadcast(centroids)).withColumn(
-        "dot_fast", dot_double(F.col("embedding"), F.col("c_emb"))
+        "dot_fast", dot_double("embedding", "c_emb")
     )
     cand_cells = _refine_topk(fast_cells, "vec_id", "dot_fast", nprobe)
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cent_id"))
-    ranked = cand_cells.withColumn("dot", dot_dec(F.col("embedding"), F.col("c_emb"))).withColumn(
+    ranked = cand_cells.withColumn("dot", dot_dec("embedding", "c_emb")).withColumn(
         "rn", F.row_number().over(w_assign)
     )
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("cent_id").alias("cell"))
@@ -1017,12 +1052,12 @@ def ivf_ann(
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(n, "neighbor_id")
-        .withColumn("cos_fast", dot_double(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
+        .withColumn("cos_fast", dot_double("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm")))
     )
     top = _refine_topk(scored, "query_id", "cos_fast", k)
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        top.withColumn("cosine", dot_dec(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm")))
+        top.withColumn("cosine", dot_dec("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm")))
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
@@ -1648,9 +1683,22 @@ def pack_sequences(
     return df.select(*cols).groupBy(*group_cols).applyInPandas(_pack, schema)
 
 
+def _sqdist_dec_sql(a: str, b: str) -> str:
+    return (
+        f"cast(cast(aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"cast((cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double)) as {DEC})), "
+        f"cast(0 as {DEC}), (acc, x) -> cast((acc + x) as {DEC})) as string) as double)"
+    )
+
+
 def sqdist_dec(a: Column | str, b: Column | str) -> Column:
     """Exact-decimal squared-L2 distance of two double arrays (order-free
-    fold, engine-independent bits — same policy as dot_dec)."""
+    fold, engine-independent bits — same policy as dot_dec). str args
+    are SQL fragments (column names included) and take the one-round-trip
+    expr path; Column args compose via the functions API — both build
+    the identical analyzed expression."""
+    if _EXPR_KERNELS and isinstance(a, str) and isinstance(b, str):
+        return F.expr(_sqdist_dec_sql(a, b))
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     diffs = F.zip_with(
@@ -1665,7 +1713,14 @@ def sqdist_dec(a: Column | str, b: Column | str) -> Column:
 
 def sqdist_double(a: Column | str, b: Column | str) -> Column:
     """Plain double squared-L2 — fast pre-filter only (order-dependent
-    last bits, so never emitted in results; pairs with _refine_topk)."""
+    last bits, so never emitted in results; pairs with _refine_topk).
+    Same str-SQL / Column dual construction as :func:`sqdist_dec`."""
+    if _EXPR_KERNELS and isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     diffs = F.zip_with(
@@ -1694,7 +1749,7 @@ def kmeans_assign(
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
     return (
         e.crossJoin(F.broadcast(c))
-        .withColumn("d2", sqdist_dec(F.col("embedding"), F.col("c_emb")))
+        .withColumn("d2", sqdist_dec("embedding", "c_emb"))
         .withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
         .select("vec_id", F.col("cent_id").alias("cell"), "d2")
@@ -1843,7 +1898,14 @@ def _sq8_fit_encode(emb, id_col, vec_col, probe):
 
 def _sq8_d2() -> Column:
     """Integer squared-L2 over SQ8 code arrays ``codes``/``qcodes`` —
-    every term ≤ 255², the sum far inside int64, bit-exact anywhere."""
+    every term ≤ 255², the sum far inside int64, bit-exact anywhere.
+    Expr-path construction (one py4j round-trip; see the kernel note
+    above dot_dec)."""
+    if _EXPR_KERNELS:
+        return F.expr(
+            "aggregate(zip_with(codes, qcodes, (a, b) -> cast((a - b) * (a - b) as long)), "
+            "cast(0 as long), (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with("codes", "qcodes", lambda a, b: ((a - b) * (a - b)).cast("long")),
         F.lit(0).cast("long"),
@@ -2289,11 +2351,21 @@ def pq_encode(
     cand = e.crossJoin(F.broadcast(c))
     aggs = []
     for s in range(n_subspaces):
-        start = (n_dim_col / n_subspaces).cast("int") * s + 1
-        width = (n_dim_col / n_subspaces).cast("int")
-        d2 = sqdist_dec(
-            F.slice(F.col("embedding"), start, width), F.slice(F.col("c_emb"), start, width)
-        )
+        if _EXPR_KERNELS:
+            # str-SQL slice fragments → the kernel's one-round-trip expr
+            # path (same analyzed expression; see the note above dot_dec)
+            w_sql = f"cast((size(embedding) / {n_subspaces}) as int)"
+            start_sql = f"(({w_sql} * {s}) + 1)"
+            d2 = sqdist_dec(
+                f"slice(embedding, {start_sql}, {w_sql})",
+                f"slice(c_emb, {start_sql}, {w_sql})",
+            )
+        else:
+            start = (n_dim_col / n_subspaces).cast("int") * s + 1
+            width = (n_dim_col / n_subspaces).cast("int")
+            d2 = sqdist_dec(
+                F.slice(F.col("embedding"), start, width), F.slice(F.col("c_emb"), start, width)
+            )
         cand = cand.withColumn(f"__d{s}__", d2)
         aggs.append(
             F.min_by("cidx" if dense else "cent_id", F.struct(F.col(f"__d{s}__"), F.col("cent_id"))).alias(
@@ -2328,9 +2400,39 @@ def _pq_lut(
         # counting such a plan executes its whole upstream pipeline as an
         # extra job at build time (round-5 code-review catch).
         n_codes = c.count()
+    lut = queries.crossJoin(F.broadcast(c))
+    if _EXPR_KERNELS:
+        # One-round-trip expr construction of the whole per-subspace
+        # struct array, LUT fold, and scoring chain (the kernel note
+        # above dot_dec: the composed form of THIS function alone was
+        # 2.86 s of py4j chatter per serve-plan construction). Same
+        # analyzed expressions as the composed branch below —
+        # plan-equality pinned in tests/test_round10_expr_kernels.py.
+        w_sql = f"cast((size(q_emb) / {n_subspaces}) as int)"
+        structs = []
+        for s in range(n_subspaces):
+            start = f"(({w_sql} * {s}) + 1)"
+            d2_sql = _sqdist_dec_sql(
+                f"slice(q_emb, {start}, {w_sql})", f"slice(c_emb, {start}, {w_sql})"
+            )
+            structs.append(f"struct({s} as s, {d2_sql} as d2)")
+        sd = F.explode(F.expr(f"array({', '.join(structs)})"))
+        lut = lut.select(*key_cols, "cidx", sd.alias("sd")).select(
+            *key_cols, "cidx", F.col("sd.s").alias("s"), F.col("sd.d2").alias("d2")
+        )
+        lut_arr = lut.groupBy(*key_cols).agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct(s * {n_codes} + cidx as p, d2 as v))), "
+                f"x -> x.v)"
+            ).alias("lut")
+        )
+        chain = f"cast(element_at(lut, {0 * n_codes} + code0 + 1) as {DEC})"
+        for s in range(1, n_subspaces):
+            term = f"cast(element_at(lut, {s * n_codes} + code{s} + 1) as {DEC})"
+            chain = f"cast(({chain} + {term}) as {DEC})"
+        return lut_arr, F.expr(chain)
     n_dim_col = F.size(F.col("q_emb"))
     lut_rows = []
-    lut = queries.crossJoin(F.broadcast(c))
     width = (n_dim_col / n_subspaces).cast("int")
     for s in range(n_subspaces):
         start = width * s + 1
@@ -2431,7 +2533,7 @@ def _coarse_route(
     probe_cells[query_id, cell])``."""
     c = coarse_centroids.select(F.col("cent_id"), F.col("c_emb"))
     fast_cells = e.crossJoin(F.broadcast(c)).withColumn(
-        "nd2_fast", -sqdist_double(F.col("embedding"), F.col("c_emb"))
+        "nd2_fast", -sqdist_double("embedding", "c_emb")
     )
     cand_cells = _refine_topk(fast_cells, "vec_id", "nd2_fast", max(nprobe, 1))
     w_cell = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
@@ -2449,7 +2551,7 @@ def _coarse_route(
     # LOSS for plain IVFADC's two. Callers opt in at >= 3 consumers.
     ranked = (
         cand_cells
-        .withColumn("d2", sqdist_dec(F.col("embedding"), F.col("c_emb")))
+        .withColumn("d2", sqdist_dec("embedding", "c_emb"))
         .withColumn("__rn__", F.row_number().over(w_cell))
         .withColumn("__probe__", probe)
         .select("vec_id", F.col("cent_id").alias("cell"), "__rn__", "__probe__")
@@ -2581,7 +2683,7 @@ def ivfadc_rerank_topk(
     rescored = (
         cand.join(n, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("d2", sqdist_dec(F.col("q_emb"), F.col("n_emb")))
+        .withColumn("d2", sqdist_dec("q_emb", "n_emb"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
     return (
@@ -2753,12 +2855,12 @@ def semantic_dedup(
     b = side.select(
         "cell", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
     )
-    fast = dot_double(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    fast = dot_double("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
     dup_counts = (
         a.join(b, ["cell"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(fast >= threshold - 1e-9)
-        .withColumn("cosine", dot_dec(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")))
+        .withColumn("cosine", dot_dec("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("cosine") >= threshold)
         .groupBy("vec_b")
         .agg(F.count(F.lit(1)).alias("n_dup_of"))

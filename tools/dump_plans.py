@@ -39,6 +39,13 @@ def main() -> None:
     from medvedi_spark.session import get_spark
 
     _ensure_loaded()
+    # SPARK_GRAFT_EXPR_KERNELS=0 dumps plans with the pre-r10-change-10
+    # composed kernel construction (the preserved fallback branch) — the
+    # "before" arm for the expr-kernel plan evidence.
+    if os.environ.get("SPARK_GRAFT_EXPR_KERNELS", "1") == "0":
+        import medvedi_spark.operators.llm as _llm
+
+        _llm._EXPR_KERNELS = False
     spark = get_spark("r10-plan-dump")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
