@@ -21,6 +21,20 @@ from medvedi_spark.session import get_spark
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# Burst resilience (VERDICT r10 directive #1): the r10 host showed
+# multi-second scheduler/hypervisor stalls landing on DIFFERENT rows each
+# sweep (per-query dispersion p10 0.52x / p90 1.68x between same-code
+# sweeps), so a median-of-3 headline loses to a single stall on a heavy
+# row. Rows whose first RUNS samples show high dispersion earn up to
+# EXTRA_RUNS more reps before the median is taken — same queries, same
+# sf, same timed action, same statistic (median); only the sample count
+# for demonstrably noisy rows grows. Cheap rows can never trigger it
+# (absolute spread gate), so the added bench wall is bounded by the few
+# heavy lifecycle/streaming rows that need it.
+EXTRA_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_RUNS", "2"))
+_DISPERSION_RATIO = 1.5   # max/min above this = bursty
+_DISPERSION_ABS_SEC = 0.75  # and the spread must be worth re-sampling
+
 
 def main() -> None:
     # Bench-harness opt-in for the streaming ingest fan-out (ADVICE r8):
@@ -130,6 +144,23 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 break
             samples.append(time.perf_counter() - t0)
+        # Burst resilience: re-sample demonstrably noisy heavy rows so one
+        # host stall cannot own the row's median (see EXTRA_RUNS note).
+        if (
+            len(samples) == max(1, RUNS)
+            and name not in errors
+            and max(samples) > min(samples) * _DISPERSION_RATIO
+            and max(samples) - min(samples) > _DISPERSION_ABS_SEC
+        ):
+            for j in range(EXTRA_RUNS):
+                spark.sparkContext.setJobDescription(f"bench:{name}:extra{j}")
+                t0 = time.perf_counter()
+                try:
+                    q.builder(spark, sf_dir).count()
+                except Exception as exc:  # noqa: BLE001
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    break
+                samples.append(time.perf_counter() - t0)
         # operator-persisted inputs (adaptive-Jaccard gram tables etc.)
         # are released between queries so a 100+-query session doesn't
         # accumulate stale cache blocks (round-4 ADVICE)
@@ -174,6 +205,27 @@ def main() -> None:
     except OSError:
         ledger_path = ""
     print(json.dumps(out))
+    # Per-query medians in driver-parseable form (VERDICT r10 directive
+    # #2b): the driver retains only the last 2000 chars of stdout (the
+    # BENCH_r10.json "tail" is exactly 2000), and the 145-entry map
+    # serializes to ~3.9 KB — it cannot fit in ONE parseable line without
+    # losing the headline to head-truncation (the round-2/3 failure).
+    # Instead the map is emitted as small self-contained JSON lines of
+    # ~15 queries each, sorted ASCENDING by median so the chunks nearest
+    # the tail (the retained ones) carry the slowest, most informative
+    # rows. Each line parses on its own; the compact contract line stays
+    # last and unchanged. The full map is always in the BENCH_local.json
+    # ledger (committed) and in the full-ledger line above.
+    by_time = sorted(timings.items(), key=lambda kv: (kv[1], kv[0]))
+    chunk_n = max(1, (len(by_time) + 14) // 15)
+    for part in range(chunk_n):
+        chunk = dict(by_time[part * 15:(part + 1) * 15])
+        print(json.dumps({
+            "metric": "bench_per_query",
+            "part": part + 1,
+            "parts": chunk_n,
+            "queries": {k: round(v, 3) for k, v in chunk.items()},
+        }))
     compact = {
         "metric": "bench_total_wall",
         "value": total,

@@ -12,6 +12,8 @@ SQL, so the two sides are the same function by construction.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -31,6 +33,24 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 
 SIMHASH_BITS = 32
 
+# Expr-path construction (round 11, guide §1.2 step 2 / §5): the composed
+# builders below cost ~1 100 (minhash_agg_cols) and ~3 900 (simhash_col)
+# py4j round-trips per CALL — 0.5-1.5 s of pure driver chatter measured
+# in CONSTR_PROFILE_r11.json, paid by every d3/d4/d17/st10/st17 plan
+# build at any scale. With the flag on, each column parses as ONE
+# ``F.expr`` SQL string; the analyzed expressions are identical by
+# construction (pinned in tests/test_round11_expr_kernels.py, same
+# invariant as the r10 llm._EXPR_KERNELS kernels). The flag is this
+# module's A/B hook; production default is the expr path.
+_EXPR_KERNELS = True
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _ident(s: str) -> str:
+    """Backtick plain identifiers; anything else is a deliberate SQL fragment."""
+    return f"`{s}`" if _IDENT.match(s) else s
+
 
 def token_hash(col: Column) -> Column:
     """60-bit md5-derived hash reduced mod P. Matches ``sql_token_hash``."""
@@ -43,6 +63,12 @@ def sql_token_hash(expr: str) -> str:
 
 def minhash_agg_cols(hash_col: str = "h") -> list[Column]:
     """16 MIN aggregate columns m0..m15 over the token-hash column."""
+    if _EXPR_KERNELS:
+        h = _ident(hash_col)
+        return [
+            F.expr(f"min(({a} * {h} + {b}) % {MINHASH_PRIME})").alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
     return [
         F.min((F.lit(a) * F.col(hash_col) + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -63,6 +89,14 @@ def simhash_col(hash_col: str = "h") -> Column:
     simhash bit j = 1 iff s_j > 0. One pass, 32 conditional sums, all
     JVM-side codegen — no UDF, no explode.
     """
+    if _EXPR_KERNELS:
+        h = _ident(hash_col)
+        parts = [
+            f"case when sum(case when (shiftright({h}, {j}) & 1) = 1 then 1 else -1 end) > 0 "
+            f"then {1 << j} else 0 end"
+            for j in range(SIMHASH_BITS)
+        ]
+        return F.expr("cast(0 as bigint) + " + " + ".join(parts))
     acc = F.lit(0).cast("bigint")
     for j in range(SIMHASH_BITS):
         bit = F.shiftright(F.col(hash_col), j).bitwiseAND(F.lit(1))

@@ -206,9 +206,9 @@ def ivf_sq8_build(
     """
     spark = emb.sparkSession
     stats = _sq8_train(emb, vec_col)
-    vmin_lit, vmax_lit = _sq8_range_literals(stats)
+    vmin_vals, vmax_vals = _sq8_range_literals(stats)
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    codes = e.select("vec_id", _sq8_code(F.col("embedding"), vmin_lit, vmax_lit).alias("codes"))
+    codes = e.select("vec_id", _sq8_code("embedding", vmin_vals, vmax_vals).alias("codes"))
     assign, _ = _coarse_route(e, coarse_centroids, F.lit(False), 1)
     ranges = spark.createDataFrame(
         [(int(r["dim"]), float(r["vmin"]), float(r["vmax"]), int(r["n"])) for r in stats],
@@ -308,12 +308,12 @@ def ivf_sq8_query(
     # driver-side sort of the dims-row stats (see llm._sq8_train)
     stats = sorted(index.ranges.collect(), key=lambda r: r["dim"])
     _sq8_check_stats(stats)
-    vmin_lit, vmax_lit = _sq8_range_literals(stats)
+    vmin_vals, vmax_vals = _sq8_range_literals(stats)
     qe = queries.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     _, probe_cells = _coarse_route(qe, index.centroids, F.lit(True), nprobe)
     qcodes = qe.select(
         F.col("vec_id").alias("query_id"),
-        _sq8_code(F.col("embedding"), vmin_lit, vmax_lit).alias("qcodes"),
+        _sq8_code("embedding", vmin_vals, vmax_vals).alias("qcodes"),
     )
     routed = probe_cells.join(qcodes, "query_id")
     # qcodes payload: dims ints + ids + row overhead (see _serve_candidates)

@@ -11,6 +11,9 @@ these directly with their own columns/thresholds.
 
 from __future__ import annotations
 
+import math
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -50,12 +53,42 @@ from medvedi_spark.operators._persist import (  # noqa: F401  (re-export)
 
 _EXPR_KERNELS = True
 
+# str kernel args are SQL FRAGMENTS (slices, lambda vars, dotted paths —
+# anything that parses as an expression). Plain identifiers get
+# backtick-quoted so a reserved-word or otherwise-quotable COLUMN NAME
+# forwarded by a public caller (e.g. vector_norms' vec_col) parses as
+# the column it names instead of failing (ADVICE r10). Backticks vanish
+# at parse time, so quoted and bare identifiers build the identical
+# analyzed expression.
+_PLAIN_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _sql_ident(s: str) -> str:
+    return f"`{s}`" if _PLAIN_IDENT.match(s) else s
+
+
+def _sql_double(v: float) -> str:
+    """SQL double literal with exact round-trip: repr() is the shortest
+    string that parses back to the same IEEE double (Java's parseDouble
+    is correctly rounded like Python's), and the D suffix keeps the SQL
+    type double (a bare ``255.0`` would parse as DECIMAL). Callers guard
+    non-finite values (no SQL literal form) behind the composed path."""
+    return repr(float(v)) + "D"
+
+
+def _sql_double_array(vals) -> str:
+    """``array(...)`` SQL literal of doubles — parses to the same
+    CreateArray-of-literals the composed ``F.lit(list)`` builds."""
+    return "array(" + ", ".join(_sql_double(v) for v in vals) + ")"
+
 
 def dot_dec(a: Column | str, b: Column | str) -> Column:
     """Exact-decimal dot product of two double arrays (order-free sum,
-    engine-independent bits — see queries/_det.py). str args take the
+    engine-independent bits — see queries/_det.py). str args are SQL
+    fragments (plain column names are backtick-quoted) and take the
     one-round-trip expr path (see the kernel note above)."""
     if _EXPR_KERNELS and isinstance(a, str) and isinstance(b, str):
+        a, b = _sql_ident(a), _sql_ident(b)
         return F.expr(
             f"cast(cast(aggregate(zip_with({a}, {b}, (x, y) -> "
             f"cast(cast(x as double) * cast(y as double) as {DEC})), "
@@ -72,6 +105,7 @@ def dot_double(a: Column | str, b: Column | str) -> Column:
     last bits, so never emitted in results). str args take the
     one-round-trip expr path (see the kernel note above sqdist_dec)."""
     if _EXPR_KERNELS and isinstance(a, str) and isinstance(b, str):
+        a, b = _sql_ident(a), _sql_ident(b)
         return F.expr(
             f"aggregate(zip_with({a}, {b}, (x, y) -> "
             f"cast(x as double) * cast(y as double)), 0.0D, (acc, x) -> acc + x)"
@@ -678,15 +712,26 @@ def minhash_band_index(df: DataFrame, id_col: str, text_col: str) -> tuple[DataF
     # recompute (corpus-linear, shuffle-keyed) above it.
     sigs = _size_guarded_persist(df, sigs)
     n_bands = len(MINHASH_COEFFS) // 2
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.concat_ws(",", F.col(f"m{2 * i}"), F.col(f"m{2 * i + 1}")).alias("band_val"),
-            )
-            for i in range(n_bands)
-        ]
-    )
+    if _EXPR_KERNELS:
+        # one-round-trip construction (the expr-kernel ruling; analyzed
+        # expression identical to the composed loop below — pinned in
+        # tests/test_round11_expr_kernels.py)
+        band_structs = F.expr(
+            "array(" + ", ".join(
+                f"struct({i} as band_idx, concat_ws(',', m{2 * i}, m{2 * i + 1}) as band_val)"
+                for i in range(n_bands)
+            ) + ")"
+        )
+    else:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.concat_ws(",", F.col(f"m{2 * i}"), F.col(f"m{2 * i + 1}")).alias("band_val"),
+                )
+                for i in range(n_bands)
+            ]
+        )
     bands = sigs.select("doc_id", F.explode(band_structs).alias("bd")).select(
         "doc_id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
     )
@@ -1698,7 +1743,7 @@ def sqdist_dec(a: Column | str, b: Column | str) -> Column:
     expr path; Column args compose via the functions API — both build
     the identical analyzed expression."""
     if _EXPR_KERNELS and isinstance(a, str) and isinstance(b, str):
-        return F.expr(_sqdist_dec_sql(a, b))
+        return F.expr(_sqdist_dec_sql(_sql_ident(a), _sql_ident(b)))
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     diffs = F.zip_with(
@@ -1716,6 +1761,7 @@ def sqdist_double(a: Column | str, b: Column | str) -> Column:
     last bits, so never emitted in results; pairs with _refine_topk).
     Same str-SQL / Column dual construction as :func:`sqdist_dec`."""
     if _EXPR_KERNELS and isinstance(a, str) and isinstance(b, str):
+        a, b = _sql_ident(a), _sql_ident(b)
         return F.expr(
             f"aggregate(zip_with({a}, {b}, (x, y) -> "
             f"(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), "
@@ -1756,6 +1802,40 @@ def kmeans_assign(
     )
 
 
+def _argmin_cell(vec_col: str, cents) -> Column:
+    """In-row nearest-centroid cell from collected centroid Rows
+    (``cent_id``/``c_emb``): min over (d2, cent_id) structs — the same
+    ranking :func:`_coarse_route`'s window uses, expressed without a
+    window so it is streaming-legal (st13's map-side routing against
+    frozen quantizer state). Expr-path construction: ONE py4j
+    round-trip vs ~4 700 composed (CONSTR_PROFILE_r11.json ≈0.8 s per
+    plan build); both branches build the identical analyzed expression
+    (tests/test_round11_expr_kernels.py)."""
+    if _EXPR_KERNELS and all(
+        math.isfinite(float(x)) for r in cents for x in r["c_emb"]
+    ):
+        v = _sql_ident(vec_col)
+        structs = ", ".join(
+            f"struct({_sqdist_dec_sql(v, _sql_double_array(r['c_emb']))} as d2, "
+            f"cast({int(r['cent_id'])} as bigint) as cell)"
+            for r in cents
+        )
+        return F.expr(f"array_min(array({structs})).cell")
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    sqdist_dec(
+                        F.col(vec_col), F.lit([float(x) for x in r["c_emb"]])
+                    ).alias("d2"),
+                    F.lit(int(r["cent_id"])).cast("long").alias("cell"),
+                )
+                for r in cents
+            ]
+        )
+    )["cell"]
+
+
 def sq8_minmax(emb: DataFrame, vec_col: str) -> DataFrame:
     """Per-dimension (min, max) training stats for SQ8 scalar
     quantization (the FAISS ``SQ8`` codec's trained range). Plan shape:
@@ -1775,14 +1855,40 @@ def sq8_minmax(emb: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
-def _sq8_code(vec: Column, vmin_lit: Column, vmax_lit: Column) -> Column:
+def _sq8_code(vec: Column | str, vmin, vmax) -> Column:
     """Affine int8 codes: round((x − vmin) · 255 / (vmax − vmin)), a
     fixed IEEE-double op sequence both engines execute identically;
     ``round`` is half-away-from-zero in Spark and DuckDB alike, and the
     operands are nonnegative, so codes are bit-exactly replayable.
     Constant dimensions (vmax == vmin) code to 0. The range is trained
     on the corpus itself, so values never leave [vmin, vmax] and no
-    clamp is needed."""
+    clamp is needed.
+
+    ``vmin``/``vmax`` are the positional range VALUE lists (or prebuilt
+    array Columns). A str ``vec`` with value lists takes the
+    one-round-trip expr path (~30 py4j round-trips vs ~800-1 100
+    composed per encode projection, CONSTR_PROFILE_r11.json); both
+    branches build the identical analyzed expression
+    (tests/test_round11_expr_kernels.py)."""
+    have_vals = isinstance(vmin, (list, tuple)) and isinstance(vmax, (list, tuple))
+    if (
+        _EXPR_KERNELS
+        and have_vals
+        and isinstance(vec, str)
+        and all(math.isfinite(float(v)) for v in (*vmin, *vmax))
+    ):
+        v = _sql_ident(vec)
+        mn, mx = _sql_double_array(vmin), _sql_double_array(vmax)
+        return F.expr(
+            f"transform({v}, (x, i) -> "
+            f"case when element_at({mx}, i + 1) > element_at({mn}, i + 1) "
+            f"then cast(round((cast(x as double) - element_at({mn}, i + 1)) * 255.0D "
+            f"/ (element_at({mx}, i + 1) - element_at({mn}, i + 1))) as int) "
+            f"else 0 end)"
+        )
+    vmin_lit = F.lit([float(v) for v in vmin]) if have_vals else vmin
+    vmax_lit = F.lit([float(v) for v in vmax]) if have_vals else vmax
+    vec = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(
         vec,
         lambda x, i: F.when(
@@ -1873,8 +1979,10 @@ def _sq8_train(emb: DataFrame, vec_col: str):
 
 
 def _sq8_range_literals(stats):
-    """Positional vmin/vmax array literals from validated stats rows."""
-    return F.lit([r["vmin"] for r in stats]), F.lit([r["vmax"] for r in stats])
+    """Positional vmin/vmax range VALUES from validated stats rows —
+    plain lists; :func:`_sq8_code` renders them as the array literals
+    on whichever construction path it takes."""
+    return [float(r["vmin"]) for r in stats], [float(r["vmax"]) for r in stats]
 
 
 def _sq8_fit_encode(emb, id_col, vec_col, probe):
@@ -1883,14 +1991,14 @@ def _sq8_fit_encode(emb, id_col, vec_col, probe):
     projections against the broadcast range literals. Returns
     ``(e, codes[vec_id, codes], qcodes[query_id, qcodes])``."""
     stats = _sq8_train(emb, vec_col)  # model state: dims rows
-    vmin_lit, vmax_lit = _sq8_range_literals(stats)
+    vmin_vals, vmax_vals = _sq8_range_literals(stats)
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    codes = e.select("vec_id", _sq8_code(F.col("embedding"), vmin_lit, vmax_lit).alias("codes"))
+    codes = e.select("vec_id", _sq8_code("embedding", vmin_vals, vmax_vals).alias("codes"))
     qcodes = (
         e.filter(probe)
         .select(
             F.col("vec_id").alias("query_id"),
-            _sq8_code(F.col("embedding"), vmin_lit, vmax_lit).alias("qcodes"),
+            _sq8_code("embedding", vmin_vals, vmax_vals).alias("qcodes"),
         )
     )
     return e, codes, qcodes

@@ -494,13 +494,41 @@ _ST10_THRESH = 0.8
 
 def _st10_row_minhash_bands(harr):
     """(band_idx, band_val) structs from a token-hash ARRAY — the
-    row-wise equivalent of `minhash_agg_cols` + d3's band assembly."""
+    row-wise equivalent of `minhash_agg_cols` + d3's band assembly.
+
+    A str ``harr`` takes the one-round-trip expr path (the composed
+    nested-lambda fold below is several hundred py4j round-trips per
+    plan build — the r10/r11 expr-kernel ruling, same analyzed
+    expression both ways, pinned in tests/test_round11_expr_kernels.py);
+    Column args keep the composed construction."""
     from medvedi_spark.functions.hashing import MINHASH_COEFFS, MINHASH_PRIME
 
+    import medvedi_spark.operators.llm as llm
+
+    n_bands = len(MINHASH_COEFFS) // 2  # two-min bands, same as minhash_band_index
+    if llm._EXPR_KERNELS and isinstance(harr, str):
+        init_sql = "array(" + ", ".join(
+            [f"cast({MINHASH_PRIME} as bigint)"] * len(MINHASH_COEFFS)
+        ) + ")"
+        aa_sql = "array(" + ", ".join(
+            f"cast({a} as bigint)" for a, _ in MINHASH_COEFFS
+        ) + ")"
+        bb_sql = "array(" + ", ".join(
+            f"cast({b} as bigint)" for _, b in MINHASH_COEFFS
+        ) + ")"
+        return F.expr(
+            f"aggregate({llm._sql_ident(harr)}, {init_sql}, "
+            f"(acc, h) -> transform(acc, (x, i) -> "
+            f"least(x, (element_at({aa_sql}, i + 1) * h + element_at({bb_sql}, i + 1)) "
+            f"% {MINHASH_PRIME})), "
+            f"acc -> transform(sequence(0, {n_bands - 1}), i -> "
+            f"struct(cast(i as int) as band_idx, "
+            f"concat_ws(',', element_at(acc, 2 * i + 1), element_at(acc, 2 * i + 2)) "
+            f"as band_val)))"
+        )
     init = F.array(*[F.lit(MINHASH_PRIME).cast("bigint")] * len(MINHASH_COEFFS))
     aa = F.array(*[F.lit(a).cast("bigint") for a, _ in MINHASH_COEFFS])
     bb = F.array(*[F.lit(b).cast("bigint") for _, b in MINHASH_COEFFS])
-    n_bands = len(MINHASH_COEFFS) // 2  # two-min bands, same as minhash_band_index
     return F.aggregate(
         harr,
         init,
@@ -562,7 +590,7 @@ def _stream_minhash_candidates(stream: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         F.array_distinct(F.sort_array(F.col("harr"))).alias("toks"),
-        _st10_row_minhash_bands(F.col("harr")).alias("bands"),
+        _st10_row_minhash_bands("harr").alias("bands"),
     )
     return feats.select("doc_id", "toks", F.explode("bands").alias("bd")).select(
         "doc_id", "toks", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
@@ -804,10 +832,10 @@ def st13_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from medvedi_spark.catalog import load
     from medvedi_spark.operators.llm import (
+        _argmin_cell,
         _sq8_code,
         _sq8_range_literals,
         _sq8_train,
-        sqdist_dec,
     )
     from medvedi_spark.queries.compat_ops import _fmt_tmp
     from medvedi_spark.queries.llm_ops import _S6_COARSE
@@ -816,7 +844,7 @@ def st13_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     # frozen quantizer state (model state, trained batch-side once):
     # dims-row SQ8 ranges + n_cells coarse centroids
-    vmin_lit, vmax_lit = _sq8_range_literals(_sq8_train(emb, "embedding"))
+    vmin_vals, vmax_vals = _sq8_range_literals(_sq8_train(emb, "embedding"))
     cents = (
         emb.filter(F.col("vec_id") < _S6_COARSE)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb"))
@@ -825,24 +853,12 @@ def st13_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # map-side cell routing: argmin over the centroid literal via struct
     # ordering on (d2, cent_id) — the same ranking _coarse_route's window
-    # uses, expressed without a window so it is streaming-legal
-    cell = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    sqdist_dec(
-                        F.col("embedding"), F.lit([float(x) for x in r["c_emb"]])
-                    ).alias("d2"),
-                    F.lit(int(r["cent_id"])).cast("long").alias("cell"),
-                )
-                for r in cents
-            ]
-        )
-    )["cell"]
+    # uses, expressed without a window so it is streaming-legal (expr-path
+    # construction in _argmin_cell, one py4j round-trip)
     enc = _read_embeddings_stream(spark, sf_dir).select(
         F.col("vec_id"),
-        cell.alias("cell"),
-        _sq8_code(F.col("embedding"), vmin_lit, vmax_lit).alias("codes"),
+        _argmin_cell("embedding", cents).alias("cell"),
+        _sq8_code("embedding", vmin_vals, vmax_vals).alias("codes"),
     )
     # fresh sink per invocation: the file sink is append-only by design,
     # so a rerun against a stale checkpoint would no-op and a stale dir

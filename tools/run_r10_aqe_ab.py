@@ -23,6 +23,10 @@ bound — the serve routing ``limit().collect()`` alone fans into SEVEN
 AQE stage-jobs, and ~70% of first-serve wall is planning/re-optimization
 gaps BETWEEN jobs. small_action runs such a bounded action as ONE job.
 
+NOTE (ADVICE r10): this file is a negative-result RECORD, not a live
+harness — the guarded sys.exit below fires before anything else so
+nobody debugs the missing `_actions` import as a breakage.
+
 Arms share one session and interleave rep-by-rep (established A/B
 discipline): ON = small_action enabled (the candidate), OFF = flag
 patched False (status quo execution, byte-identical plans otherwise).
@@ -44,6 +48,13 @@ import shutil
 import sys
 import time
 import urllib.request
+
+sys.exit(
+    "run_r10_aqe_ab.py is an archived negative-result record: the measured "
+    "arm (operators._actions.small_action) was rejected and removed from the "
+    "tree, so this harness cannot run at HEAD. See AQE_AB_r10.json and the "
+    "module docstring for the autopsy."
+)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
