@@ -806,6 +806,12 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     return intra.select("doc_a", "doc_b", "hamming").unionAll(cross.select("doc_a", "doc_b", "hamming"))
 
 
+# pointer jumps per label-propagation round in connected_components'
+# large-graph path (the A/B hook for CC_CHAIN_AB_r11.json; 1 = the
+# pre-r11 single path-halving jump)
+_CC_JUMPS = 2
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "doc_a",
@@ -906,17 +912,24 @@ def connected_components(
         )
         # pointer jumping (path halving): adopt the component's own
         # component, contracting label chains exponentially — O(log n)
-        # rounds instead of O(diameter).
-        lk = stepped.select(F.col("node").alias("jnode"), F.col("component").alias("jcomp"))
-        new_labels = (
-            stepped.join(lk, stepped.component == lk.jnode, "left")
-            .select(
+        # rounds instead of O(diameter). Two jumps per round (round 11,
+        # guide §2 iteration count / §5 driver jobs): each extra jump is
+        # one more labels-sized join INSIDE the round but compounds the
+        # contraction (~5x chain shortening per round vs ~2.5x), so the
+        # expensive per-round fixed costs — the edges-side neighbor-min
+        # shuffle, the checkpoint, the convergence count — are paid
+        # ~40% fewer times (CC_CHAIN_AB_r11.json). The fixpoint (min
+        # reachable id per node) is unchanged: jumps only accelerate the
+        # monotone descent, and the loop still exits on changed == 0.
+        cur = stepped
+        for _jump in range(_CC_JUMPS):
+            lk = cur.select(F.col("node").alias("jnode"), F.col("component").alias("jcomp"))
+            cur = cur.join(lk, cur.component == lk.jnode, "left").select(
                 "node",
                 "prev_component",
                 F.least(F.col("component"), F.coalesce(F.col("jcomp"), F.col("component"))).alias("component"),
             )
-            .localCheckpoint(eager=True)
-        )
+        new_labels = cur.localCheckpoint(eager=True)
         # convergence test is a scan of the just-materialized checkpoint —
         # prev label rides along as a column, so no join against the old
         # frame and no extra shuffle.

@@ -2006,18 +2006,26 @@ def t11_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
     islands = words.withColumn("is_stop", is_stop).withColumn("pid", F.sum("is_stop").over(w_run))
     content = islands.filter(F.col("is_stop") == 0).select("doc_id", "pid", "pos", "w")
-    plen = content.groupBy("doc_id", "pid").agg(F.count(F.lit(1)).alias("plen"))
-    wstat = (
-        content.join(plen, ["doc_id", "pid"])
-        .groupBy("doc_id", "w")
-        .agg(F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq"))
-    )
-    wscore = wstat.select(
-        "doc_id", "w", F.expr("(deg * 1000000) DIV freq").alias("ws")
+    # One linear pass (round 11, guide §2.4): the former groupBy+join-back
+    # shape re-executed the scan→explode→sort→window `content` pipeline
+    # THREE times (once per consumer branch; differently-pruned columns
+    # defeat ReuseExchange) behind three identical hashpartitioning(doc_id)
+    # exchanges. Phrase length and word stats are per-(doc_id,pid) /
+    # per-(doc_id,w) aggregates of content rows, so they attach as WINDOWS
+    # over the same doc_id-prefixed keys instead — every window and the
+    # final groupBy reuse ONE doc_id exchange (subset rule), the joins
+    # disappear, and the plan is 1 scan / 1 exchange. Same rows, same
+    # integer arithmetic → bit-identical results (oracle-checked).
+    w_plen = Window.partitionBy("doc_id", "pid")
+    w_word = Window.partitionBy("doc_id", "w")
+    scored = (
+        content.withColumn("plen", F.count(F.lit(1)).over(w_plen))
+        .withColumn("deg", F.sum("plen").over(w_word))
+        .withColumn("freq", F.count(F.lit(1)).over(w_word))
+        .withColumn("ws", F.expr("(deg * 1000000) DIV freq"))
     )
     pscore = (
-        content.join(wscore, ["doc_id", "w"])
-        .groupBy("doc_id", "pid")
+        scored.groupBy("doc_id", "pid")
         .agg(
             F.sum("ws").alias("score_scaled"),
             F.array_join(
