@@ -370,8 +370,57 @@ GATE_ROTATION_R10 = frozenset(
     }
 )
 
+# Round-11 gate rotation (VERDICT r10 directive #3), committed at round
+# END so — unlike r10's early freeze — it covers exactly what the round
+# touched. R11 gates:
+# - the verdict-named r10-touched-but-ungated set (d12, s13, st10,
+#   s1/s2/s3, s5, s8/s9/s10, c18);
+# - every query whose code changed in r11: the expr-path kernel
+#   construction (hashing minhash/simhash, _sq8_code, _argmin_cell,
+#   _st10_row_minhash_bands, _band_structs) reaches d3/d4/d6/d16/d17/
+#   c11/st13/st17/s11 (+ the directive's s9/s10/st10); the kernel
+#   str-arg identifier quoting reaches the remaining sqdist/dot users
+#   d5/d10/s6/s7/s12/s15/s16; m7's shared-hash persist; t11's windowed
+#   single-pass restructure; the CC two-jump rounds reach d6/d16/d17/
+#   c11/st17 (large-graph path; bench scale takes the one-job
+#   contraction);
+# - the full r7-stale set (c12/c13/p9/p10/q15/q36/q37/q38/q39/st1/st4/
+#   st8 — after this round no query's newest driver-green is older than
+#   r8) and r8-stale family fills (c7/c10/d11/d18/p1/q1/q28/t5/t12).
+# Membership OVERRIDES the per-registration ``gate=`` flag.
+GATE_ROTATION_R11 = frozenset(
+    {
+        # verdict-directed: r10-touched-but-ungated
+        "d12_gram_containment", "s13_jl_projection_topk",
+        "st10_stream_lsh_dedup", "s1_cosine_topk", "s2_ann_ivf",
+        "s3_kmeans_assign", "s5_pq_adc_topk", "s8_ivfadc_residual",
+        "s9_sq8_topk", "s10_ivf_sq8_topk", "c18_bucketed_join",
+        # code changed in r11 — re-prove through the driver
+        "d3_minhash_lsh", "d4_simhash", "d6_dedup_clusters",
+        "d16_fuzzy_dedup_corpus", "d17_fuzzy_dedup_ingest",
+        "c11_mdf_dedup_pipeline", "st13_stream_index_ingest",
+        "st17_stream_dedup_ingest", "s11_ivf_sq8_index",
+        "m7_image_ahash_neardup", "t11_rake_keywords",
+        "d5_embedding_neardup", "d10_semantic_dedup",
+        "s6_ivfadc_topk", "s7_ivfadc_rerank", "s12_ivfadc_index",
+        "s15_ivfadc_index_rerank", "s16_ivfadc_batched_serve",
+        # r7-stale fills (the whole remaining r7 set)
+        "c12_mdf_explode", "c13_mdf_fillna_astype", "p9_bpe_segment",
+        "p10_export_jsonl", "q15_cube", "q36_unpivot_metrics",
+        "q37_ranking_windows", "q38_multires_rollup",
+        "q39_percentile_disc", "st1_tumbling_window", "st4_sliding_window",
+        "st8_stream_static_join",
+        # r8-stale family fills
+        "c7_grouped_map", "c10_concat_fill_defaults",
+        "d11_duplicate_spans", "d18_exact_substring_removal",
+        "p1_corpus_clean", "q1_pricing_summary",
+        "q28_local_supplier_volume", "t5_winnow_fingerprint",
+        "t12_bigram_surprisal",
+    }
+)
+
 # The active rotation (tests reference this alias, not the round name).
-GATE_ROTATION = GATE_ROTATION_R10
+GATE_ROTATION = GATE_ROTATION_R11
 
 
 @dataclass

@@ -335,8 +335,10 @@ def test_s16_batched_serve_structure(spark, sf_dir):
 
 def test_r10_rotation_priority_slots():
     """st18 (the one never-driver-gated query) and s16 (new) must hold
-    gate slots this round — VERDICT r9 directive #1."""
-    from medvedi_spark.queries.registry import GATE_ROTATION
+    gate slots in the ROUND-10 rotation — VERDICT r9 directive #1. Pinned
+    against the historical R10 set (not the live alias, which rotates
+    every round by design)."""
+    from medvedi_spark.queries.registry import GATE_ROTATION_R10
 
-    assert "st18_stream_substring_removal" in GATE_ROTATION
-    assert "s16_ivfadc_batched_serve" in GATE_ROTATION
+    assert "st18_stream_substring_removal" in GATE_ROTATION_R10
+    assert "s16_ivfadc_batched_serve" in GATE_ROTATION_R10
