@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from medvedi_spark.functions.hashing import _ident as _hashing_ident
 from medvedi_spark.functions.hashing import minhash_agg_cols, simhash_col, token_hash
 from medvedi_spark.queries._det import DEC
 
@@ -59,12 +60,9 @@ _EXPR_KERNELS = True
 # forwarded by a public caller (e.g. vector_norms' vec_col) parses as
 # the column it names instead of failing (ADVICE r10). Backticks vanish
 # at parse time, so quoted and bare identifiers build the identical
-# analyzed expression.
-_PLAIN_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
-
-
-def _sql_ident(s: str) -> str:
-    return f"`{s}`" if _PLAIN_IDENT.match(s) else s
+# analyzed expression. ONE shared implementation (hashing._ident) so the
+# quoting rule cannot drift between the hashing and llm expr kernels.
+_sql_ident = _hashing_ident
 
 
 def _sql_double(v: float) -> str:
@@ -1895,7 +1893,7 @@ def _sq8_code(vec: Column | str, vmin, vmax) -> Column:
         _EXPR_KERNELS
         and have_vals
         and isinstance(vec, str)
-        and all(math.isfinite(float(v)) for v in (*vmin, *vmax))
+        and all(v is not None and math.isfinite(float(v)) for v in (*vmin, *vmax))
     ):
         v = _sql_ident(vec)
         mn, mx = _sql_double_array(vmin), _sql_double_array(vmax)
@@ -1906,8 +1904,8 @@ def _sq8_code(vec: Column | str, vmin, vmax) -> Column:
             f"/ (element_at({mx}, i + 1) - element_at({mn}, i + 1))) as int) "
             f"else 0 end)"
         )
-    vmin_lit = F.lit([float(v) for v in vmin]) if have_vals else vmin
-    vmax_lit = F.lit([float(v) for v in vmax]) if have_vals else vmax
+    vmin_lit = F.lit(list(vmin)) if have_vals else vmin
+    vmax_lit = F.lit(list(vmax)) if have_vals else vmax
     vec = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(
         vec,
@@ -2001,8 +1999,14 @@ def _sq8_train(emb: DataFrame, vec_col: str):
 def _sq8_range_literals(stats):
     """Positional vmin/vmax range VALUES from validated stats rows —
     plain lists; :func:`_sq8_code` renders them as the array literals
-    on whichever construction path it takes."""
-    return [float(r["vmin"]) for r in stats], [float(r["vmax"]) for r in stats]
+    on whichever construction path it takes. A dimension that is null
+    in every vector yields None (min/max of all-null), preserved here
+    so the composed branch builds the same null-element array literal
+    the pre-r11 code did (null codes for that dim, not a crash)."""
+    return (
+        [None if r["vmin"] is None else float(r["vmin"]) for r in stats],
+        [None if r["vmax"] is None else float(r["vmax"]) for r in stats],
+    )
 
 
 def _sq8_fit_encode(emb, id_col, vec_col, probe):

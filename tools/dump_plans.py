@@ -53,8 +53,13 @@ def main() -> None:
     # the r11 m7 shared-hash-table persist evidence.
     if os.environ.get("SPARK_GRAFT_NO_OP_PERSIST") == "1":
         import medvedi_spark.operators._persist as _p
+        import medvedi_spark.operators.llm as _llm2
 
         _p.size_guarded_persist = lambda source, df, cap=None: df
+        # llm bound the helper at import time — patch its alias too, or
+        # llm-internal persists (minhash sigs, gram/anchor/block tables)
+        # would silently keep caching in the "no-persist" arm
+        _llm2._size_guarded_persist = _p.size_guarded_persist
     spark = get_spark("r10-plan-dump")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
